@@ -1,0 +1,58 @@
+"""Connected components via iterative min-label propagation
+(hash-to-min) — the canonicalization merge of entity clusters
+(BASELINE.json north_star). No GraphFrames dependency.
+
+Each round: label(v) <- min(label(v), min over neighbors label(u));
+converges in O(diameter) rounds (similarity clusters are shallow), with
+lineage broken per round via localCheckpoint. The reference has no CC
+operator (its merge is implicit in dense k-means cluster ids); this is
+the scale-path replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """edges: (src, dst) any orientation. Returns (id, component) where
+    component = min node id in the component."""
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if nodes is None:
+        nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
+    sym = sym.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), "id"
+            )
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,126 @@
+"""Similarity-graph constructors: full Gaussian affinity, epsilon
+neighborhood, kNN, mutual kNN — as windowed operators over the pairwise
+edge list (reference: src/src/main/java/graph/ReadCsvTestData.java,
+dense matrix scans; semantics preserved, representation replaced).
+
+Conventions:
+  * input  : directed distance edges (src, dst, dist), src != dst,
+             both orientations present (symmetric distances).
+  * output : affinity edges (src, dst, weight); undirected graphs are
+             canonical src < dst; kNN is inherently directed and is
+             returned directed (the live reference path,
+             SimKitProcedures.java:251,786,975, uses the index-based
+             directed kNN graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def local_sigmas(dist_edges: DataFrame, k: int) -> DataFrame:
+    """sigma_i = k-th order statistic of row i of the distance matrix.
+
+    The reference sorts each row ascending *including* the self
+    distance 0 and takes sortedDistances[k]
+    (ReadCsvTestData.java:258-268 calculateLocalSigmas). With self
+    excluded from the edge list, that element is the k-th smallest
+    neighbor distance (1-indexed), i.e. window rank == k.
+    Ties broken by dst id for determinism (Java's stable sort breaks
+    them by index order as well).
+    """
+    if k < 1:
+        raise ValueError("sigma index must be >= 1 (0 selects the self-distance)")
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    return (
+        dist_edges.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == k)
+        .select(F.col("src").alias("id"), F.col("dist").alias("sigma"))
+    )
+
+
+def full_affinity(dist_edges: DataFrame, sigma_k: int) -> DataFrame:
+    """Self-tuning Gaussian kernel a_ij = exp(-d_ij^2 / (sigma_i*sigma_j)).
+
+    Reference: ReadCsvTestData.java:270-286 calculateAdjacencyMatrix
+    (formula at :280, Zelnik-Manor/Perona-style local scaling); diagonal
+    forced to 0 => self pairs simply absent from the edge list.
+    Sigma join is an equi-join on id; AQE broadcasts it when small.
+    """
+    sig = local_sigmas(dist_edges, sigma_k)
+    canon = dist_edges.where(F.col("src") < F.col("dst"))
+    return (
+        canon.join(sig.withColumnRenamed("id", "src").withColumnRenamed("sigma", "sig_s"), "src")
+        .join(sig.withColumnRenamed("id", "dst").withColumnRenamed("sigma", "sig_d"), "dst")
+        .select(
+            "src",
+            "dst",
+            F.exp(-(F.col("dist") * F.col("dist")) / (F.col("sig_s") * F.col("sig_d"))).alias(
+                "weight"
+            ),
+        )
+    )
+
+
+def epsilon_graph(dist_edges: DataFrame, eps: float) -> DataFrame:
+    """a_ij = 1 iff d_ij < eps (strict <, ReadCsvTestData.java:308-326);
+    symmetric, unweighted."""
+    return (
+        dist_edges.where((F.col("dist") < eps) & (F.col("src") < F.col("dst")))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
+def knn_edges(dist_edges: DataFrame, k: int) -> DataFrame:
+    """Index-based kNN: for each src the k nearest dst (self excluded),
+    ties broken by dst id — reference calculateKNNIndices
+    (ReadCsvTestData.java:237-256): stable sort by distance, skip
+    position 0 (self). Directed output, weight 1.
+    """
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    return (
+        dist_edges.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
+def mutual_knn_edges(dist_edges: DataFrame, k: int) -> DataFrame:
+    """a_ij = 1 iff j in kNN(i) AND i in kNN(j)
+    (ReadCsvTestData.java:363-384 calculateMutualKNNGraph — implemented
+    index-based; the value-match variant diverges only on duplicate
+    distances, documented in SURVEY.md §7.4.3). Symmetric: semi-join of
+    the directed kNN set with its own transpose.
+    """
+    knn = knn_edges(dist_edges, k).select("src", "dst")
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        knn.join(rev, ["src", "dst"], "leftsemi")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Canonical (src<dst) edges -> both orientations (the reference
+    mirrors a[j][i] = a[i][j], MatrixCalculation.java:76-77)."""
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+
+
+def build_affinity_graph(
+    dist_edges: DataFrame, graph_type: str, param: float | int
+) -> DataFrame:
+    """Dispatch mirroring SimKitProcedures.java:243-259 graph_type
+    handling: 'full' | 'eps' | 'knn' | 'mknn'. Returns canonical or
+    directed edges per constructor docs above."""
+    if graph_type == "full":
+        return full_affinity(dist_edges, int(param))
+    if graph_type == "eps":
+        return epsilon_graph(dist_edges, float(param))
+    if graph_type == "knn":
+        return knn_edges(dist_edges, int(param))
+    if graph_type == "mknn":
+        return mutual_knn_edges(dist_edges, int(param))
+    raise ValueError(f"unknown graph_type {graph_type!r}")

@@ -1,0 +1,26 @@
+from __future__ import annotations
+
+from simkit_spark.operators.components import connected_components
+
+
+def test_two_components(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (6, 7), (7, 5)], "src long, dst long"
+    )
+    labels = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert labels == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5, 7: 5}
+
+
+def test_chain_converges(spark):
+    # a long path stresses the propagation loop
+    n = 40
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
+    labels = connected_components(edges, max_iter=n + 2).collect()
+    assert {r["component"] for r in labels} == {0}
+
+
+def test_isolated_nodes_kept(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,), (9,)], "id long")
+    labels = {r["id"]: r["component"] for r in connected_components(edges, nodes).collect()}
+    assert labels == {0: 0, 1: 0, 9: 9}

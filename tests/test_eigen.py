@@ -1,0 +1,72 @@
+"""Distributed orthogonal iteration vs numpy eigh (the oracle pattern of
+experiments/experiments_simkit-0.1.2.py:33-134)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from simkit_spark.operators.eigen import eigen_local, eigengap_k, eigensolve
+from simkit_spark.operators.graphs import full_affinity, symmetrize
+from simkit_spark.operators.kernels import pairwise_distances
+from simkit_spark.operators.laplacian import laplacian
+
+
+@pytest.fixture(scope="module")
+def lap_edges(spark, tiny5):
+    dist = pairwise_distances(tiny5, "euclidean", n_blocks=2, directed=True)
+    return laplacian(symmetrize(full_affinity(dist, sigma_k=2)), "sym").cache()
+
+
+def _dense(rows, n):
+    a = np.zeros((n, n))
+    for r in rows:
+        a[r["src"], r["dst"]] = r["weight"]
+    return a
+
+
+def test_eigensolve_matches_numpy_tiny(spark, lap_edges):
+    a = _dense(lap_edges.collect(), 5)
+    lam_np = np.linalg.eigvalsh(a)  # ascending
+    x, lam = eigensolve(lap_edges, k=2, max_iter=200, tol=1e-12, seed=7)
+    # dominant 2 eigenvalues, reported ascending
+    assert lam == pytest.approx(lam_np[-2:], abs=1e-6)
+    # eigenvector subspace parity: projector onto top-2 subspace matches
+    xr = np.array([r["vec"] for r in sorted(x.collect(), key=lambda r: r["id"])])
+    _, v_np = np.linalg.eigh(a)
+    p_got = xr @ xr.T
+    p_want = v_np[:, -2:] @ v_np[:, -2:].T
+    assert np.abs(p_got - p_want).max() < 1e-5
+
+
+def test_eigensolve_larger_graph(spark):
+    rng = np.random.RandomState(42)
+    n, k = 120, 3
+    # 3-block stochastic-block-model-ish affinity
+    centers = rng.rand(3, 4)
+    pts = np.vstack([centers[i % 3] + 0.05 * rng.randn(4) for i in range(n)])
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)], "id long, vec array<double>"
+    )
+    dist = pairwise_distances(df, "euclidean", n_blocks=4, directed=True)
+    lap = laplacian(symmetrize(full_affinity(dist, sigma_k=7)), "sym")
+    a = _dense(lap.collect(), n)
+    lam_np = np.linalg.eigvalsh(a)
+    _, lam = eigensolve(lap, k=k, max_iter=150, tol=1e-10, seed=1)
+    assert lam == pytest.approx(lam_np[-k:], abs=1e-5)
+
+
+def test_eigen_local_matches_numpy():
+    rows = [(0, 1, 0.9), (1, 2, 0.8), (0, 2, 0.1)]
+    lam, x, idx = eigen_local(rows, [0, 1, 2], k=2)
+    a = np.array([[0, 0.9, 0.1], [0.9, 0, 0.8], [0.1, 0.8, 0]])
+    lam_np = np.linalg.eigvalsh(a)
+    assert lam == pytest.approx(lam_np[-2:], abs=1e-12)
+    assert x.shape == (3, 2)
+
+
+def test_eigengap():
+    # gaps: [0.1, 0.1, 2.0, ...] -> argmax at index 2 -> k = 3
+    e = np.array([0.0, 0.1, 0.2, 2.2, 2.3])
+    assert eigengap_k(e) == 3
+    assert eigengap_k(np.array([0.5, 0.6])) == 2  # floor at 2

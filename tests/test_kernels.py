@@ -1,0 +1,63 @@
+"""Golden-matrix tests ported from the reference's only active test
+(src/src/test/java/graph/DistanceMeasureNodesTest.java:32-112), rounded
+to 2 dp exactly as the reference asserts (:115-121)."""
+
+from __future__ import annotations
+
+import pytest
+
+from simkit_spark.operators.kernels import pairwise_distances
+
+GOLDEN = {
+    "euclidean": [
+        [0, 1, 7.07, 9.22, 10.30],
+        [1, 0, 6.40, 8.60, 9.85],
+        [7.07, 6.40, 0, 2.24, 4.00],
+        [9.22, 8.60, 2.24, 0, 2.24],
+        [10.30, 9.85, 4.00, 2.24, 0],
+    ],
+    "manhattan": [
+        [0, 1, 10, 13, 14],
+        [1, 0, 9, 12, 13],
+        [10, 9, 0, 3, 4],
+        [13, 12, 3, 0, 3],
+        [14, 13, 4, 3, 0],
+    ],
+    "canberra": [
+        [0, 0.08, 1.27, 1.53, 1.37],
+        [0.08, 0, 1.21, 1.49, 1.32],
+        [1.27, 1.21, 0, 0.48, 0.25],
+        [1.53, 1.49, 0.48, 0, 0.44],
+        [1.37, 1.32, 0.25, 0.44, 0],
+    ],
+    "cosine": [
+        [0, 1.0, 0.45, 0.26, 0.33],
+        [1.0, 0, 0.47, 0.29, 0.35],
+        [0.45, 0.47, 0, 0.98, 0.99],
+        [0.26, 0.29, 0.98, 0, 1.0],
+        [0.33, 0.35, 0.99, 1.0, 0],
+    ],
+    "bray_curtis": [
+        [0, 0.07, 0.63, 0.76, 0.70],
+        [0.07, 0, 0.60, 0.75, 0.68],
+        [0.63, 0.60, 0, 0.18, 0.20],
+        [0.76, 0.75, 0.18, 0, 0.14],
+        [0.70, 0.68, 0.20, 0.14, 0],
+    ],
+}
+
+
+@pytest.mark.parametrize("kernel", sorted(GOLDEN))
+def test_tiny5_golden(spark, tiny5, kernel):
+    edges = pairwise_distances(tiny5, kernel=kernel, n_blocks=3).collect()
+    got = {(r["src"], r["dst"]): r["dist"] for r in edges}
+    assert len(got) == 10  # 5 choose 2, canonical src<dst
+    for i in range(5):
+        for j in range(i + 1, 5):
+            # golden is rounded to 2 dp (half-up in Java) -> +-0.005
+            assert abs(got[(i, j)] - GOLDEN[kernel][i][j]) <= 0.005 + 1e-9, (i, j)
+
+
+def test_directed_doubles_pairs(spark, tiny5):
+    e = pairwise_distances(tiny5, "euclidean", n_blocks=2, directed=True)
+    assert e.count() == 20
