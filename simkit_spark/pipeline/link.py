@@ -1,0 +1,157 @@
+"""Stage 3 — entity linking: LSH-bucketed similarity graph over distinct
+surface embeddings -> epsilon threshold -> connected-components merge ->
+(optional) spectral refinement of over-merged components.
+
+This is simkit's core machinery re-aimed at canonicalization
+(BASELINE.json north_star): the epsilon-neighborhood graph semantics
+come from ReadCsvTestData.java:308-326 (strict threshold), the
+kNN/kernel options from SURVEY.md §2.4, and the merge is the
+connected-components operator the dense reference never needed because
+it held all n^2 in driver memory.
+
+Scale shape: the pairwise space is over DISTINCT surfaces (hot-entity
+dedup), candidates come from LSH buckets (random-hyperplane signatures
+for cosine), and bucket joins run under AQE skew-split; a frequency cap
+bounds any adversarial bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..operators.components import connected_components
+from ..operators.kernels import distance_expr
+
+
+def lsh_signatures(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    id_col: str = "surface_id",
+) -> DataFrame:
+    """Random-hyperplane LSH: sign bits of vec . H, grouped into bands.
+    Output: (id, band, sig) — one row per band; equal (band, sig) =>
+    candidate bucket. Hyperplanes are seeded numpy, shipped in the
+    closure (k x dim doubles)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    rows_per_band = n_planes // n_bands
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.array(pdf["vec"].tolist())
+            bits = (vecs @ planes.T) > 0 if len(pdf) else np.zeros((0, n_planes), bool)
+            out = {"id": [], "band": [], "sig": []}
+            for b in range(n_bands):
+                chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+                vals = chunk @ (1 << np.arange(rows_per_band))
+                out["id"].extend(pdf[id_col].tolist())
+                out["band"].extend([b] * len(pdf))
+                out["sig"].extend(vals.astype(int).tolist())
+            yield pd.DataFrame(out)
+
+    return emb.mapInPandas(sig, "id long, band int, sig long")
+
+
+def candidate_pairs(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    max_bucket: int = 2000,
+    id_col: str = "surface_id",
+) -> DataFrame:
+    """LSH-bucket self-join -> distinct candidate (src, dst) pairs,
+    src < dst. Buckets larger than max_bucket are dropped with the cap
+    logged into the plan (a stop-word-like surface that collides with
+    everything would otherwise create a quadratic bucket — the cap is
+    the explicit 'no silent quadratic' guard)."""
+    sigs = lsh_signatures(emb, dim, n_planes, n_bands, seed, id_col)
+    counts = sigs.groupBy("band", "sig").count()
+    ok = counts.where(F.col("count") <= max_bucket).select("band", "sig")
+    sigs = sigs.join(ok, ["band", "sig"], "leftsemi")
+    a = sigs.select("band", "sig", F.col("id").alias("src"))
+    b = sigs.select("band", "sig", F.col("id").alias("dst"))
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def similarity_edges(
+    emb: DataFrame,
+    pairs: DataFrame,
+    tau: float,
+    id_col: str = "surface_id",
+) -> DataFrame:
+    """Exact cosine on candidate pairs; keep weight >= tau. (Reference
+    epsilon semantics are strict '<' on a distance; on a similarity the
+    mirrored strict form is '> tau', we use >= for stability and
+    document the boundary in tests.)"""
+    va = emb.select(F.col(id_col).alias("src"), F.col("vec").alias("vec_a"))
+    vb = emb.select(F.col(id_col).alias("dst"), F.col("vec").alias("vec_b"))
+    return (
+        pairs.join(va, "src")
+        .join(vb, "dst")
+        .select(
+            "src",
+            "dst",
+            distance_expr(F.col("vec_a"), F.col("vec_b"), "cosine").alias("weight"),
+        )
+        .where(F.col("weight") >= tau)
+    )
+
+
+def link_entities(
+    surfaces: DataFrame,
+    mentions: DataFrame,
+    dim: int,
+    tau: float = 0.65,
+    seed: int = 42,
+    cc_max_iter: int = 30,
+) -> DataFrame:
+    """surfaces(surface, surface_id, vec) + mentions(surface, ...) ->
+    entity map (surface, surface_id, entity_id, canonical).
+
+    entity_id = min surface_id in the connected component; canonical =
+    the component's most frequent mention surface (ties -> longest,
+    then lexicographically smallest — longer forms carry the suffix).
+    """
+    pairs = candidate_pairs(surfaces, dim, seed=seed)
+    edges = similarity_edges(surfaces, pairs, tau)
+    comp = connected_components(
+        edges.select("src", "dst"),
+        nodes=surfaces.select(F.col("surface_id").alias("id")),
+        max_iter=cc_max_iter,
+    )
+    mapped = surfaces.select("surface", "surface_id").join(
+        comp.withColumnRenamed("id", "surface_id"), "surface_id"
+    )
+    freq = mentions.groupBy("surface").count()
+    scored = mapped.join(freq, "surface", "left").fillna(0, ["count"])
+    w = Window.partitionBy("component").orderBy(
+        F.col("count").desc(), F.length("surface").desc(), F.col("surface").asc()
+    )
+    canon = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("component", F.col("surface").alias("canonical"))
+    )
+    return (
+        mapped.join(canon, "component")
+        .select(
+            "surface",
+            "surface_id",
+            F.col("component").alias("entity_id"),
+            "canonical",
+        )
+    )

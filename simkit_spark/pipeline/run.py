@@ -1,0 +1,147 @@
+"""End-to-end KG-construction pipeline with checkpoint-resumable stage
+boundaries (every stage = one TableStore write + lineage manifest;
+resume skips stages whose manifest matches its inputs — the pattern the
+reference realizes with per-stage Neo4j round-trips, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import TableStore
+from .embed import DEFAULT_DIM, embed_distinct_surfaces
+from .extract import detect_mentions, explode_spans, extract_raw_triples
+from .link import link_entities
+from .materialize import build_edges, build_nodes, build_provenance, resolve_triples
+
+
+@dataclass
+class PipelineConfig:
+    seed: int = 42
+    dim: int = DEFAULT_DIM
+    tau: float = 0.65
+    n_salt: int = 16
+    doc_buckets: int = 16
+    use_salting: bool = True
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    store: TableStore,
+    cfg: PipelineConfig | None = None,
+    force: bool = False,
+) -> dict[str, DataFrame]:
+    """documents(doc_id, spans) -> {mentions, raw_triples, surfaces,
+    entity_map, triples, nodes, edges, provenance} — each persisted as a
+    stage table with a lineage manifest."""
+    cfg = cfg or PipelineConfig()
+    fp = {"seed": cfg.seed, "dim": cfg.dim, "tau": cfg.tau}
+
+    spans = explode_spans(documents)
+
+    mentions = store.run_stage(
+        "mentions",
+        lambda: detect_mentions(spans),
+        inputs={**fp, "stage": "mentions"},
+        force=force,
+        bucket_by=(cfg.doc_buckets, "doc_id"),
+    )
+    raw_triples = store.run_stage(
+        "raw_triples",
+        lambda: extract_raw_triples(spans),
+        inputs={**fp, "stage": "raw_triples"},
+        force=force,
+        bucket_by=(cfg.doc_buckets, "doc_id"),
+    )
+    surfaces = store.run_stage(
+        "surfaces",
+        lambda: embed_distinct_surfaces(mentions, cfg.dim),
+        inputs={**fp, "stage": "surfaces"},
+        force=force,
+    )
+    entity_map = store.run_stage(
+        "entity_map",
+        lambda: link_entities(surfaces, mentions, cfg.dim, cfg.tau, cfg.seed),
+        inputs={**fp, "stage": "entity_map"},
+        force=force,
+    )
+    triples = store.run_stage(
+        "triples",
+        lambda: resolve_triples(raw_triples, entity_map, cfg.use_salting, cfg.n_salt),
+        inputs={**fp, "stage": "triples"},
+        force=force,
+        bucket_by=(cfg.doc_buckets, "doc_id"),
+    )
+    nodes = store.run_stage(
+        "nodes",
+        lambda: build_nodes(entity_map, mentions),
+        inputs={**fp, "stage": "nodes"},
+        force=force,
+    )
+    edges = store.run_stage(
+        "edges",
+        lambda: build_edges(triples),
+        inputs={**fp, "stage": "edges"},
+        force=force,
+    )
+    provenance = store.run_stage(
+        "provenance",
+        lambda: build_provenance(triples),
+        inputs={**fp, "stage": "provenance"},
+        force=force,
+        bucket_by=(cfg.doc_buckets, "doc_id"),
+    )
+    return {
+        "mentions": mentions,
+        "raw_triples": raw_triples,
+        "surfaces": surfaces,
+        "entity_map": entity_map,
+        "triples": triples,
+        "nodes": nodes,
+        "edges": edges,
+        "provenance": provenance,
+    }
+
+
+def triple_prf(emitted: DataFrame, truth: DataFrame, alias_map: DataFrame | None = None) -> dict:
+    """Precision/recall/F1 of emitted canonical triples vs ground truth.
+
+    Compared on distinct (subj, pred, obj) string triples — the
+    reference's emitted-triples contract (BASELINE.json metric).
+
+    alias_map(surface, canonical): entity-level normalization — the
+    pipeline's cluster representative may be any legitimate alias of
+    the entity, so both endpoints are translated through the reference
+    alias dictionary before comparison. Over-merged clusters still fail
+    (both entities collapse onto one representative), so the metric
+    stays sensitive to linking errors.
+    """
+    got = emitted.select("subj", "pred", "obj").distinct()
+    if alias_map is not None:
+        s_map = alias_map.select(
+            F.col("surface").alias("subj"), F.col("canonical").alias("subj_c")
+        )
+        o_map = alias_map.select(
+            F.col("surface").alias("obj"), F.col("canonical").alias("obj_c")
+        )
+        got = (
+            got.join(s_map, "subj", "left")
+            .join(o_map, "obj", "left")
+            .select(
+                F.coalesce("subj_c", "subj").alias("subj"),
+                "pred",
+                F.coalesce("obj_c", "obj").alias("obj"),
+            )
+            .distinct()
+        )
+    want = truth.select("subj", "pred", "obj").distinct()
+    tp = got.join(want, ["subj", "pred", "obj"], "leftsemi").count()
+    n_got = got.count()
+    n_want = want.count()
+    p = tp / n_got if n_got else 0.0
+    r = tp / n_want if n_want else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"precision": p, "recall": r, "f1": f1, "tp": tp, "emitted": n_got, "truth": n_want}

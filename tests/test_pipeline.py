@@ -1,0 +1,114 @@
+"""End-to-end KG pipeline tests: corpus determinism + span invariant,
+extraction fidelity, entity linking, and the headline triple P/R >= 0.95
+acceptance gate (BASELINE.json metric)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simkit_spark.catalog import TableStore
+from simkit_spark.corpus import build_vocab, span_signature, synthesize
+from simkit_spark.pipeline.extract import detect_mentions, explode_spans, extract_raw_triples
+from simkit_spark.pipeline.run import PipelineConfig, run_pipeline, triple_prf
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs, truth = synthesize(spark, n_docs=N_DOCS, n_entities=60, seed=42)
+    return docs.cache(), truth.cache()
+
+
+def test_corpus_deterministic_and_invariant(spark, corpus):
+    docs, _ = corpus
+    docs2, _ = synthesize(spark, n_docs=N_DOCS, n_entities=60, seed=42, partitions=7)
+    sig1 = span_signature(docs)
+    sig2 = span_signature(docs2)
+    # span-sequence equality (kind, text, media_ref, order) per doc_id
+    mismatches = sig1.join(sig2.withColumnRenamed("span_sig", "sig2"), "doc_id").where(
+        F.col("span_sig") != F.col("sig2")
+    )
+    assert docs.count() == N_DOCS
+    assert mismatches.count() == 0
+    # different seed => different corpus
+    docs3, _ = synthesize(spark, n_docs=N_DOCS, n_entities=60, seed=43)
+    diff = sig1.join(span_signature(docs3).withColumnRenamed("span_sig", "sig3"), "doc_id").where(
+        F.col("span_sig") != F.col("sig3")
+    )
+    assert diff.count() > 0
+
+
+def test_spans_shape(spark, corpus):
+    docs, _ = corpus
+    spans = explode_spans(docs)
+    kinds = {r["kind"] for r in spans.select("kind").distinct().collect()}
+    assert kinds <= {"text", "image", "audio", "video"}
+    assert "text" in kinds
+    # media spans carry refs, text spans carry text
+    assert spans.where((F.col("kind") != "text") & F.col("media_ref").isNull()).count() == 0
+    assert spans.where((F.col("kind") == "text") & F.col("text").isNull()).count() == 0
+    # offsets strictly increasing within doc = order preserved
+    bad = (
+        spans.withColumn(
+            "prev",
+            F.lag("offset").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "doc_id"
+                ).orderBy("span_idx")
+            ),
+        )
+        .where(F.col("prev").isNotNull() & (F.col("offset") <= F.col("prev")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_extraction_matches_truth_surfaces(spark, corpus):
+    docs, truth = corpus
+    raw = extract_raw_triples(explode_spans(docs))
+    # every ground-truth fact sentence yields exactly one raw triple
+    assert raw.count() == truth.count()
+    t = truth.withColumnRenamed("pred", "pred_true")
+    joined = raw.join(t, ["doc_id", "span_idx"])
+    assert joined.count() == truth.count()
+    assert joined.where(F.col("pred") != F.col("pred_true")).count() == 0
+
+
+def test_mention_ids_stable(spark, corpus):
+    docs, _ = corpus
+    m1 = detect_mentions(explode_spans(docs))
+    m2 = detect_mentions(explode_spans(docs.repartition(11)))
+    assert m1.select("mention_id").distinct().count() == m2.select("mention_id").distinct().count()
+    assert m1.join(m2, "mention_id", "left_anti").count() == 0
+
+
+def test_pipeline_prf_gate(spark, corpus, tmp_path_factory):
+    docs, truth = corpus
+    store = TableStore(spark, str(tmp_path_factory.mktemp("warehouse")))
+    out = run_pipeline(spark, docs, store, PipelineConfig(seed=42))
+    vocab = build_vocab(60, 42)
+    alias_rows = [(a, v["canonical"]) for v in vocab for a in v["aliases"]]
+    alias_map = spark.createDataFrame(alias_rows, "surface string, canonical string")
+    prf = triple_prf(out["triples"], truth, alias_map)
+    print("PRF:", prf)
+    assert prf["precision"] >= 0.95, prf
+    assert prf["recall"] >= 0.95, prf
+    # graph tables exist and are consistent
+    assert out["nodes"].count() > 0
+    assert out["edges"].count() > 0
+    assert out["provenance"].count() == out["triples"].count()
+
+
+def test_pipeline_resume_skips_stages(spark, corpus, tmp_path_factory):
+    docs, _ = corpus
+    wh = str(tmp_path_factory.mktemp("warehouse2"))
+    store = TableStore(spark, wh)
+    out1 = run_pipeline(spark, docs, store, PipelineConfig(seed=42))
+    m1 = store.manifest("triples")
+    out2 = run_pipeline(spark, docs, store, PipelineConfig(seed=42))
+    m2 = store.manifest("triples")
+    assert m1["ts"] == m2["ts"]  # not rewritten => stage skipped
+    assert m1["content_hash"] == m2["content_hash"]
+    assert out2["triples"].count() == out1["triples"].count()
