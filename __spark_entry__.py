@@ -1,38 +1,613 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship spectral-clustering pipeline on the
+sf0.001 embeddings table (scan -> kNN affinity -> sym Laplacian ->
+distributed eigensolve -> k-means), the rebuild of the reference's
+`simkit.spectralClustering` procedure (SimKitProcedures.java:739-862).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 plus the training-data operators (dedup, similarity
+search, text analysis). Every SQL-expressible operator has a DuckDB
+oracle; iterative/non-SQL operators (eigensolve, k-means, connected
+components) are rows-only entries, validated against numpy in tests/.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+EMB_DIM = 64
+KNN_K = 5
+EPS = 1.25
+SIGMA_K = 5
+TOPK = 10
 
 
+# ---------------------------------------------------------------- loaders
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+        "label",
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _dist(spark: SparkSession, sf_dir: str, kernel: str, directed: bool = False) -> DataFrame:
+    from simkit_spark.operators.kernels import pairwise_distances
+
+    return pairwise_distances(
+        _emb(spark, sf_dir), kernel, n_blocks=8, directed=directed
+    )
+
+
+# --------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spectral clustering of the sf0.001 embeddings."""
+    from simkit_spark.operators.eigen import eigensolve
+    from simkit_spark.operators.graphs import mutual_knn_edges, symmetrize
+    from simkit_spark.operators.kernels import pairwise_distances
+    from simkit_spark.operators.kmeans import kmeans
+    from simkit_spark.operators.laplacian import laplacian
+
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    dist = pairwise_distances(emb, "euclidean", n_blocks=4, directed=True)
+    lap = laplacian(symmetrize(mutual_knn_edges(dist, 15)), "sym")
+    x, _ = eigensolve(lap, k=3, max_iter=40, tol=1e-7, seed=42)
+    assigned, _ = kmeans(x, k=3, max_iter=20, seed=42)
+    return assigned.select("id", F.col("cluster").cast("long").alias("cluster"))
+
+
+# -------------------------------------------------------------- queries
+def _pairwise(kernel):
+    def q(spark, sf_dir):
+        return _dist(spark, sf_dir, kernel).select(
+            "src", "dst", F.round("dist", 6).alias("dist")
+        )
+
+    return q
+
+
+def _knn_graph(spark, sf_dir):
+    d = _dist(spark, sf_dir, "euclidean", directed=True)
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("src", "dst", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _mutual_knn(spark, sf_dir):
+    from simkit_spark.operators.graphs import mutual_knn_edges
+
+    d = _dist(spark, sf_dir, "euclidean", directed=True)
+    return mutual_knn_edges(d, TOPK).select("src", "dst")
+
+
+def _eps_graph(spark, sf_dir):
+    d = _dist(spark, sf_dir, "euclidean")
+    return d.where(F.col("dist") < EPS).select("src", "dst")
+
+
+def _local_sigmas(spark, sf_dir):
+    from simkit_spark.operators.graphs import local_sigmas
+
+    d = _dist(spark, sf_dir, "euclidean", directed=True)
+    return local_sigmas(d, SIGMA_K).select("id", F.round("sigma", 6).alias("sigma"))
+
+
+def _gaussian_affinity(spark, sf_dir):
+    from simkit_spark.operators.graphs import full_affinity
+
+    d = _dist(spark, sf_dir, "euclidean", directed=True)
+    return full_affinity(d, SIGMA_K).select(
+        "src", "dst", F.round("weight", 6).alias("weight")
+    )
+
+
+def _degrees_knn(spark, sf_dir):
+    from simkit_spark.operators.graphs import knn_edges
+    from simkit_spark.operators.laplacian import degrees
+
+    d = _dist(spark, sf_dir, "euclidean", directed=True)
+    return degrees(knn_edges(d, KNN_K)).select(
+        "id", F.round("degree", 6).alias("degree")
+    )
+
+
+def _laplacian(kind):
+    def q(spark, sf_dir):
+        from simkit_spark.operators.graphs import knn_edges
+        from simkit_spark.operators.laplacian import laplacian
+
+        d = _dist(spark, sf_dir, "euclidean", directed=True)
+        return laplacian(knn_edges(d, KNN_K), kind).select(
+            "src", "dst", F.round("weight", 6).alias("weight")
+        )
+
+    return q
+
+
+def _cosine_topk(spark, sf_dir):
+    from simkit_spark.functions.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), k=TOPK).select(
+        "src", "dst", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _nearest_centroid(spark, sf_dir):
+    from simkit_spark.functions.similarity import assign_nearest_centroid
+
+    emb = _emb(spark, sf_dir)
+    cents = (
+        emb.orderBy("id")
+        .limit(3)
+        .select(F.col("id").alias("centroid_id"), F.col("vec").alias("cvec"))
+    )
+    return assign_nearest_centroid(emb, cents)
+
+
+def _label_encode(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    # deterministic variant of convertStringLabels
+    # (SimKitProcedures.java:678-691): codes assigned in sorted-label
+    # order (the reference's first-seen order is row-order dependent —
+    # documented divergence, SURVEY.md §2.2)
+    w = Window.orderBy("lang")
+    return docs.select("doc_id", "lang").withColumn(
+        "lang_code", (F.dense_rank().over(w) - 1).cast("long")
+    )
+
+
+def _token_count(spark, sf_dir):
+    from simkit_spark.functions.text import add_token_count
+
+    return add_token_count(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+def _quality(spark, sf_dir):
+    from simkit_spark.functions.text import quality_features
+
+    q = quality_features(_docs(spark, sf_dir))
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "alpha_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+    )
+
+
+def _lang_id(spark, sf_dir):
+    from simkit_spark.functions.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _fingerprint(spark, sf_dir):
+    from simkit_spark.functions.text import add_fingerprint
+
+    return add_fingerprint(_docs(spark, sf_dir))
+
+
+def _exact_dedup(spark, sf_dir):
+    from simkit_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "fp", "keep_doc_id", F.col("n_dups").cast("long").alias("n_dups")
+    )
+
+
+def _minhash(spark, sf_dir):
+    from simkit_spark.functions.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("h").cast("long").alias("h"), "minhash"
+    )
+
+
+def _simhash(spark, sf_dir):
+    from simkit_spark.functions.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def _neardup_jaccard(spark, sf_dir):
+    from simkit_spark.functions.dedup import minhash_band_pairs, minhash_signatures, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs)
+    pairs = minhash_band_pairs(sigs)
+    return ngram_jaccard_pairs(docs, pairs)
+
+
+def _pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _top_customers(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return rev.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10).select(
+        "c_custkey", "c_name", "revenue", F.col("rk").cast("long").alias("rk")
+    )
+
+
+def _events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+# ---- non-SQL-expressible (rows-only driver check; numpy-verified in tests/)
+def _spectral_embedding(spark, sf_dir):
+    from simkit_spark.operators.eigen import eigensolve
+    from simkit_spark.operators.graphs import mutual_knn_edges, symmetrize
+    from simkit_spark.operators.laplacian import laplacian
+
+    d = _dist(spark, sf_dir, "euclidean", directed=True)
+    lap = laplacian(symmetrize(mutual_knn_edges(d, TOPK)), "sym")
+    x, _ = eigensolve(lap, k=2, max_iter=30, tol=1e-6, seed=42)
+    return x.select("id", F.col("vec")[0].alias("e0"), F.col("vec")[1].alias("e1"))
+
+
+def _kmeans_clusters(spark, sf_dir):
+    from simkit_spark.operators.kmeans import kmeans
+
+    assigned, _ = kmeans(_emb(spark, sf_dir), k=5, max_iter=15, seed=42)
+    return assigned.select("id", F.col("cluster").cast("long").alias("cluster"))
+
+
+def _connected_components_eps(spark, sf_dir):
+    from simkit_spark.operators.components import connected_components
+
+    d = _dist(spark, sf_dir, "euclidean")
+    edges = d.where(F.col("dist") < EPS).select("src", "dst")
+    emb = _emb(spark, sf_dir)
+    return connected_components(edges, nodes=emb.select("id"), max_iter=30)
+
+
+def _kg_triples(spark, sf_dir):
+    """Flagship KG pipeline on the deterministic synthetic corpus
+    (sf-independent size; the interleaved corpus is generated, not read
+    from sf_dir — FIXTURES.md F4)."""
+    from simkit_spark.corpus import synthesize
+    from simkit_spark.pipeline.embed import embed_distinct_surfaces
+    from simkit_spark.pipeline.extract import detect_mentions, explode_spans, extract_raw_triples
+    from simkit_spark.pipeline.link import link_entities
+    from simkit_spark.pipeline.materialize import resolve_triples
+
+    docs, _ = synthesize(spark, n_docs=200, n_entities=50, seed=42)
+    spans = explode_spans(docs)
+    mentions = detect_mentions(spans)
+    raw = extract_raw_triples(spans)
+    surfaces = embed_distinct_surfaces(mentions)
+    emap = link_entities(surfaces, mentions, 256, 0.65, 42)
+    t = resolve_triples(raw, emap, use_salting=False)
+    return t.select("subj", "pred", "obj").distinct()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pairwise_euclidean": _pairwise("euclidean"),
+        "pairwise_manhattan": _pairwise("manhattan"),
+        "pairwise_cosine": _pairwise("cosine"),
+        "pairwise_canberra": _pairwise("canberra"),
+        "pairwise_braycurtis": _pairwise("bray_curtis"),
+        "pairwise_jaccard": _pairwise("jaccard"),
+        "knn_graph": _knn_graph,
+        "mutual_knn_graph": _mutual_knn,
+        "eps_graph": _eps_graph,
+        "local_sigmas": _local_sigmas,
+        "gaussian_affinity": _gaussian_affinity,
+        "degrees_knn": _degrees_knn,
+        "laplacian_sym": _laplacian("sym"),
+        "laplacian_rw": _laplacian("rw"),
+        "cosine_topk": _cosine_topk,
+        "nearest_centroid": _nearest_centroid,
+        "label_encode": _label_encode,
+        "token_count": _token_count,
+        "quality_features": _quality,
+        "lang_id": _lang_id,
+        "fingerprint": _fingerprint,
+        "exact_dedup": _exact_dedup,
+        "minhash_signatures": _minhash,
+        "simhash": _simhash,
+        "neardup_jaccard": _neardup_jaccard,
+        "pricing_summary": _pricing_summary,
+        "top_customers": _top_customers,
+        "events_hourly": _events_hourly,
+        # non-SQL-expressible (rows-only):
+        "spectral_embedding": _spectral_embedding,
+        "kmeans_clusters": _kmeans_clusters,
+        "connected_components_eps": _connected_components_eps,
+        "kg_triples": _kg_triples,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+_PAIR_BASE = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+pairs AS (
+  SELECT a.id AS src, b.id AS dst, a.vec AS va, b.vec AS vb
+  FROM v a JOIN v b ON a.id < b.id
+)
+"""
+
+_DIST_EXPR = {
+    "euclidean": "sqrt(list_reduce(list_transform(list_zip(va, vb), x -> (x[1]-x[2])*(x[1]-x[2])), (p,q) -> p+q))",
+    "manhattan": "list_reduce(list_transform(list_zip(va, vb), x -> abs(x[1]-x[2])), (p,q) -> p+q)",
+    "canberra": "list_reduce(list_transform(list_zip(va, vb), x -> CASE WHEN abs(x[1])+abs(x[2]) = 0 THEN 0.0 ELSE abs(x[1]-x[2])/(abs(x[1])+abs(x[2])) END), (p,q) -> p+q)",
+    "cosine": """CASE WHEN sqrt(list_reduce(list_transform(va, x -> x*x), (p,q) -> p+q)) = 0
+                   OR sqrt(list_reduce(list_transform(vb, x -> x*x), (p,q) -> p+q)) = 0 THEN 0.0
+                 ELSE list_reduce(list_transform(list_zip(va, vb), x -> x[1]*x[2]), (p,q) -> p+q)
+                      / (sqrt(list_reduce(list_transform(va, x -> x*x), (p,q) -> p+q))
+                         * sqrt(list_reduce(list_transform(vb, x -> x*x), (p,q) -> p+q))) END""",
+    "jaccard": """CASE WHEN list_reduce(list_transform(list_zip(va, vb), x -> greatest(x[1],x[2])), (p,q) -> p+q) = 0 THEN 0.0
+                  ELSE list_reduce(list_transform(list_zip(va, vb), x -> least(x[1],x[2])), (p,q) -> p+q)
+                       / list_reduce(list_transform(list_zip(va, vb), x -> greatest(x[1],x[2])), (p,q) -> p+q) END""",
+    "bray_curtis": """CASE WHEN list_reduce(list_transform(list_zip(va, vb), x -> x[1]+x[2]), (p,q) -> p+q) = 0 THEN 0.0
+                      ELSE list_reduce(list_transform(list_zip(va, vb), x -> abs(x[1]-x[2])), (p,q) -> p+q)
+                           / list_reduce(list_transform(list_zip(va, vb), x -> x[1]+x[2]), (p,q) -> p+q) END""",
+}
+
+_DIRECTED_DIST = (
+    _PAIR_BASE
+    + ", half AS (SELECT src, dst, {expr} AS dist FROM pairs), "
+    "dd AS (SELECT src, dst, dist FROM half UNION ALL SELECT dst AS src, src AS dst, dist FROM half)"
+)
+
+
+def _pairwise_sql(kernel):
+    return (
+        _PAIR_BASE
+        + f"SELECT src, dst, round({_DIST_EXPR[kernel]}, 6) AS dist FROM pairs"
+    )
+
+
+_KNN_SQL = (
+    _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+    + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd)
+SELECT src, dst, rank FROM rk WHERE rank <= {KNN_K}"""
+)
+
+_MKNN_SQL = (
+    _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+    + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+knn AS (SELECT src, dst FROM rk WHERE rank <= {TOPK})
+SELECT a.src, a.dst FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+WHERE a.src < a.dst"""
+)
+
+_SIGMA_SQL = (
+    _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+    + f""",
+rk AS (SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd)
+SELECT src AS id, round(dist, 6) AS sigma FROM rk WHERE rank = {SIGMA_K}"""
+)
+
+_GAUSS_SQL = (
+    _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+    + f""",
+rk AS (SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+sig AS (SELECT src AS id, dist AS sigma FROM rk WHERE rank = {SIGMA_K})
+SELECT d.src, d.dst, round(exp(-(d.dist*d.dist) / (s1.sigma*s2.sigma)), 6) AS weight
+FROM dd d JOIN sig s1 ON d.src = s1.id JOIN sig s2 ON d.dst = s2.id
+WHERE d.src < d.dst"""
+)
+
+_KNN_ADJ = (
+    _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+    + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+adj AS (SELECT src, dst, 1.0 AS weight FROM rk WHERE rank <= {KNN_K}),
+deg AS (SELECT dst AS id, sum(abs(weight)) AS degree FROM adj GROUP BY dst)
+"""
+)
+
+_DEGREES_SQL = _KNN_ADJ + "SELECT id, round(degree, 6) AS degree FROM deg"
+
+_LAP_SYM_SQL = (
+    _KNN_ADJ
+    + """
+SELECT a.src, a.dst,
+       round(a.weight * coalesce(1.0/sqrt(ds.degree), 0.0) * coalesce(1.0/sqrt(dd2.degree), 0.0), 6) AS weight
+FROM adj a LEFT JOIN deg ds ON a.src = ds.id LEFT JOIN deg dd2 ON a.dst = dd2.id"""
+)
+
+_LAP_RW_SQL = (
+    _KNN_ADJ
+    + """
+SELECT a.src, a.dst, round(a.weight * coalesce(1.0/ds.degree, 0.0), 6) AS weight
+FROM adj a LEFT JOIN deg ds ON a.src = ds.id"""
+)
+
+_EPS_SQL = (
+    _PAIR_BASE
+    + f"SELECT src, dst FROM (SELECT src, dst, {_DIST_EXPR['euclidean']} AS dist FROM pairs) WHERE dist < {EPS}"
+)
+
+_COSINE_TOPK_SQL = (
+    _PAIR_BASE
+    + f""",
+half AS (SELECT src, dst, {_DIST_EXPR['cosine']} AS cos FROM pairs),
+dd AS (SELECT src, dst, cos FROM half UNION ALL SELECT dst AS src, src AS dst, cos FROM half),
+rk AS (SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank FROM dd)
+SELECT src, dst, round(cos, 6) AS cos, rank FROM rk WHERE rank <= {TOPK}"""
+)
+
+_NEAREST_CENTROID_SQL = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+c AS (SELECT id AS centroid_id, vec AS cvec FROM v ORDER BY id LIMIT 3),
+scored AS (
+  SELECT v.id, c.centroid_id,
+         round(sqrt(list_reduce(list_transform(list_zip(v.vec, c.cvec), x -> (x[1]-x[2])*(x[1]-x[2])), (p,q) -> p+q)), 6) AS dist
+  FROM v CROSS JOIN c
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist ASC, centroid_id ASC) AS rn FROM scored)
+SELECT id, centroid_id, dist FROM rk WHERE rn = 1"""
+
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_LTOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_TOKEN_COUNT_EXPR = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+  {_TOKEN_COUNT_EXPR}::BIGINT AS n_tokens,
+  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / greatest(length(text), 1), 6) AS alpha_ratio,
+  round(len(list_filter({_TOKENS}, t -> t IN ('the','and','of','to','in')))::DOUBLE
+        / greatest({_TOKEN_COUNT_EXPR}, 1), 6) AS stopword_ratio,
+  round((length(text) - {_TOKEN_COUNT_EXPR} + 1)::DOUBLE / greatest({_TOKEN_COUNT_EXPR}, 1), 6) AS mean_token_len
+FROM documents"""
+
+_LANG_ID_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+    len(list_filter({_TOKENS}, t -> t IN ('the','and','of','to','in'))) AS en,
+    len(list_filter({_TOKENS}, t -> t IN ('der','die','und','das','ist'))) AS de,
+    len(list_filter({_TOKENS}, t -> t IN ('le','la','et','les','des'))) AS fr
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN en >= de AND en >= fr THEN 'en' WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred
+FROM s"""
+
+_FP_EXPR = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+_MD5_LONG = "CAST(concat('0x', substring(md5({arg}), 1, 8)) AS BIGINT)"
+
+_SHINGLES = f"""
+CASE WHEN {_TOKEN_COUNT_EXPR} <= 3 THEN [array_to_string({_LTOKENS}, ' ')]
+     ELSE list_distinct(list_transform(range(0, {_TOKEN_COUNT_EXPR} - 3 + 1),
+          i -> array_to_string({_LTOKENS}[i+1:i+3], ' '))) END"""
+
+_MINHASH_SQL = f"""
+WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+hs AS (SELECT unnest(range(0, 16)) AS h),
+hv AS (SELECT doc_id, h, {_MD5_LONG.format(arg="concat(shingle, ':', h)")} AS hv FROM sh CROSS JOIN hs)
+SELECT doc_id, h::BIGINT AS h, min(hv) AS minhash FROM hv GROUP BY doc_id, h"""
+
+
+def _simhash_sql():
+    bit_cols = ", ".join(
+        f"sum(CASE WHEN (h64 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(16)
+    )
+    sim = " + ".join(f"CASE WHEN s{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(16))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_LTOKENS}) AS t FROM documents WHERE trim(text) <> ''),
+h AS (SELECT doc_id, {_MD5_LONG.format(arg="t")} AS h64 FROM tok),
+agg AS (SELECT doc_id, {bit_cols} FROM h GROUP BY doc_id)
+SELECT doc_id, ({sim})::BIGINT AS simhash FROM agg"""
+
+
+_NEARDUP_SQL = f"""
+WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+hs AS (SELECT unnest(range(0, 16)) AS h),
+hv AS (SELECT doc_id, h, {_MD5_LONG.format(arg="concat(shingle, ':', h)")} AS hv FROM sh CROSS JOIN hs),
+sig AS (SELECT doc_id, h, min(hv) AS minhash FROM hv GROUP BY doc_id, h),
+banded AS (
+  SELECT doc_id, (h // 4)::INT AS band,
+         md5(array_to_string(list_sort(list(concat(h, ':', minhash))), ',')) AS band_key
+  FROM sig GROUP BY doc_id, (h // 4)::INT),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id),
+shs AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+SELECT c.src, c.dst,
+  round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 6) AS jaccard
+FROM cand c JOIN shs sa ON c.src = sa.doc_id JOIN shs sb ON c.dst = sb.doc_id"""
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+_TOP_CUSTOMERS_SQL = """
+WITH rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue FROM orders GROUP BY o_custkey),
+j AS (
+  SELECT c_custkey, c_name, revenue,
+         row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rk
+  FROM rev JOIN customer ON o_custkey = c_custkey)
+SELECT c_custkey, c_name, revenue, rk FROM j WHERE rk <= 10"""
+
+_EVENTS_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pairwise_euclidean": _pairwise_sql("euclidean"),
+        "pairwise_manhattan": _pairwise_sql("manhattan"),
+        "pairwise_cosine": _pairwise_sql("cosine"),
+        "pairwise_canberra": _pairwise_sql("canberra"),
+        "pairwise_braycurtis": _pairwise_sql("bray_curtis"),
+        "pairwise_jaccard": _pairwise_sql("jaccard"),
+        "knn_graph": _KNN_SQL,
+        "mutual_knn_graph": _MKNN_SQL,
+        "eps_graph": _EPS_SQL,
+        "local_sigmas": _SIGMA_SQL,
+        "gaussian_affinity": _GAUSS_SQL,
+        "degrees_knn": _DEGREES_SQL,
+        "laplacian_sym": _LAP_SYM_SQL,
+        "laplacian_rw": _LAP_RW_SQL,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        "nearest_centroid": _NEAREST_CENTROID_SQL,
+        "label_encode": "SELECT doc_id, lang, (dense_rank() OVER (ORDER BY lang) - 1)::BIGINT AS lang_code FROM documents",
+        "token_count": f"SELECT doc_id, {_TOKEN_COUNT_EXPR}::BIGINT AS n_tokens FROM documents",
+        "quality_features": _QUALITY_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "fingerprint": f"SELECT doc_id, {_FP_EXPR} AS fp FROM documents",
+        "exact_dedup": f"SELECT {_FP_EXPR} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY 1",
+        "minhash_signatures": _MINHASH_SQL,
+        "simhash": _simhash_sql(),
+        "neardup_jaccard": _NEARDUP_SQL,
+        "pricing_summary": _PRICING_SQL,
+        "top_customers": _TOP_CUSTOMERS_SQL,
+        "events_hourly": _EVENTS_SQL,
+        # spectral_embedding / kmeans_clusters / connected_components_eps /
+        # kg_triples: iterative, non-SQL-expressible -> rows-only check
+    }

@@ -1,0 +1,101 @@
+"""Benchmark harness: headline queries + KG-pipeline throughput.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = end-to-end KG-pipeline wall time on the synthetic interleaved
+corpus (the BASELINE.json headline); "queries" carries per-query
+seconds including docs/sec metadata entries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from simkit_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pairwise_euclidean",
+    "knn_graph",
+    "gaussian_affinity",
+    "cosine_topk",
+    "spectral_embedding",
+    "kmeans_clusters",
+    "connected_components_eps",
+    "exact_dedup",
+    "minhash_signatures",
+    "neardup_jaccard",
+    "simhash",
+    "quality_features",
+    "pricing_summary",
+    "events_hourly",
+]
+
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "5000"))
+
+
+def time_query(fn, *args) -> float:
+    t0 = time.time()
+    df = fn(*args)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def kg_pipeline_secs(spark, n_docs: int) -> float:
+    from simkit_spark.catalog import TableStore
+    from simkit_spark.corpus import synthesize
+    from simkit_spark.pipeline.run import PipelineConfig, run_pipeline
+
+    docs, _ = synthesize(spark, n_docs=n_docs, n_entities=200, seed=42)
+    with tempfile.TemporaryDirectory() as wh:
+        t0 = time.time()
+        out = run_pipeline(spark, docs, TableStore(spark, wh), PipelineConfig(seed=42))
+        out["triples"].count()
+        return time.time() - t0
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+
+    qs = entry_mod.queries()
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        try:
+            results[name] = round(time_query(qs[name], spark, sf_dir), 3)
+        except Exception as e:  # noqa: BLE001
+            results[name] = -1.0
+            print(f"# bench {name} failed: {e}", file=sys.stderr)
+
+    kg_secs = kg_pipeline_secs(spark, KG_DOCS)
+    results["kg_pipeline"] = round(kg_secs, 3)
+    results["kg_docs_per_sec"] = round(KG_DOCS / kg_secs, 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_seconds",
+                "value": round(kg_secs, 3),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "kg_docs": KG_DOCS,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

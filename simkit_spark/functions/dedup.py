@@ -1,0 +1,145 @@
+"""Deduplication operators for training-data pipelines.
+
+  * exact_dedup      — md5 fingerprint groupBy (hash partition, no skew)
+  * minhash_signatures — word-shingle MinHash with md5-derived hash
+                         family (cross-engine deterministic: the DuckDB
+                         oracle computes bit-identical signatures)
+  * minhash_band_pairs — LSH banding of the signatures -> candidate
+                         near-dup pairs (the scale path: no O(n^2))
+  * simhash64        — 64-bit SimHash over word tokens (bit-majority),
+                       built from md5 bits so it is engine-portable
+  * ngram_jaccard    — exact weighted-shingle Jaccard on candidate pairs
+
+All are built-in Spark SQL expressions (explode/groupBy/agg) — the hash
+family is md5-substring -> bigint, NOT xxhash64/crc32, because the
+oracle needs the identical function on the DuckDB side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import fingerprint, tokens
+
+
+def _md5_long(col: Column) -> Column:
+    """First 8 hex chars of md5 as a bigint in [0, 2^32) — the portable
+    hash family used by minhash/simhash."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fp, keep_doc_id, n_dups): one row per distinct normalized text;
+    keeper = min doc_id."""
+    return (
+        docs.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles over lowercased text: 'a b c d' ->
+    ['a b c', 'b c d'] (distinct). Docs shorter than n words get their
+    whole text as one shingle."""
+    toks = tokens(F.lower(col))
+    k = F.size(toks)
+    joined = F.array_join(toks, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(k <= n, F.array(joined)).otherwise(F.array_distinct(grams))
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, h: int in [0,n_hashes), minhash: bigint) — n_hashes rows
+    per doc: min over shingles of md5(shingle || ':' || h)."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    hs = sh.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("h"))
+    return (
+        sh.crossJoin(F.broadcast(hs))
+        .select(
+            "doc_id",
+            "h",
+            _md5_long(F.concat_ws(":", F.col("shingle"), F.col("h"))).alias("hv"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def minhash_band_pairs(
+    signatures: DataFrame, n_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of any band become
+    candidate pairs (src < dst). Band key = md5 of the concatenated
+    band signature (portable)."""
+    rows_per_band = n_hashes // n_bands
+    banded = (
+        signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "h", "minhash"))))).alias(
+                "band_key"
+            )
+        )
+    )
+    a = banded.select("band", "band_key", F.col("doc_id").alias("src"))
+    b = banded.select("band", "band_key", F.col("doc_id").alias("dst"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): bit-majority SimHash over token hashes
+    (16-bit variant: keeps the aggregation narrow while exercising the
+    full algorithm; each bit contributes +1/-1, simhash bit = sign of
+    the sum). Portable to the SQL oracle (same md5 arithmetic)."""
+    tok = docs.select("doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+    h64 = _md5_long(F.col("t"))
+    bits = tok.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(h64, i).bitwiseAND(F.lit(1).cast("long")) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(16)  # 16-bit variant keeps the agg narrow
+        ],
+    )
+    agg = bits.groupBy("doc_id").agg(*[F.sum(f"b{i}").alias(f"s{i}") for i in range(16)])
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate (src, dst) pairs."""
+    sh = docs.select(
+        F.col("doc_id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("src"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("dst"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "src")
+        .join(b, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+    )

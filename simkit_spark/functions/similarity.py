@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns.
+
+  * cosine_topk   — exact brute-force top-k (the correctness baseline;
+                    block-nested candidate generation, windowed rank)
+  * lsh_topk      — LSH-bucketed approximate top-k (the scale path:
+                    candidates only from matching hyperplane buckets)
+  * assign_nearest_centroid — broadcast-argmin assignment
+
+The exact variants are expressible in ANSI SQL and oracled by DuckDB;
+lsh_topk is checked rows-only + recall-vs-exact in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..operators.kernels import block_pairs, distance_expr
+
+
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """(src, dst, cos, rank): the k most cosine-similar neighbors per
+    src; ties by dst id. Exact — every pair evaluated once via the
+    block-nested self-join, then mirrored."""
+    pairs = block_pairs(emb, id_col, vec_col, n_blocks)
+    half = pairs.select(
+        "src", "dst", distance_expr(F.col("vec_src"), F.col("vec_dst"), "cosine").alias("cos")
+    )
+    both = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cos")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Approximate top-k: candidates from hyperplane-LSH buckets only.
+    Recall vs cosine_topk is the quality metric (tested in pytest)."""
+    from ..pipeline.link import lsh_signatures
+
+    e = emb.select(F.col(id_col).alias("surface_id"), F.col(vec_col).alias("vec"))
+    sigs = lsh_signatures(e, dim, n_planes, n_bands, seed)
+    a = sigs.select("band", "sig", F.col("id").alias("src"))
+    b = sigs.select("band", "sig", F.col("id").alias("dst"))
+    cand = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("vec_a"))
+    vb = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vec_b"))
+    scored = (
+        cand.join(va, "src")
+        .join(vb, "dst")
+        .select("src", "dst", distance_expr(F.col("vec_a"), F.col("vec_b"), "cosine").alias("cos"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def assign_nearest_centroid(
+    emb: DataFrame,
+    centroids: DataFrame,
+    kernel: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, centroid_id, dist): nearest centroid per point — broadcast
+    join + min_by (ties -> lowest centroid_id, reference argmin scan
+    semantics, Unsupervised.java:494-536)."""
+    c = centroids.select(
+        F.col("centroid_id"), F.col("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(c)).select(
+        F.col(id_col).alias("id"),
+        "centroid_id",
+        F.round(distance_expr(F.col(vec_col), F.col("cvec"), kernel), 6).alias("dist"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "centroid_id", "dist")
+    )

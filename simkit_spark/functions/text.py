@@ -1,0 +1,83 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All built-in Spark SQL expressions (whole-stage
+codegen); every operator has an exact ANSI-SQL twin for the DuckDB
+oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword sets for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    t = F.trim(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def add_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select("doc_id", token_count(F.col(text_col)).alias("n_tokens"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality signals: token count, mean token length,
+    alpha-char ratio, stopword ratio — the standard pretraining-corpus
+    quality filters, as pure column expressions."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS["en"])))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(n_stop.cast("double") / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            (n_chars - n_tok + 1).cast("double") / F.greatest(n_tok, F.lit(1)), 6
+        ).alias("mean_token_len"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language heuristic over {en, de, fr}; ties resolve
+    en > de > fr (deterministic CASE order, mirrored in the oracle)."""
+    toks = tokens(F.col(text_col))
+
+    def _in(ws):
+        # nb: single-arg lambda; a second default arg would make
+        # F.filter pass the element index into it
+        return lambda x: x.isin(*ws)
+
+    scores = {lang: F.size(F.filter(toks, _in(ws))) for lang, ws in STOPWORDS.items()}
+    pred = (
+        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), F.lit("en"))
+        .when(scores["de"] >= scores["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalization fingerprint: lowercase, collapse whitespace, md5 —
+    the exact-dedup key (rolling-hash document fingerprinting)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def add_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))

@@ -1,0 +1,64 @@
+"""Structured Streaming ingest for the KG pipeline.
+
+The reference has no streaming surface (SURVEY.md §2.10); this module
+adds the incremental path a production corpus needs: documents arrive
+as a stream, mention detection + raw-triple extraction run per
+micro-batch (same vectorized operators as batch — the functions are
+stream-safe because they are stateless maps), and per-entity mention
+counts maintain running state with watermarked event time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .pipeline.extract import detect_mentions, explode_spans, extract_raw_triples
+
+
+def stream_documents(spark, path: str, schema: str, max_files: int = 10) -> DataFrame:
+    """File-source stream of documents parquet drops."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def streaming_mentions(doc_stream: DataFrame) -> DataFrame:
+    """Stateless per-batch mention detection — identical operator as
+    batch (mapInPandas is streaming-safe)."""
+    return detect_mentions(explode_spans(doc_stream))
+
+
+def streaming_raw_triples(doc_stream: DataFrame) -> DataFrame:
+    return extract_raw_triples(explode_spans(doc_stream))
+
+
+def mention_counts(
+    doc_stream: DataFrame, ts_col: str = "ingest_ts", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Windowed running mention counts per surface (10-min tumbling
+    windows, late data bounded by the watermark)."""
+    m = streaming_mentions(doc_stream.withColumn(ts_col, F.current_timestamp()))
+    m = m.withColumn(ts_col, F.current_timestamp())
+    return (
+        m.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "10 minutes"), "surface")
+        .count()
+    )
+
+
+def run_stream_to_table(stream_df: DataFrame, out_path: str, checkpoint: str, once: bool = True):
+    """Sink a streaming DF to parquet with checkpointing; once=True
+    processes all available input then stops (test harness mode)."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        return q
+    return writer.start()

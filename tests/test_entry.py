@@ -1,0 +1,50 @@
+"""Contract tests for __spark_entry__: every oracled query has a
+matching queries() entry, entry() smoke at sf0.001, and a sampled
+oracle cross-check (the full sweep runs via tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def test_oracle_keys_subset():
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(os_) >= 25
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"id", "cluster"}
+
+
+@pytest.mark.parametrize("name", ["token_count", "knn_graph", "exact_dedup"])
+def test_oracle_sample(spark, name):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    got = entry_mod.queries()[name](spark, SF).toPandas()
+    want = con.sql(entry_mod.oracle_sql()[name]).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want)
+    g = got.reindex(sorted(got.columns), axis=1).sort_values(sorted(got.columns)).reset_index(drop=True)
+    w = want.reindex(sorted(want.columns), axis=1).sort_values(sorted(want.columns)).reset_index(drop=True)
+    for c in g.columns:
+        if g[c].dtype.kind == "f":
+            assert (abs(g[c] - w[c]) < 1e-9).all(), c
+        else:
+            assert (g[c].astype(str) == w[c].astype(str)).all(), c

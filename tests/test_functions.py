@@ -1,0 +1,106 @@
+"""Unit tests for training-data operators: text analysis, dedup,
+similarity search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simkit_spark.functions.dedup import (
+    exact_dedup,
+    minhash_band_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from simkit_spark.functions.similarity import cosine_topk, lsh_topk
+from simkit_spark.functions.text import add_token_count, lang_id, quality_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The  Quick   Brown Fox jumps over the lazy dog"),  # normalized dup
+        (4, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (5, "der hund und die katze ist das haus und der baum"),
+        (6, "completely different content about spark engines"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in add_token_count(docs).collect()}
+    assert got[1] == 9
+    assert got[7] == 0
+
+
+def test_quality_features(spark, docs):
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert q[1]["stopword_ratio"] == pytest.approx(round(2 / 9, 6), abs=1e-6)
+    assert 0 <= q[1]["alpha_ratio"] <= 1
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[5] == "de"
+
+
+def test_exact_dedup(spark, docs):
+    d = exact_dedup(docs).collect()
+    by_keep = {r["keep_doc_id"]: r["n_dups"] for r in d}
+    # docs 1,2,3 collapse onto keeper 1
+    assert by_keep[1] == 3
+    assert by_keep[4] == 1
+
+
+def test_minhash_near_dup_found(spark, docs):
+    sigs = minhash_signatures(docs)
+    assert sigs.groupBy("doc_id").count().where(F.col("count") != 16).count() == 0
+    pairs = minhash_band_pairs(sigs)
+    got = {(r["src"], r["dst"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got  # exact dups always collide
+    jac = ngram_jaccard_pairs(docs, pairs)
+    jmap = {(r["src"], r["dst"]): r["jaccard"] for r in jac.collect()}
+    assert jmap[(1, 2)] == pytest.approx(1.0)
+    if (1, 4) in jmap:
+        assert 0.2 < jmap[(1, 4)] < 1.0
+
+
+def test_simhash_similarity(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sh[1] == sh[2] == sh[3]  # same token multiset after normalize
+
+    def hamm(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamm(sh[1], sh[4]) <= hamm(sh[1], sh[6])
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 16)
+    rows = [(i, (base[i % 20] + (0.01 * rng.randn(16) if i >= 20 else 0)).tolist()) for i in range(40)]
+    return spark.createDataFrame(rows, "id long, vec array<double>").cache()
+
+
+def test_cosine_topk_exact(spark, vecs):
+    top1 = cosine_topk(vecs, k=1, n_blocks=3)
+    got = {r["src"]: r["dst"] for r in top1.collect()}
+    # each perturbed copy's nearest neighbor is its original (and vice versa)
+    for i in range(20):
+        assert got[i + 20] == i
+        assert got[i] == i + 20
+
+
+def test_lsh_topk_recall(spark, vecs):
+    exact = {(r["src"], r["dst"]) for r in cosine_topk(vecs, k=1, n_blocks=3).collect()}
+    approx = {(r["src"], r["dst"]) for r in lsh_topk(vecs, k=1, dim=16, n_planes=8, n_bands=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
