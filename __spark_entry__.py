@@ -230,6 +230,83 @@ def _neardup_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, pairs)
 
 
+def _laplacian_ad(spark, sf_dir):
+    from simkit_spark.operators.graphs import knn_edges
+    from simkit_spark.operators.laplacian import laplacian
+
+    d = _dist(spark, sf_dir, "euclidean", directed=True)
+    return laplacian(knn_edges(d, KNN_K), "ad").select(
+        "src", "dst", F.round("weight", 6).alias("weight")
+    )
+
+
+def _silhouette_labels(spark, sf_dir):
+    from simkit_spark.operators.kmeans import silhouette_points
+
+    assigned = _emb(spark, sf_dir).select("id", "vec", F.col("label").alias("cluster"))
+    return silhouette_points(assigned).select(
+        "id",
+        F.round("a", 6).alias("a"),
+        F.round("b", 6).alias("b"),
+        F.round("s", 6).alias("s"),
+    )
+
+
+def _ari_labels(spark, sf_dir):
+    from simkit_spark.functions.similarity import assign_nearest_centroid
+    from simkit_spark.operators.kmeans import ari_df
+
+    emb = _emb(spark, sf_dir)
+    cents = (
+        emb.orderBy("id")
+        .limit(3)
+        .select(F.col("id").alias("centroid_id"), F.col("vec").alias("cvec"))
+    )
+    pred = assign_nearest_centroid(emb, cents)
+    labels = emb.select("id", F.col("label").alias("true")).join(
+        pred.select("id", F.col("centroid_id").alias("pred")), "id"
+    )
+    return ari_df(labels.select("true", "pred")).select(F.round("ari", 6).alias("ari"))
+
+
+def _ivf_topk(spark, sf_dir):
+    from simkit_spark.functions.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), k=TOPK, n_cells=8, n_probe=2).select(
+        "src", "dst", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _embedding_neardup(spark, sf_dir):
+    from simkit_spark.functions.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_emb(spark, sf_dir), tau=0.35)
+
+
+def _events_sessionize(spark, sf_dir):
+    # 30-min-gap sessionization; timestamps truncated to whole seconds
+    # before differencing (timezone-free, NTZ-safe on both engines)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("prev_ts", F.lag("ts_s").over(w))
+    gap = F.expr("timestampdiff(SECOND, prev_ts, ts_s)")
+    return (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_no", F.sum("new_sess").over(w).cast("long"))
+        .select("event_id", "user_id", "session_no")
+    )
+
+
+def _bpe_tokens(spark, sf_dir):
+    from simkit_spark.functions.text import add_bpe_token_count
+
+    return add_bpe_token_count(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
 def _pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -300,6 +377,42 @@ def _connected_components_eps(spark, sf_dir):
     return connected_components(edges, nodes=emb.select("id"), max_iter=30)
 
 
+def _dbscan(spark, sf_dir):
+    from simkit_spark.operators.dbscan import dbscan
+
+    return dbscan(_emb(spark, sf_dir), eps=EPS, min_pts=4)
+
+
+def _eigengap(spark, sf_dir):
+    from simkit_spark.operators.eigen import eigengap_k, eigensolve
+    from simkit_spark.operators.graphs import mutual_knn_edges, symmetrize
+    from simkit_spark.operators.laplacian import laplacian
+
+    d = _dist(spark, sf_dir, "euclidean", directed=True)
+    lap = laplacian(symmetrize(mutual_knn_edges(d, TOPK)), "sym")
+    _, lam = eigensolve(lap, k=8, max_iter=30, tol=1e-6, seed=42)
+    k_opt = eigengap_k(lam)
+    return spark.createDataFrame([(int(k_opt),)], "k_opt int")
+
+
+def _lsh_topk(spark, sf_dir):
+    from simkit_spark.functions.similarity import lsh_topk
+
+    return lsh_topk(_emb(spark, sf_dir), k=TOPK, dim=EMB_DIM)
+
+
+def _media_features(spark, sf_dir):
+    from simkit_spark.corpus import synthesize
+    from simkit_spark.functions.multimodal import extract_media_features, fetch_media
+    from simkit_spark.pipeline.extract import explode_spans
+
+    docs, _ = synthesize(spark, n_docs=200, n_entities=50, seed=42)
+    media = fetch_media(explode_spans(docs).where(F.col("kind") != "text"))
+    return extract_media_features(media).select(
+        "doc_id", "span_idx", "kind", F.col("feat")[0].alias("f0")
+    )
+
+
 def _kg_triples(spark, sf_dir):
     """Flagship KG pipeline on the deterministic synthetic corpus
     (sf-independent size; the interleaved corpus is generated, not read
@@ -336,6 +449,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees_knn": _degrees_knn,
         "laplacian_sym": _laplacian("sym"),
         "laplacian_rw": _laplacian("rw"),
+        "laplacian_ad": _laplacian_ad,
+        "silhouette_labels": _silhouette_labels,
+        "ari_labels": _ari_labels,
+        "ivf_topk": _ivf_topk,
+        "embedding_neardup": _embedding_neardup,
+        "events_sessionize": _events_sessionize,
+        "bpe_tokens": _bpe_tokens,
         "cosine_topk": _cosine_topk,
         "nearest_centroid": _nearest_centroid,
         "label_encode": _label_encode,
@@ -355,6 +475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _kmeans_clusters,
         "connected_components_eps": _connected_components_eps,
         "kg_triples": _kg_triples,
+        "dbscan": _dbscan,
+        "eigengap": _eigengap,
+        "lsh_topk": _lsh_topk,
+        "media_features": _media_features,
     }
 
 
@@ -553,6 +677,87 @@ SELECT c.src, c.dst,
         / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 6) AS jaccard
 FROM cand c JOIN shs sa ON c.src = sa.doc_id JOIN shs sb ON c.dst = sb.doc_id"""
 
+_LAP_AD_SQL = (
+    _KNN_ADJ
+    + """,
+loc AS (
+  SELECT a.src AS id, sum(dd2.degree) / max(ds.degree) AS d_local
+  FROM adj a JOIN deg dd2 ON a.dst = dd2.id JOIN deg ds ON a.src = ds.id
+  WHERE a.weight > 0
+  GROUP BY a.src),
+fct AS (SELECT id, CASE WHEN d_local > 0 THEN 1.0/sqrt(d_local) ELSE 0.0 END AS f FROM loc)
+SELECT a.src, a.dst,
+       round(a.weight * coalesce(fs.f, 0.0) * coalesce(fd.f, 0.0), 6) AS weight
+FROM adj a LEFT JOIN fct fs ON a.src = fs.id LEFT JOIN fct fd ON a.dst = fd.id"""
+)
+
+_SILHOUETTE_SQL = f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+p AS (SELECT a.id, a.label AS cluster, b.label AS cluster2,
+             {_DIST_EXPR['euclidean'].replace('va', 'a.vec').replace('vb', 'b.vec')} AS dist
+      FROM v a JOIN v b ON a.id <> b.id),
+pc AS (SELECT id, cluster, cluster2, avg(dist) AS mean_d FROM p GROUP BY 1, 2, 3),
+ai AS (SELECT id, mean_d AS a FROM pc WHERE cluster = cluster2),
+bi AS (SELECT id, min(mean_d) AS b FROM pc WHERE cluster <> cluster2 GROUP BY id)
+SELECT v.id, round(coalesce(ai.a, 0.0), 6) AS a, round(bi.b, 6) AS b,
+  round(CASE WHEN bi.b IS NULL THEN 0.0
+             ELSE (bi.b - coalesce(ai.a, 0.0)) / greatest(coalesce(ai.a, 0.0), bi.b) END, 6) AS s
+FROM v LEFT JOIN ai ON v.id = ai.id LEFT JOIN bi ON v.id = bi.id"""
+
+_ARI_SQL = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+c AS (SELECT id AS centroid_id, vec AS cvec FROM v ORDER BY id LIMIT 3),
+scored AS (
+  SELECT v.id, v.label, c.centroid_id,
+         round(sqrt(list_reduce(list_transform(list_zip(v.vec, c.cvec), x -> (x[1]-x[2])*(x[1]-x[2])), (p,q) -> p+q)), 6) AS dist
+  FROM v CROSS JOIN c),
+rk AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist ASC, centroid_id ASC) AS rn FROM scored),
+lab AS (SELECT label AS t, centroid_id AS p FROM rk WHERE rn = 1),
+cont AS (SELECT t, p, count(*) AS c FROM lab GROUP BY 1, 2),
+tt AS (SELECT sum(c*(c-1)/2.0) AS sum_ij, sum(c) AS n FROM cont),
+sa AS (SELECT sum(ca*(ca-1)/2.0) AS sum_a FROM (SELECT sum(c) AS ca FROM cont GROUP BY t)),
+sb AS (SELECT sum(cb*(cb-1)/2.0) AS sum_b FROM (SELECT sum(c) AS cb FROM cont GROUP BY p))
+SELECT round(CASE WHEN (sum_a + sum_b)/2.0 = sum_a*sum_b/(n*(n-1)/2.0) THEN 0.0
+                  ELSE (sum_ij - sum_a*sum_b/(n*(n-1)/2.0))
+                       / ((sum_a + sum_b)/2.0 - sum_a*sum_b/(n*(n-1)/2.0)) END, 6) AS ari
+FROM tt, sa, sb"""
+
+_IVF_SQL = f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+c AS (SELECT id AS cell_id, vec AS cvec FROM v ORDER BY id LIMIT 8),
+scored AS (
+  SELECT v.id, v.vec, c.cell_id,
+         {_DIST_EXPR['euclidean'].replace('va', 'v.vec').replace('vb', 'c.cvec')} AS cdist
+  FROM v CROSS JOIN c),
+rk AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY cdist ASC, cell_id ASC) AS crank FROM scored),
+lists AS (SELECT cell_id, id AS dst, vec AS vec_b FROM rk WHERE crank = 1),
+probes AS (SELECT id AS src, vec AS vec_a, cell_id FROM rk WHERE crank <= 2),
+cand AS (SELECT src, vec_a AS va, dst, vec_b AS vb FROM probes JOIN lists USING (cell_id) WHERE src <> dst),
+res AS (SELECT src, dst, {_DIST_EXPR['cosine']} AS cos FROM cand),
+rk2 AS (SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank FROM res)
+SELECT src, dst, round(cos, 6) AS cos, rank FROM rk2 WHERE rank <= {TOPK}"""
+
+_EMB_NEARDUP_SQL = (
+    _PAIR_BASE
+    + f"""SELECT src, dst, round(cos, 6) AS cos
+FROM (SELECT src, dst, {_DIST_EXPR['cosine']} AS cos FROM pairs) WHERE cos >= 0.35"""
+)
+
+_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         lag(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT event_id, user_id,
+  sum(CASE WHEN prev IS NULL OR date_diff('second', prev, date_trunc('second', ts)) > 1800 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+FROM e"""
+
+_BPE_SQL = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]'))::BIGINT AS n_bpe_tokens
+FROM documents"""
+
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 2) AS sum_qty,
@@ -594,6 +799,13 @@ def oracle_sql() -> dict[str, str]:
         "degrees_knn": _DEGREES_SQL,
         "laplacian_sym": _LAP_SYM_SQL,
         "laplacian_rw": _LAP_RW_SQL,
+        "laplacian_ad": _LAP_AD_SQL,
+        "silhouette_labels": _SILHOUETTE_SQL,
+        "ari_labels": _ARI_SQL,
+        "ivf_topk": _IVF_SQL,
+        "embedding_neardup": _EMB_NEARDUP_SQL,
+        "events_sessionize": _SESSIONIZE_SQL,
+        "bpe_tokens": _BPE_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
         "nearest_centroid": _NEAREST_CENTROID_SQL,
         "label_encode": "SELECT doc_id, lang, (dense_rank() OVER (ORDER BY lang) - 1)::BIGINT AS lang_code FROM documents",

@@ -81,6 +81,80 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    Coarse quantizer = the ``n_cells`` lowest-id vectors (deterministic,
+    so the whole operator is SQL-oracleable — a trained quantizer slots
+    in without changing the plan shape). Every vector is assigned to its
+    nearest cell (euclidean, ties -> lowest cell id); each query probes
+    its ``n_probe`` nearest cells and reranks exactly (cosine) within
+    the probed inverted lists. The cell assignment is the partition key:
+    at scale the inverted lists are co-located and only ``n_probe/
+    n_cells`` of the corpus is touched per query.
+    """
+    pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cells = pts.orderBy("id").limit(n_cells).select(
+        F.col("id").alias("cell_id"), F.col("vec").alias("cvec")
+    )
+    scored = pts.crossJoin(F.broadcast(cells)).select(
+        "id",
+        "vec",
+        "cell_id",
+        distance_expr(F.col("vec"), F.col("cvec"), "euclidean").alias("cdist"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cdist").asc(), F.col("cell_id").asc())
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    lists = ranked.where(F.col("crank") == 1).select(
+        F.col("cell_id"), F.col("id").alias("dst"), F.col("vec").alias("vec_b")
+    )
+    probes = ranked.where(F.col("crank") <= n_probe).select(
+        F.col("id").alias("src"), F.col("vec").alias("vec_a"), "cell_id"
+    )
+    cand = probes.join(lists, "cell_id").where(F.col("src") != F.col("dst"))
+    rescored = cand.select(
+        "src", "dst", distance_expr(F.col("vec_a"), F.col("vec_b"), "cosine").alias("cos")
+    )
+    w2 = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (src, dst, cos) with
+    cos >= tau, src < dst — the embedding-space analogue of MinHash
+    near-dup (exact here; swap block_pairs for LSH candidate_pairs at
+    scale, same downstream)."""
+    pairs = block_pairs(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    )
+    return (
+        pairs.select(
+            "src",
+            "dst",
+            distance_expr(F.col("vec_src"), F.col("vec_dst"), "cosine").alias("cos"),
+        )
+        .where(F.col("cos") >= tau)
+        .select("src", "dst", F.round("cos", 6).alias("cos"))
+    )
+
+
 def assign_nearest_centroid(
     emb: DataFrame,
     centroids: DataFrame,

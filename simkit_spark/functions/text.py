@@ -73,6 +73,20 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", pred.alias("lang_pred"))
 
 
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^\\sa-zA-Z0-9]"
+
+
+def add_bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish subword-boundary token count: letter runs, digit runs and
+    single punctuation marks each count as one token (the pre-tokenizer
+    split every byte-pair encoder starts from). Pure regexp_count —
+    JVM-side, codegen'd."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Normalization fingerprint: lowercase, collapse whitespace, md5 —
     the exact-dedup key (rolling-hash document fingerprinting)."""

@@ -124,14 +124,13 @@ def kmeans(
     return assigned, centroids
 
 
-def silhouette(assigned: DataFrame, kernel: str = "euclidean") -> float:
-    """Mean silhouette coefficient; pairwise terms via a self-join.
+def silhouette_points(assigned: DataFrame, kernel: str = "euclidean") -> DataFrame:
+    """Per-point silhouette (id, a, b, s) via a self-join.
 
     a(i) = mean intra-cluster distance (Unsupervised.java:722-734),
     b(i) = min over other clusters of mean distance (:746-762),
-    s(i) = (b-a)/max(a,b) averaged (:765-799). Singleton clusters get
-    a(i)=0.
-    """
+    s(i) = (b-a)/max(a,b) (:765-799). Singleton clusters get a(i)=0;
+    single-cluster inputs get s(i)=0 (b undefined)."""
     a = assigned.select("id", "vec", "cluster")
     b = assigned.select(
         F.col("id").alias("id2"), F.col("vec").alias("vec2"), F.col("cluster").alias("cluster2")
@@ -151,22 +150,62 @@ def silhouette(assigned: DataFrame, kernel: str = "euclidean") -> float:
         .groupBy("id")
         .agg(F.min("mean_d").alias("b"))
     )
-    s = (
+    return (
         assigned.select("id")
         .join(a_i, "id", "left")
         .join(b_i, "id", "left")
         .select(
+            "id",
+            F.coalesce(F.col("a"), F.lit(0.0)).alias("a"),
+            "b",
             F.when(F.col("b").isNull(), F.lit(0.0))
             .otherwise(
                 (F.col("b") - F.coalesce(F.col("a"), F.lit(0.0)))
                 / F.greatest(F.coalesce(F.col("a"), F.lit(0.0)), F.col("b"))
             )
-            .alias("s")
+            .alias("s"),
         )
-        .agg(F.avg("s").alias("sil"))
-        .collect()[0]["sil"]
     )
+
+
+def silhouette(assigned: DataFrame, kernel: str = "euclidean") -> float:
+    """Mean silhouette coefficient (Unsupervised.java:765-799)."""
+    s = silhouette_points(assigned, kernel).agg(F.avg("s").alias("sil")).collect()[0]["sil"]
     return float(s)
+
+
+def ari_df(labels: DataFrame) -> DataFrame:
+    """ARI of DataFrame(true, pred) computed entirely as DataFrame
+    aggregations (no driver combinatorics) -> single row (ari).
+
+    Contingency counts via one groupBy; the comb(x,2) sums are plain
+    SUM(c*(c-1)/2) over the (tiny) contingency table — the same shape as
+    the reference's driver-side tally (SimKitProcedures.java:693-737)
+    but shuffle-partitioned, so it holds at any cardinality."""
+    cont = labels.groupBy("true", "pred").agg(F.count(F.lit(1)).alias("c"))
+    terms = cont.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("sum_ij"),
+        F.sum("c").alias("n"),
+    )
+    sum_a = (
+        cont.groupBy("true")
+        .agg(F.sum("c").alias("ca"))
+        .agg(F.sum(F.col("ca") * (F.col("ca") - 1) / 2).alias("sum_a"))
+    )
+    sum_b = (
+        cont.groupBy("pred")
+        .agg(F.sum("c").alias("cb"))
+        .agg(F.sum(F.col("cb") * (F.col("cb") - 1) / 2).alias("sum_b"))
+    )
+    joined = terms.crossJoin(sum_a).crossJoin(sum_b)
+    total = F.col("n") * (F.col("n") - 1) / 2
+    expected = F.col("sum_a") * F.col("sum_b") / total
+    max_index = (F.col("sum_a") + F.col("sum_b")) / 2
+    return joined.select(
+        F.when(max_index == expected, F.lit(0.0))
+        .otherwise((F.col("sum_ij") - expected) / (max_index - expected))
+        .alias("ari")
+    )
 
 
 def adjusted_rand_index(labels: DataFrame) -> float:
