@@ -1,12 +1,17 @@
-"""Connected components via iterative min-label propagation
-(hash-to-min) — the canonicalization merge of entity clusters
+"""Connected components via min-label propagation with pointer
+doubling — the canonicalization merge of entity clusters
 (BASELINE.json north_star). No GraphFrames dependency.
 
-Each round: label(v) <- min(label(v), min over neighbors label(u));
-converges in O(diameter) rounds (similarity clusters are shallow), with
-lineage broken per round via localCheckpoint. The reference has no CC
-operator (its merge is implicit in dense k-means cluster ids); this is
-the scale-path replacement.
+Each round does two label updates:
+  1. neighbor-min:    label(v) <- min(label(v), min_{u in N(v)} label(u))
+  2. pointer double:  label(v) <- label(label(v))
+Plain propagation alone needs O(diameter) rounds — a 10^6-long alias
+chain would need 10^6 shuffles; the doubling step halves every label
+chain each round, giving O(log diameter) convergence (the hash-to-min /
+pointer-jumping bound), with lineage broken per round via
+localCheckpoint. The reference has no CC operator (its merge is
+implicit in dense k-means cluster ids); this is the scale-path
+replacement.
 """
 
 from __future__ import annotations
@@ -34,14 +39,19 @@ def connected_components(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer doubling: component <- component's own label
+        parent = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("grand")
+        )
         new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-            )
+            stepped.join(parent, "component", "left")
+            .select("id", F.coalesce("grand", "component").alias("component"))
             .localCheckpoint()
         )
         changed = (

@@ -19,6 +19,14 @@ def test_chain_converges(spark):
     assert {r["component"] for r in labels} == {0}
 
 
+def test_chain_converges_in_log_rounds(spark):
+    # pointer doubling: a 64-node path must resolve well under 64 rounds
+    n = 64
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
+    labels = connected_components(edges, max_iter=12).collect()
+    assert {r["component"] for r in labels} == {0}
+
+
 def test_isolated_nodes_kept(spark):
     edges = spark.createDataFrame([(0, 1)], "src long, dst long")
     nodes = spark.createDataFrame([(0,), (1,), (9,)], "id long")
