@@ -140,7 +140,18 @@ def pairwise_distances(
         "src", "dst", distance_expr(F.col("vec_src"), F.col("vec_dst"), kernel).alias("dist")
     )
     if directed:
-        edges = edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "dist")
-        )
+        # emit both orientations from ONE kernel evaluation (a union of
+        # the swapped half would re-run the self-join and the kernel)
+        edges = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst"), F.col("dist")),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        F.col("dist"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst", "e.dist")
     return edges
