@@ -37,6 +37,11 @@ HEADLINE = [
     "quality_features",
     "pricing_summary",
     "events_hourly",
+    "ivf_topk",
+    "embedding_neardup",
+    "events_sessionize",
+    "bpe_tokens",
+    "dbscan",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "5000"))

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..operators.kernels import block_pairs, distance_expr
+from ..operators.kernels import distance_expr, pairwise_distances
 
 
 def cosine_topk(
@@ -26,14 +26,10 @@ def cosine_topk(
 ) -> DataFrame:
     """(src, dst, cos, rank): the k most cosine-similar neighbors per
     src; ties by dst id. Exact — every pair evaluated once via the
-    block-nested self-join, then mirrored."""
-    pairs = block_pairs(emb, id_col, vec_col, n_blocks)
-    half = pairs.select(
-        "src", "dst", distance_expr(F.col("vec_src"), F.col("vec_dst"), "cosine").alias("cos")
-    )
-    both = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cos")
-    )
+    numpy block kernel, both orientations emitted."""
+    both = pairwise_distances(
+        emb, "cosine", id_col=id_col, vec_col=vec_col, n_blocks=n_blocks, directed=True
+    ).withColumnRenamed("dist", "cos")
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
     return (
         both.withColumn("rank", F.row_number().over(w))
@@ -139,17 +135,13 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (src, dst, cos) with
     cos >= tau, src < dst — the embedding-space analogue of MinHash
-    near-dup (exact here; swap block_pairs for LSH candidate_pairs at
-    scale, same downstream)."""
-    pairs = block_pairs(
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    )
+    near-dup (exact here; swap the block kernel for LSH candidate_pairs
+    at scale, same downstream)."""
     return (
-        pairs.select(
-            "src",
-            "dst",
-            distance_expr(F.col("vec_src"), F.col("vec_dst"), "cosine").alias("cos"),
+        pairwise_distances(
+            emb, "cosine", id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
         )
+        .withColumnRenamed("dist", "cos")
         .where(F.col("cos") >= tau)
         .select("src", "dst", F.round("cos", 6).alias("cos"))
     )

@@ -25,6 +25,10 @@ hot path. Kernels:
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 KERNELS = ("euclidean", "manhattan", "canberra", "cosine", "jaccard", "bray_curtis")
@@ -121,6 +125,118 @@ def block_pairs(
     )
 
 
+def np_kernel(a: np.ndarray, b: np.ndarray, kernel: str) -> np.ndarray:
+    """Vectorized (m,d)x(n,d) -> (m,n) kernel matrix; same zero-guard
+    semantics as distance_expr. Differences are formed explicitly (no
+    a^2+b^2-2ab shortcut) so values agree with the fold-based SQL path
+    to the last few ulps."""
+    if kernel == "euclidean":
+        d = a[:, None, :] - b[None, :, :]
+        return np.sqrt((d * d).sum(-1))
+    if kernel == "manhattan":
+        return np.abs(a[:, None, :] - b[None, :, :]).sum(-1)
+    if kernel == "canberra":
+        num = np.abs(a[:, None, :] - b[None, :, :])
+        den = np.abs(a)[:, None, :] + np.abs(b)[None, :, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(den == 0.0, 0.0, num / den)
+        return t.sum(-1)
+    if kernel == "cosine":
+        dot = a @ b.T
+        na = np.sqrt((a * a).sum(-1))
+        nb = np.sqrt((b * b).sum(-1))
+        den = na[:, None] * nb[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where((na[:, None] == 0.0) | (nb[None, :] == 0.0), 0.0, dot / den)
+    if kernel == "jaccard":
+        smin = np.minimum(a[:, None, :], b[None, :, :]).sum(-1)
+        smax = np.maximum(a[:, None, :], b[None, :, :]).sum(-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(smax == 0.0, 0.0, smin / smax)
+    if kernel == "bray_curtis":
+        num = np.abs(a[:, None, :] - b[None, :, :]).sum(-1)
+        den = (a[:, None, :] + b[None, :, :]).sum(-1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(den == 0.0, 0.0, num / den)
+    raise ValueError(f"unknown kernel {kernel!r}; one of {KERNELS}")
+
+
+def _pairwise_numpy(
+    df: DataFrame,
+    kernel: str,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int,
+    directed: bool,
+    chunk: int = 2048,
+) -> DataFrame:
+    """Block-matrix pairwise kernel: rows are fanned to their
+    B*(B+1)/2 block-pairs and each group computes its kernel *matrix*
+    with batched numpy inside applyInPandas. Only (id, vec, blk) rows
+    move — the quadratic pair space exists solely as numpy blocks inside
+    tasks, never as shuffled wide rows. This is the hot path
+    (SURVEY.md §2.3: cdist-style block kernel); the SQL expression path
+    below remains as the bit-exact oracle twin."""
+    spark = df.sparkSession
+    b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), b.alias("blk"))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "pa int, pb int"
+    )
+    fan = tagged.join(
+        F.broadcast(pairs), (F.col("blk") == F.col("pa")) | (F.col("blk") == F.col("pb"))
+    )
+
+    def kfn(key, pdf):
+        pa, pb = key
+        out = []
+
+        def emit(src, dst, dist):
+            if directed:
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "src": np.concatenate([src, dst]),
+                            "dst": np.concatenate([dst, src]),
+                            "dist": np.concatenate([dist, dist]),
+                        }
+                    )
+                )
+            else:
+                lo = np.minimum(src, dst)
+                hi = np.maximum(src, dst)
+                out.append(pd.DataFrame({"src": lo, "dst": hi, "dist": dist}))
+
+        if pa == pb:
+            sub = pdf[pdf["blk"] == pa]
+            ids = sub["id"].to_numpy()
+            v = np.array(sub["vec"].tolist(), dtype=np.float64)
+            for lo in range(0, len(ids), chunk):
+                a = v[lo : lo + chunk]
+                d = np_kernel(a, v, kernel)
+                iu, ju = np.nonzero(ids[lo : lo + chunk, None] < ids[None, :])
+                emit(ids[lo + iu], ids[ju], d[iu, ju])
+        else:
+            asub = pdf[pdf["blk"] == pa]
+            bsub = pdf[pdf["blk"] == pb]
+            aids = asub["id"].to_numpy()
+            bids = bsub["id"].to_numpy()
+            if len(aids) and len(bids):
+                bv = np.array(bsub["vec"].tolist(), dtype=np.float64)
+                av = np.array(asub["vec"].tolist(), dtype=np.float64)
+                for lo in range(0, len(aids), chunk):
+                    d = np_kernel(av[lo : lo + chunk], bv, kernel)
+                    ii, jj = np.meshgrid(
+                        np.arange(d.shape[0]), np.arange(d.shape[1]), indexing="ij"
+                    )
+                    emit(aids[lo + ii.ravel()], bids[jj.ravel()], d.ravel())
+        if not out:
+            return pd.DataFrame({"src": [], "dst": [], "dist": []})
+        return pd.concat(out, ignore_index=True)
+
+    return fan.groupBy("pa", "pb").applyInPandas(kfn, "src long, dst long, dist double")
+
+
 def pairwise_distances(
     df: DataFrame,
     kernel: str = "euclidean",
@@ -128,13 +244,20 @@ def pairwise_distances(
     vec_col: str = "vec",
     n_blocks: int = 8,
     directed: bool = False,
+    impl: str = "numpy",
 ) -> DataFrame:
     """Exact all-pairs kernel evaluation -> (src, dst, dist) edge list.
 
     Canonical orientation src < dst (reference mirrors the upper
-    triangle, DistanceMeasureNodes.java:17-28); ``directed=True`` unions
-    the swapped half for per-row window operators (kNN, sigmas).
+    triangle, DistanceMeasureNodes.java:17-28); ``directed=True`` emits
+    both orientations for per-row window operators (kNN, sigmas).
+
+    impl="numpy" (default): Arrow-batched block kernel (fast path);
+    impl="sql": pure Spark SQL expressions (bit-exact wrt a left-fold
+    oracle; used where bitwise parity matters more than speed).
     """
+    if impl == "numpy":
+        return _pairwise_numpy(df, kernel, id_col, vec_col, n_blocks, directed)
     pairs = block_pairs(df, id_col, vec_col, n_blocks)
     edges = pairs.select(
         "src", "dst", distance_expr(F.col("vec_src"), F.col("vec_dst"), kernel).alias("dist")
