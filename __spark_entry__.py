@@ -49,7 +49,7 @@ def _dist(spark: SparkSession, sf_dir: str, kernel: str, directed: bool = False)
 # --------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spectral clustering of the sf0.001 embeddings."""
-    from simkit_spark.operators.eigen import eigensolve
+    from simkit_spark.operators.eigen import eigensolve_auto
     from simkit_spark.operators.graphs import mutual_knn_edges, symmetrize
     from simkit_spark.operators.kernels import pairwise_distances
     from simkit_spark.operators.kmeans import kmeans
@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
     emb = _emb(spark, "/root/testdata/sf0.001")
     dist = pairwise_distances(emb, "euclidean", n_blocks=4, directed=True)
     lap = laplacian(symmetrize(mutual_knn_edges(dist, 15)), "sym")
-    x, _ = eigensolve(lap, k=3, max_iter=40, tol=1e-7, seed=42)
+    x, _ = eigensolve_auto(lap, k=3, max_iter=40, tol=1e-7, seed=42)
     assigned, _ = kmeans(x, k=3, max_iter=20, seed=42)
     return assigned.select("id", F.col("cluster").cast("long").alias("cluster"))
 
@@ -351,13 +351,13 @@ def _events_hourly(spark, sf_dir):
 
 # ---- non-SQL-expressible (rows-only driver check; numpy-verified in tests/)
 def _spectral_embedding(spark, sf_dir):
-    from simkit_spark.operators.eigen import eigensolve
+    from simkit_spark.operators.eigen import eigensolve_auto
     from simkit_spark.operators.graphs import mutual_knn_edges, symmetrize
     from simkit_spark.operators.laplacian import laplacian
 
     d = _dist(spark, sf_dir, "euclidean", directed=True)
     lap = laplacian(symmetrize(mutual_knn_edges(d, TOPK)), "sym")
-    x, _ = eigensolve(lap, k=2, max_iter=30, tol=1e-6, seed=42)
+    x, _ = eigensolve_auto(lap, k=2, max_iter=30, tol=1e-6, seed=42)
     return x.select("id", F.col("vec")[0].alias("e0"), F.col("vec")[1].alias("e1"))
 
 
@@ -384,13 +384,13 @@ def _dbscan(spark, sf_dir):
 
 
 def _eigengap(spark, sf_dir):
-    from simkit_spark.operators.eigen import eigengap_k, eigensolve
+    from simkit_spark.operators.eigen import eigengap_k, eigensolve_auto
     from simkit_spark.operators.graphs import mutual_knn_edges, symmetrize
     from simkit_spark.operators.laplacian import laplacian
 
     d = _dist(spark, sf_dir, "euclidean", directed=True)
     lap = laplacian(symmetrize(mutual_knn_edges(d, TOPK)), "sym")
-    _, lam = eigensolve(lap, k=8, max_iter=30, tol=1e-6, seed=42)
+    _, lam = eigensolve_auto(lap, k=8, max_iter=30, tol=1e-6, seed=42)
     k_opt = eigengap_k(lam)
     return spark.createDataFrame([(int(k_opt),)], "k_opt int")
 
