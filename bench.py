@@ -44,7 +44,7 @@ HEADLINE = [
     "dbscan",
 ]
 
-KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "5000"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
 
 
 def time_query(fn, *args) -> float:

@@ -101,27 +101,32 @@ class TableStore:
     # -- lineage -------------------------------------------------------
     def _build_manifest(self, name: str, stage: str, inputs: dict) -> dict:
         df = self.read(name)
-        # content hash: order- and partitioning-independent (sum of row
-        # hashes); per-partition row counts recorded for skew audits.
-        agg = df.select(
-            F.count(F.lit(1)).alias("n"),
-            # bit_xor: order/partitioning-independent, overflow-free
-            F.bit_xor(F.xxhash64(*[F.col(c).cast("string") for c in df.columns])).alias("h"),
-        ).collect()[0]
-        per_part = [
-            (r["p"], r["c"])
-            for r in df.withColumn("p", F.spark_partition_id())
-            .groupBy("p")
-            .agg(F.count(F.lit(1)).alias("c"))
+        # ONE scan: per-partition (count, xor-of-row-hashes); the global
+        # content hash folds the partition hashes driver-side (xor is
+        # associative+commutative, so the result is order- and
+        # partitioning-independent); per-partition counts double as the
+        # skew audit.
+        per = (
+            df.groupBy(F.spark_partition_id().alias("p"))
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.bit_xor(
+                    F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+                ).alias("h"),
+            )
             .collect()
-        ]
+        )
+        n = sum(r["c"] for r in per)
+        h = 0
+        for r in per:
+            h ^= r["h"] or 0
         return {
             "table": name,
             "stage": stage,
-            "row_count": agg["n"],
-            "content_hash": str(agg["h"]),
+            "row_count": n,
+            "content_hash": str(h),
             "inputs": inputs,
-            "partitions": sorted(per_part),
+            "partitions": sorted((r["p"], r["c"]) for r in per),
             "ts": time.time(),
         }
 
