@@ -73,14 +73,22 @@ def build_vocab(n_entities: int = 120, seed: int = 42) -> list[dict]:
     """
     rng = random.Random(seed)
     vocab, seen_syl, bases = [], [], set()
+    misses = 0
     while len(vocab) < n_entities:
         sy = [rng.choice(_SYL) for _ in range(rng.randint(2, 3))]
         base = "".join(sy).capitalize()
         if base in bases or len(base) < 6:
+            misses += 1
             continue
-        if any(len(set(sy) & s2) > 1 for s2 in seen_syl):
+        # The syllable-overlap packing constraint saturates at a few
+        # hundred entities (there are only ~40 syllables); relax it once
+        # rejection stalls, keeping the hard no-substring constraint —
+        # otherwise this loop never terminates for large vocabularies.
+        if misses < 2000 and any(len(set(sy) & s2) > 1 for s2 in seen_syl):
+            misses += 1
             continue
         if any(base.lower() in b.lower() or b.lower() in base.lower() for b in bases):
+            misses += 1
             continue
         seen_syl.append(set(sy))
         bases.add(base)
@@ -118,15 +126,20 @@ def _doc_rng(seed: int, doc_id: str) -> random.Random:
     return random.Random(int.from_bytes(h[:8], "big"))
 
 
-def generate_doc(doc_id: str, vocab: list[dict], facts: list[tuple], seed: int):
+def generate_doc(
+    doc_id: str, vocab: list[dict], facts: list[tuple], seed: int, doc_sents: int = 5
+):
     """Pure per-doc generator -> (spans, truths).
 
     spans:  list of (kind, text, media_ref, offset)
     truths: list of (subj_canonical, pred, obj_canonical, span_idx)
+
+    doc_sents: upper bound on sentences per doc (draw is uniform in
+    [2, doc_sents]); raise it to benchmark realistic document lengths.
     """
     rng = _doc_rng(seed, doc_id)
     spans, truths, offset = [], [], 0
-    n_sent = rng.randint(2, 5)
+    n_sent = rng.randint(2, max(doc_sents, 2))
     for _ in range(n_sent):
         roll = rng.random()
         if roll < 0.18:
@@ -155,9 +168,11 @@ def synthesize(
     n_entities: int = 120,
     seed: int = 42,
     partitions: int | None = None,
+    doc_sents: int = 5,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (documents, truth_triples) DataFrames, both deterministic
-    for a given (n_docs, n_entities, seed) regardless of partitioning."""
+    for a given (n_docs, n_entities, seed, doc_sents) regardless of
+    partitioning."""
     vocab = build_vocab(n_entities, seed)
     facts = build_facts(vocab, seed=seed)
 
@@ -166,7 +181,7 @@ def synthesize(
             rows = []
             for i in pdf["id"]:
                 doc_id = f"doc{int(i):010d}"
-                spans, _ = generate_doc(doc_id, vocab, facts, seed)
+                spans, _ = generate_doc(doc_id, vocab, facts, seed, doc_sents)
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -183,7 +198,7 @@ def synthesize(
             rows = []
             for i in pdf["id"]:
                 doc_id = f"doc{int(i):010d}"
-                _, truths = generate_doc(doc_id, vocab, facts, seed)
+                _, truths = generate_doc(doc_id, vocab, facts, seed, doc_sents)
                 for (s, p, o, idx) in truths:
                     rows.append({"doc_id": doc_id, "subj": s, "pred": p, "obj": o, "span_idx": idx})
             yield pd.DataFrame(rows, columns=["doc_id", "subj", "pred", "obj", "span_idx"])

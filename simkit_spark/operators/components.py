@@ -19,6 +19,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def connected_components_auto(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+    local_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Size-dispatched CC: graphs whose edge list fits the driver
+    comfortably (a few tens of MB) collect and run union-find in one
+    job round-trip instead of ~2 jobs per propagation round; larger
+    graphs run the distributed loop. Same (id, component) contract,
+    component = min node id — mirrors eigensolve_auto's dispatch."""
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    nodes = nodes.localCheckpoint()
+    n_edges = edges.count()
+    if n_edges > local_threshold:
+        return connected_components(edges, nodes, max_iter)
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    ids = [r["id"] for r in nodes.collect()]
+    for i in ids:
+        parent[i] = i
+    for r in edges.select("src", "dst").collect():
+        a, b = find(r["src"]), find(r["dst"])
+        if a != b:
+            # union by min so the root IS the component id
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    rows = [(i, find(i)) for i in ids]
+    return edges.sparkSession.createDataFrame(rows, "id long, component long")
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,

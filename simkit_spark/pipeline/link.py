@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..operators.components import connected_components
+from ..operators.components import connected_components_auto
 
 
 def lsh_signatures(
@@ -144,7 +144,7 @@ def link_entities(
     """
     pairs = candidate_pairs(surfaces, dim, seed=seed)
     edges = similarity_edges(surfaces, pairs, tau)
-    comp = connected_components(
+    comp = connected_components_auto(
         edges.select("src", "dst"),
         nodes=surfaces.select(F.col("surface_id").alias("id")),
         max_iter=cc_max_iter,

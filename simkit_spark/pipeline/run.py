@@ -23,7 +23,10 @@ class PipelineConfig:
     dim: int = DEFAULT_DIM
     tau: float = 0.65
     n_salt: int = 16
-    doc_buckets: int = 16
+    # None -> spark.sql.shuffle.partitions at run time: bucket count must
+    # scale with the cluster or it CAPS stage parallelism (16 buckets on
+    # 32 cores leaves half the cluster idle)
+    doc_buckets: int | None = None
     use_salting: bool = True
 
 
@@ -38,6 +41,8 @@ def run_pipeline(
     entity_map, triples, nodes, edges, provenance} — each persisted as a
     stage table with a lineage manifest."""
     cfg = cfg or PipelineConfig()
+    if cfg.doc_buckets is None:
+        cfg.doc_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     fp = {"seed": cfg.seed, "dim": cfg.dim, "tau": cfg.tau}
 
     spans = explode_spans(documents)

@@ -30,35 +30,64 @@ from simkit_spark.catalog import TableStore
 from simkit_spark.corpus import synthesize
 from simkit_spark.pipeline.run import PipelineConfig, run_pipeline
 
-cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); doc_sents = int(sys.argv[3])
 spark = get_spark(f"scale{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8))
-docs, _ = synthesize(spark, n_docs=n_docs, n_entities=200, seed=42, partitions=max(cpus, 8))
+docs, _ = synthesize(spark, n_docs=n_docs, n_entities=200, seed=42, partitions=max(cpus, 8),
+                     doc_sents=doc_sents)
 docs = docs.localCheckpoint()  # materialize input so we time the pipeline, not the generator
+# warmup pass on a small slice: JIT-compiles the whole-stage codegen and
+# spawns/reuses the python workers so the timed passes measure the
+# pipeline, not cold-start (a cluster's executors are long-lived)
+warm, _ = synthesize(spark, n_docs=5000, n_entities=200, seed=42, partitions=max(cpus, 8))
 with tempfile.TemporaryDirectory() as wh:
-    t0 = time.time()
-    out = run_pipeline(spark, docs, TableStore(spark, wh), PipelineConfig(seed=42))
-    n = out["triples"].count()
-    dt = time.time() - t0
-print(json.dumps({{"cpus": cpus, "secs": dt, "docs": n_docs, "docs_per_sec": n_docs/dt, "triples": n}}))
+    run_pipeline(spark, warm, TableStore(spark, wh), PipelineConfig(seed=42))["triples"].count()
+best = None
+for rep in range(2):
+    with tempfile.TemporaryDirectory() as wh:
+        t0 = time.time()
+        out = run_pipeline(spark, docs, TableStore(spark, wh), PipelineConfig(seed=42))
+        n = out["triples"].count()
+        dt = time.time() - t0
+    if best is None or dt < best[0]:
+        best = (dt, n)
+print(json.dumps({{"cpus": cpus, "secs": best[0], "docs": n_docs,
+                   "docs_per_sec": n_docs/best[0], "triples": best[1]}}))
 spark.stop()
 """
 
 
-def run(cpus: int, n_docs: int) -> dict:
+def run(cpus: int, n_docs: int, doc_sents: int) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = RUNNER.format(repo=repo)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(n_docs)],
-        capture_output=True, text=True, timeout=1200, cwd=repo,
+        [sys.executable, "-c", code, str(cpus), str(n_docs), str(doc_sents)],
+        capture_output=True, text=True, timeout=2400, cwd=repo,
     )
+    if not out.stdout.strip():
+        raise RuntimeError(f"runner cpus={cpus} produced no output; stderr tail: "
+                           + "\n".join(out.stderr.strip().splitlines()[-10:]))
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
 
 def main():
-    n_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
-    lo = run(8, n_docs)
-    hi = run(32, n_docs)
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1000000"))
+    # realistic document length: the 2-5-sentence default is so cheap to
+    # extract that wall time is pure orchestration latency at any corpus
+    # size that fits a laptop — scaling is only measurable on real work
+    doc_sents = int(os.environ.get("SPARK_GRAFT_DOC_SENTS", "24"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    # interleave the two levels and keep the best run of each: the
+    # sandbox shares its box (observed ±50% wall variance on identical
+    # runs), so adjacent A/B pairs + min are the only defensible read
+    lo = hi = None
+    for _ in range(reps):
+        r8 = run(8, n_docs, doc_sents)
+        r32 = run(32, n_docs, doc_sents)
+        if lo is None or r8["secs"] < lo["secs"]:
+            lo = r8
+        if hi is None or r32["secs"] < hi["secs"]:
+            hi = r32
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
