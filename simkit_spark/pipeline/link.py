@@ -127,6 +127,86 @@ def similarity_edges(
     return joined.mapInPandas(cos, "src long, dst long, weight double")
 
 
+def link_entities_local(
+    surfaces: DataFrame,
+    mentions: DataFrame,
+    dim: int,
+    tau: float,
+    seed: int,
+) -> DataFrame:
+    """Driver-local twin of link_entities for small distinct-surface
+    sets (the common case: distinct surfaces ≈ entity vocabulary, not
+    corpus size). One collect + numpy LSH/cosine/union-find instead of
+    ~15 driver-sequential small-data jobs — the same size dispatch as
+    eigensolve_auto / connected_components_auto. Identical output
+    contract and identical bucket/threshold semantics (same hyperplane
+    seed, same band layout, same >= tau cut)."""
+    rows = surfaces.select("surface", "surface_id", "vec").collect()
+    freq_rows = mentions.groupBy("surface").count().collect()
+    freq = {r["surface"]: r["count"] for r in freq_rows}
+    ids = np.array([r["surface_id"] for r in rows])
+    surfs = [r["surface"] for r in rows]
+    vecs = np.array([r["vec"] for r in rows], dtype=np.float64)
+    n = len(rows)
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(16, dim)
+    n_bands, rpb = 4, 4
+    bits = (vecs @ planes.T) > 0 if n else np.zeros((0, 16), bool)
+    # buckets -> candidate pairs (same (band, sig) grouping as the
+    # distributed path; max_bucket cap unnecessary at driver scale)
+    from collections import defaultdict
+
+    cand = set()
+    for b in range(n_bands):
+        chunk = bits[:, b * rpb : (b + 1) * rpb]
+        sigs = chunk @ (1 << np.arange(rpb))
+        buckets = defaultdict(list)
+        for i, s in enumerate(sigs):
+            buckets[int(s)].append(i)
+        for members in buckets.values():
+            if len(members) > 2000:  # same cap as candidate_pairs
+                continue
+            for ai in range(len(members)):
+                for bi in range(ai + 1, len(members)):
+                    cand.add((members[ai], members[bi]))
+    norms = np.sqrt((vecs * vecs).sum(1)) if n else np.array([])
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in cand:
+        if norms[i] == 0.0 or norms[j] == 0.0:
+            continue
+        cos = float(vecs[i] @ vecs[j]) / (norms[i] * norms[j])
+        if cos >= tau:
+            a, b = find(i), find(j)
+            if a != b:
+                # union toward the smaller surface_id
+                if ids[a] <= ids[b]:
+                    parent[b] = a
+                else:
+                    parent[a] = b
+    comp_members = defaultdict(list)
+    for i in range(n):
+        comp_members[find(i)].append(i)
+    out = []
+    for root, members in comp_members.items():
+        entity_id = int(min(ids[m] for m in members))
+        canonical = min(
+            (surfs[m] for m in members),
+            key=lambda s: (-freq.get(s, 0), -len(s), s),
+        )
+        for m in members:
+            out.append((surfs[m], int(ids[m]), entity_id, canonical))
+    return surfaces.sparkSession.createDataFrame(
+        out, "surface string, surface_id long, entity_id long, canonical string"
+    )
+
+
 def link_entities(
     surfaces: DataFrame,
     mentions: DataFrame,
@@ -134,6 +214,7 @@ def link_entities(
     tau: float = 0.65,
     seed: int = 42,
     cc_max_iter: int = 30,
+    local_threshold: int = 20_000,
 ) -> DataFrame:
     """surfaces(surface, surface_id, vec) + mentions(surface, ...) ->
     entity map (surface, surface_id, entity_id, canonical).
@@ -141,7 +222,13 @@ def link_entities(
     entity_id = min surface_id in the connected component; canonical =
     the component's most frequent mention surface (ties -> longest,
     then lexicographically smallest — longer forms carry the suffix).
+
+    Distinct-surface sets under ``local_threshold`` link driver-locally
+    (see link_entities_local); above it, the distributed LSH path runs.
     """
+    surfaces = surfaces.localCheckpoint()
+    if surfaces.count() <= local_threshold:
+        return link_entities_local(surfaces, mentions, dim, tau, seed)
     pairs = candidate_pairs(surfaces, dim, seed=seed)
     edges = similarity_edges(surfaces, pairs, tau)
     comp = connected_components_auto(

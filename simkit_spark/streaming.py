@@ -48,6 +48,38 @@ def mention_counts(
     )
 
 
+def running_entity_counts(
+    doc_stream: DataFrame, timeout_ms: int = 0
+) -> DataFrame:
+    """Custom stateful operator: per-surface RUNNING mention totals
+    maintained across micro-batches with applyInPandasWithState — the
+    streaming analogue of the linker's frequency table (link.py uses it
+    to pick the canonical surface). State per key = one running count;
+    each batch emits the key's updated total.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    m = streaming_mentions(doc_stream).select("surface")
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        import pandas as pd  # noqa: PLC0415 (worker-side import)
+
+        yield pd.DataFrame({"surface": [key[0]], "total": [total]})
+
+    return m.groupBy("surface").applyInPandasWithState(
+        update,
+        outputStructType="surface string, total long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_table(stream_df: DataFrame, out_path: str, checkpoint: str, once: bool = True):
     """Sink a streaming DF to parquet with checkpointing; once=True
     processes all available input then stops (test harness mode)."""

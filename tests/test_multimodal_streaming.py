@@ -27,6 +27,37 @@ def test_media_plumbing(spark):
     assert j.count() == 0
 
 
+def test_streaming_stateful_counts(spark, tmp_path):
+    from simkit_spark.pipeline.extract import detect_mentions
+    from simkit_spark.streaming import running_entity_counts
+
+    docs, _ = synthesize(spark, n_docs=50, n_entities=15, seed=42)
+    src = str(tmp_path / "sin")
+    docs.repartition(3).write.parquet(src)
+    stream = stream_documents(spark, src, DOC_SCHEMA, max_files=1)
+    counts = running_entity_counts(stream)
+    out, ckpt = str(tmp_path / "sout"), str(tmp_path / "sckpt")
+    # update-mode operator -> foreachBatch appends each micro-batch's
+    # emitted updates (parquet sinks only take append mode directly)
+    q = (
+        counts.writeStream.foreachBatch(
+            lambda bdf, _id: bdf.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    # the LAST emitted total per surface equals the batch ground truth
+    final = got.groupBy("surface").agg(F.max("total").alias("total"))
+    want = detect_mentions(explode_spans(docs)).groupBy("surface").count()
+    diff = final.join(want, "surface").where(F.col("total") != F.col("count"))
+    assert diff.count() == 0
+    assert final.count() == want.count()
+
+
 def test_streaming_extraction(spark, tmp_path):
     docs, truth = synthesize(spark, n_docs=80, n_entities=20, seed=42)
     src = str(tmp_path / "in")

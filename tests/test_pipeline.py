@@ -101,6 +101,23 @@ def test_pipeline_prf_gate(spark, corpus, tmp_path_factory):
     assert out["provenance"].count() == out["triples"].count()
 
 
+def test_link_local_vs_distributed_parity(spark, corpus):
+    from simkit_spark.pipeline.embed import embed_distinct_surfaces
+    from simkit_spark.pipeline.extract import detect_mentions
+    from simkit_spark.pipeline.link import link_entities
+
+    docs, _ = corpus
+    mentions = detect_mentions(explode_spans(docs))
+    surfaces = embed_distinct_surfaces(mentions)
+    # local_threshold=0 forces the distributed LSH+CC path; default takes
+    # the driver-local union-find path — identical entity maps required
+    dist = link_entities(surfaces, mentions, 256, 0.65, 42, local_threshold=0)
+    loc = link_entities(surfaces, mentions, 256, 0.65, 42)
+    d = {r["surface_id"]: (r["entity_id"], r["canonical"]) for r in dist.collect()}
+    l = {r["surface_id"]: (r["entity_id"], r["canonical"]) for r in loc.collect()}
+    assert d == l
+
+
 def test_pipeline_resume_skips_stages(spark, corpus, tmp_path_factory):
     docs, _ = corpus
     wh = str(tmp_path_factory.mktemp("warehouse2"))
