@@ -52,14 +52,14 @@ def entry(spark: SparkSession) -> DataFrame:
     from simkit_spark.operators.eigen import eigensolve_auto
     from simkit_spark.operators.graphs import mutual_knn_edges, symmetrize
     from simkit_spark.operators.kernels import pairwise_distances
-    from simkit_spark.operators.kmeans import kmeans
+    from simkit_spark.operators.kmeans import kmeans_auto
     from simkit_spark.operators.laplacian import laplacian
 
     emb = _emb(spark, "/root/testdata/sf0.001")
     dist = pairwise_distances(emb, "euclidean", n_blocks=4, directed=True)
     lap = laplacian(symmetrize(mutual_knn_edges(dist, 15)), "sym")
     x, _ = eigensolve_auto(lap, k=3, max_iter=40, tol=1e-7, seed=42)
-    assigned, _ = kmeans(x, k=3, max_iter=20, seed=42)
+    assigned, _ = kmeans_auto(x, k=3, max_iter=20, seed=42)
     return assigned.select("id", F.col("cluster").cast("long").alias("cluster"))
 
 
@@ -362,9 +362,9 @@ def _spectral_embedding(spark, sf_dir):
 
 
 def _kmeans_clusters(spark, sf_dir):
-    from simkit_spark.operators.kmeans import kmeans
+    from simkit_spark.operators.kmeans import kmeans_auto
 
-    assigned, _ = kmeans(_emb(spark, sf_dir), k=5, max_iter=15, seed=42)
+    assigned, _ = kmeans_auto(_emb(spark, sf_dir), k=5, max_iter=15, seed=42)
     return assigned.select("id", F.col("cluster").cast("long").alias("cluster"))
 
 

@@ -115,9 +115,26 @@ def ivf_topk(
         F.col("id").alias("src"), F.col("vec").alias("vec_a"), "cell_id"
     )
     cand = probes.join(lists, "cell_id").where(F.col("src") != F.col("dst"))
-    rescored = cand.select(
-        "src", "dst", distance_expr(F.col("vec_a"), F.col("vec_b"), "cosine").alias("cos")
-    )
+
+    def cos_batch(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(pdf["vec_a"].tolist(), dtype=np.float64)
+            b = np.array(pdf["vec_b"].tolist(), dtype=np.float64)
+            dot = np.einsum("ij,ij->i", a, b)
+            na = np.sqrt(np.einsum("ij,ij->i", a, a))
+            nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.where((na == 0.0) | (nb == 0.0), 0.0, dot / (na * nb))
+            yield pd.DataFrame(
+                {"src": pdf["src"].to_numpy(), "dst": pdf["dst"].to_numpy(), "cos": c}
+            )
+
+    rescored = cand.mapInPandas(cos_batch, "src long, dst long, cos double")
     w2 = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
     return (
         rescored.withColumn("rank", F.row_number().over(w2))

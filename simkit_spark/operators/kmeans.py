@@ -124,6 +124,70 @@ def kmeans(
     return assigned, centroids
 
 
+def kmeans_auto(
+    points: DataFrame,
+    k: int,
+    max_iter: int = 100,
+    seed: int = 42,
+    kernel: str = "euclidean",
+    local_threshold: int = 200_000,
+) -> tuple[DataFrame, np.ndarray]:
+    """Size-dispatched k-means (same pattern as eigensolve_auto /
+    connected_components_auto): point sets under ``local_threshold``
+    collect once and iterate in numpy on the driver — the distributed
+    loop pays ~1 job per sweep plus k init jobs, pure latency for
+    driver-sized data — while larger sets run the distributed loop.
+    Same farthest-first init, same argmin/mean update rules, same
+    (assigned, centroids) contract."""
+    pts = points.select("id", "vec").localCheckpoint()
+    n = pts.count()
+    if n > local_threshold or kernel != "euclidean":
+        return kmeans(points, k, max_iter, seed, kernel)
+    rows = pts.collect()
+    ids = np.array([r["id"] for r in rows])
+    v = np.array([r["vec"] for r in rows], dtype=np.float64)
+    # farthest-first init, first point by hash — replicate init_centroids
+    # ordering via one tiny Spark job for the identical hash winner
+    first = (
+        pts.select("id")
+        .orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+        .limit(1)
+        .collect()[0]["id"]
+    )
+    chosen = [v[int(np.nonzero(ids == first)[0][0])]]
+    for _ in range(k - 1):
+        d = np.min(
+            np.stack([np.sqrt(((v - c) ** 2).sum(1)) for c in chosen]), axis=0
+        )
+        # ties -> lowest id (argmax scans in row order; sort by id first)
+        order = np.argsort(ids)
+        far = order[int(np.argmax(d[order]))]
+        # strict argmax with tie -> lowest id: argmax returns first max
+        chosen.append(v[far])
+    centroids = np.array(chosen)
+    for _ in range(max_iter):
+        d = np.stack([np.sqrt(((v - c) ** 2).sum(1)) for c in centroids])
+        assign_idx = np.argmin(d, axis=0)  # ties -> lowest cluster index
+        new = []
+        for c in range(len(centroids)):
+            members = v[assign_idx == c]
+            if len(members):
+                new.append(members.mean(0))
+        new = np.array(new)
+        if new.shape == centroids.shape and np.allclose(new, centroids, atol=0.0):
+            centroids = new
+            break
+        centroids = new
+    d = np.stack([np.sqrt(((v - c) ** 2).sum(1)) for c in centroids])
+    assign_idx = np.argmin(d, axis=0)
+    spark = points.sparkSession
+    assigned = spark.createDataFrame(
+        [(int(i), vec.tolist(), int(c)) for i, vec, c in zip(ids, v, assign_idx)],
+        "id long, vec array<double>, cluster int",
+    )
+    return assigned, centroids
+
+
 def silhouette_points(assigned: DataFrame, kernel: str = "euclidean") -> DataFrame:
     """Per-point silhouette (id, a, b, s) via a self-join.
 
