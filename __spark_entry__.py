@@ -159,10 +159,15 @@ def _label_encode(spark, sf_dir):
     # deterministic variant of convertStringLabels
     # (SimKitProcedures.java:678-691): codes assigned in sorted-label
     # order (the reference's first-seen order is row-order dependent —
-    # documented divergence, SURVEY.md §2.2)
-    w = Window.orderBy("lang")
-    return docs.select("doc_id", "lang").withColumn(
-        "lang_code", (F.dense_rank().over(w) - 1).cast("long")
+    # documented divergence, SURVEY.md §2.2). The code dictionary is
+    # built over DISTINCT labels (cardinality = #languages, tiny) and
+    # broadcast-joined back — the naive dense_rank over all rows is a
+    # single-task global window, a serialization point at scale.
+    langs = docs.select("lang").distinct()
+    w = Window.orderBy("lang")  # over the tiny distinct-label set only
+    codes = langs.withColumn("lang_code", (F.row_number().over(w) - 1).cast("long"))
+    return docs.select("doc_id", "lang").join(F.broadcast(codes), "lang").select(
+        "doc_id", "lang", "lang_code"
     )
 
 
@@ -333,9 +338,13 @@ def _top_customers(spark, sf_dir):
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "revenue")
     )
+    # distributed TopK (TakeOrderedAndProject) instead of a global
+    # row_number window — the window serializes every row through one
+    # task; limit-after-sort takes per-partition top-10s and merges.
+    top = rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return rev.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10).select(
-        "c_custkey", "c_name", "revenue", F.col("rk").cast("long").alias("rk")
+    return top.withColumn("rk", F.row_number().over(w).cast("long")).select(
+        "c_custkey", "c_name", "revenue", "rk"
     )
 
 
@@ -749,8 +758,8 @@ WITH e AS (
          lag(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
   FROM events)
 SELECT event_id, user_id,
-  sum(CASE WHEN prev IS NULL OR date_diff('second', prev, date_trunc('second', ts)) > 1800 THEN 1 ELSE 0 END)
-    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  (sum(CASE WHEN prev IS NULL OR date_diff('second', prev, date_trunc('second', ts)) > 1800 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS session_no
 FROM e"""
 
 _BPE_SQL = r"""

@@ -41,8 +41,11 @@ def run_pipeline(
     entity_map, triples, nodes, edges, provenance} — each persisted as a
     stage table with a lineage manifest."""
     cfg = cfg or PipelineConfig()
-    if cfg.doc_buckets is None:
-        cfg.doc_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # resolve locally — mutating the caller's cfg would pin the first
+    # session's shuffle-partition count onto a reused config object
+    doc_buckets = cfg.doc_buckets
+    if doc_buckets is None:
+        doc_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     fp = {"seed": cfg.seed, "dim": cfg.dim, "tau": cfg.tau}
 
     spans = explode_spans(documents)
@@ -52,14 +55,14 @@ def run_pipeline(
         lambda: detect_mentions(spans),
         inputs={**fp, "stage": "mentions"},
         force=force,
-        bucket_by=(cfg.doc_buckets, "doc_id"),
+        bucket_by=(doc_buckets, "doc_id"),
     )
     raw_triples = store.run_stage(
         "raw_triples",
         lambda: extract_raw_triples(spans),
         inputs={**fp, "stage": "raw_triples"},
         force=force,
-        bucket_by=(cfg.doc_buckets, "doc_id"),
+        bucket_by=(doc_buckets, "doc_id"),
     )
     surfaces = store.run_stage(
         "surfaces",
@@ -78,7 +81,7 @@ def run_pipeline(
         lambda: resolve_triples(raw_triples, entity_map, cfg.use_salting, cfg.n_salt),
         inputs={**fp, "stage": "triples"},
         force=force,
-        bucket_by=(cfg.doc_buckets, "doc_id"),
+        bucket_by=(doc_buckets, "doc_id"),
     )
     nodes = store.run_stage(
         "nodes",
@@ -97,7 +100,7 @@ def run_pipeline(
         lambda: build_provenance(triples),
         inputs={**fp, "stage": "provenance"},
         force=force,
-        bucket_by=(cfg.doc_buckets, "doc_id"),
+        bucket_by=(doc_buckets, "doc_id"),
     )
     return {
         "mentions": mentions,
