@@ -24,6 +24,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..operators.components import connected_components_auto
+from .refine import (
+    DEFAULT_MIN_SIZE,
+    DEFAULT_NCUT_MAX,
+    refine_component_rows,
+    spectral_split,
+)
 
 
 def lsh_signatures(
@@ -133,6 +139,9 @@ def link_entities_local(
     dim: int,
     tau: float,
     seed: int,
+    refine: bool = True,
+    refine_min_size: int = DEFAULT_MIN_SIZE,
+    refine_ncut_max: float = DEFAULT_NCUT_MAX,
 ) -> DataFrame:
     """Driver-local twin of link_entities for small distinct-surface
     sets (the common case: distinct surfaces ≈ entity vocabulary, not
@@ -178,11 +187,13 @@ def link_entities_local(
             x = parent[x]
         return x
 
+    edges_acc: list[tuple[int, int, float]] = []
     for i, j in cand:
         if norms[i] == 0.0 or norms[j] == 0.0:
             continue
         cos = float(vecs[i] @ vecs[j]) / (norms[i] * norms[j])
         if cos >= tau:
+            edges_acc.append((i, j, cos))
             a, b = find(i), find(j)
             if a != b:
                 # union toward the smaller surface_id
@@ -193,17 +204,79 @@ def link_entities_local(
     comp_members = defaultdict(list)
     for i in range(n):
         comp_members[find(i)].append(i)
+    comp_edges = defaultdict(list)
+    for i, j, w in edges_acc:
+        comp_edges[find(i)].append((i, j, w))
     out = []
     for root, members in comp_members.items():
-        entity_id = int(min(ids[m] for m in members))
-        canonical = min(
-            (surfs[m] for m in members),
-            key=lambda s: (-freq.get(s, 0), -len(s), s),
-        )
-        for m in members:
-            out.append((surfs[m], int(ids[m]), entity_id, canonical))
+        # spectral refinement (north_star canonicalization: CC merge ->
+        # spectral split of over-merged components; same kernel as the
+        # distributed path)
+        groups = [members]
+        es = comp_edges.get(root, [])
+        if refine and len(members) >= refine_min_size and es:
+            labels = spectral_split(
+                ids[members],
+                np.array([ids[e[0]] for e in es]),
+                np.array([ids[e[1]] for e in es]),
+                np.array([e[2] for e in es]),
+                min_size=refine_min_size,
+                ncut_max=refine_ncut_max,
+            )
+            by = defaultdict(list)
+            for m, lbl in zip(members, labels):
+                by[int(lbl)].append(m)
+            groups = list(by.values())
+        for grp in groups:
+            entity_id = int(min(ids[m] for m in grp))
+            canonical = min(
+                (surfs[m] for m in grp),
+                key=lambda s: (-freq.get(s, 0), -len(s), s),
+            )
+            for m in grp:
+                out.append((surfs[m], int(ids[m]), entity_id, canonical))
     return surfaces.sparkSession.createDataFrame(
         out, "surface string, surface_id long, entity_id long, canonical string"
+    )
+
+
+def refine_components(
+    edges: DataFrame,
+    comp: DataFrame,
+    min_size: int = DEFAULT_MIN_SIZE,
+    ncut_max: float = DEFAULT_NCUT_MAX,
+) -> DataFrame:
+    """Distributed spectral refinement: tag each similarity edge with
+    its component, group by component, and run the shared numpy split
+    kernel per component under applyInPandas — one task per component,
+    parallel across components (the post-CC component population is
+    many-and-small, so this is an embarrassingly parallel stage; a
+    ``max_members`` guard inside the kernel passes pathological
+    mega-components through unsplit instead of OOMing a task).
+
+    edges(src, dst, weight), comp(id, component) ->
+    (surface_id, entity_id) for every member of an edge-bearing
+    component. Isolated nodes (no >= tau edge) never appear — the
+    caller coalesces them to their singleton component id.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    tagged = edges.join(
+        comp.select(F.col("id").alias("src"), "component"), "src"
+    )
+
+    def split_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        srcs = pdf["src"].to_numpy()
+        dsts = pdf["dst"].to_numpy()
+        ws = pdf["weight"].to_numpy()
+        mids = np.unique(np.concatenate([srcs, dsts]))
+        rows = refine_component_rows(
+            mids, srcs, dsts, ws, min_size=min_size, ncut_max=ncut_max
+        )
+        return pd.DataFrame(rows, columns=["surface_id", "entity_id"])
+
+    return tagged.groupBy("component").applyInPandas(
+        split_fn, "surface_id long, entity_id long"
     )
 
 
@@ -215,46 +288,67 @@ def link_entities(
     seed: int = 42,
     cc_max_iter: int = 30,
     local_threshold: int = 20_000,
+    refine: bool = True,
+    refine_min_size: int = DEFAULT_MIN_SIZE,
+    refine_ncut_max: float = DEFAULT_NCUT_MAX,
 ) -> DataFrame:
     """surfaces(surface, surface_id, vec) + mentions(surface, ...) ->
     entity map (surface, surface_id, entity_id, canonical).
 
-    entity_id = min surface_id in the connected component; canonical =
-    the component's most frequent mention surface (ties -> longest,
-    then lexicographically smallest — longer forms carry the suffix).
+    The full north_star canonicalization chain: LSH candidate graph ->
+    exact cosine >= tau edges -> connected-components merge -> spectral
+    refinement of over-merged components (refine_components /
+    spectral_split — the reference's spectralClustering chain,
+    SimKitProcedures.java:739-862, re-aimed at mention graphs).
+    entity_id = min surface_id in the refined cluster; canonical = the
+    cluster's most frequent mention surface (ties -> longest, then
+    lexicographically smallest — longer forms carry the suffix).
 
     Distinct-surface sets under ``local_threshold`` link driver-locally
     (see link_entities_local); above it, the distributed LSH path runs.
     """
     surfaces = surfaces.localCheckpoint()
     if surfaces.count() <= local_threshold:
-        return link_entities_local(surfaces, mentions, dim, tau, seed)
+        return link_entities_local(
+            surfaces, mentions, dim, tau, seed,
+            refine=refine,
+            refine_min_size=refine_min_size,
+            refine_ncut_max=refine_ncut_max,
+        )
     pairs = candidate_pairs(surfaces, dim, seed=seed)
-    edges = similarity_edges(surfaces, pairs, tau)
+    edges = similarity_edges(surfaces, pairs, tau).localCheckpoint()
     comp = connected_components_auto(
         edges.select("src", "dst"),
         nodes=surfaces.select(F.col("surface_id").alias("id")),
         max_iter=cc_max_iter,
     )
-    mapped = surfaces.select("surface", "surface_id").join(
-        comp.withColumnRenamed("id", "surface_id"), "surface_id"
-    )
+    if refine:
+        refined = refine_components(
+            edges, comp, min_size=refine_min_size, ncut_max=refine_ncut_max
+        )
+        assign = (
+            comp.withColumnRenamed("id", "surface_id")
+            .join(refined, "surface_id", "left")
+            .select(
+                "surface_id",
+                F.coalesce("entity_id", F.col("component")).alias("entity_id"),
+            )
+        )
+    else:
+        assign = comp.select(
+            F.col("id").alias("surface_id"), F.col("component").alias("entity_id")
+        )
+    mapped = surfaces.select("surface", "surface_id").join(assign, "surface_id")
     freq = mentions.groupBy("surface").count()
     scored = mapped.join(freq, "surface", "left").fillna(0, ["count"])
-    w = Window.partitionBy("component").orderBy(
+    w = Window.partitionBy("entity_id").orderBy(
         F.col("count").desc(), F.length("surface").desc(), F.col("surface").asc()
     )
     canon = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("component", F.col("surface").alias("canonical"))
+        .select("entity_id", F.col("surface").alias("canonical"))
     )
-    return (
-        mapped.join(canon, "component")
-        .select(
-            "surface",
-            "surface_id",
-            F.col("component").alias("entity_id"),
-            "canonical",
-        )
+    return mapped.join(canon, "entity_id").select(
+        "surface", "surface_id", "entity_id", "canonical"
     )
