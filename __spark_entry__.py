@@ -41,9 +41,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dist(spark: SparkSession, sf_dir: str, kernel: str, directed: bool = False) -> DataFrame:
     from simkit_spark.operators.kernels import pairwise_distances
 
-    return pairwise_distances(
-        _emb(spark, sf_dir), kernel, n_blocks=8, directed=directed
-    )
+    # n_blocks=None -> auto-sized from row count + cluster parallelism
+    return pairwise_distances(_emb(spark, sf_dir), kernel, directed=directed)
 
 
 # --------------------------------------------------------------- entry
@@ -91,8 +90,11 @@ def _mutual_knn(spark, sf_dir):
 
 
 def _eps_graph(spark, sf_dir):
-    d = _dist(spark, sf_dir, "euclidean")
-    return d.where(F.col("dist") < EPS).select("src", "dst")
+    from simkit_spark.operators.epsjoin import eps_neighbor_pairs
+
+    # pivot-partitioned exact eps join — the eps predicate prunes inside
+    # candidate generation instead of filtering the full pairwise space
+    return eps_neighbor_pairs(_emb(spark, sf_dir), EPS, strict=True).select("src", "dst")
 
 
 def _local_sigmas(spark, sf_dir):
@@ -277,7 +279,7 @@ def _ari_labels(spark, sf_dir):
 def _ivf_topk(spark, sf_dir):
     from simkit_spark.functions.similarity import ivf_topk
 
-    return ivf_topk(_emb(spark, sf_dir), k=TOPK, n_cells=8, n_probe=2).select(
+    return ivf_topk(_emb(spark, sf_dir), k=TOPK, n_probe=2).select(
         "src", "dst", "cos", F.col("rank").cast("long").alias("rank")
     )
 
@@ -379,10 +381,10 @@ def _kmeans_clusters(spark, sf_dir):
 
 def _connected_components_eps(spark, sf_dir):
     from simkit_spark.operators.components import connected_components
+    from simkit_spark.operators.epsjoin import eps_neighbor_pairs
 
-    d = _dist(spark, sf_dir, "euclidean")
-    edges = d.where(F.col("dist") < EPS).select("src", "dst")
     emb = _emb(spark, sf_dir)
+    edges = eps_neighbor_pairs(emb, EPS, strict=True).select("src", "dst")
     return connected_components(edges, nodes=emb.select("id"), max_iter=30)
 
 
@@ -733,7 +735,9 @@ FROM tt, sa, sb"""
 
 _IVF_SQL = f"""
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
-c AS (SELECT id AS cell_id, vec AS cvec FROM v ORDER BY id LIMIT 8),
+nc AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS n_cells FROM v),
+cr AS (SELECT id AS cell_id, vec AS cvec, row_number() OVER (ORDER BY id) AS rn FROM v),
+c AS (SELECT cell_id, cvec FROM cr, nc WHERE rn <= nc.n_cells),
 scored AS (
   SELECT v.id, v.vec, c.cell_id,
          {_DIST_EXPR['euclidean'].replace('va', 'v.vec').replace('vb', 'c.cvec')} AS cdist

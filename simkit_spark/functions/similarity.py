@@ -22,7 +22,7 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "id",
     vec_col: str = "vec",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """(src, dst, cos, rank): the k most cosine-similar neighbors per
     src; ties by dst id. Exact — every pair evaluated once via the
@@ -80,7 +80,7 @@ def lsh_topk(
 def ivf_topk(
     emb: DataFrame,
     k: int = 10,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     n_probe: int = 2,
     id_col: str = "id",
     vec_col: str = "vec",
@@ -88,53 +88,94 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k cosine search.
 
     Coarse quantizer = the ``n_cells`` lowest-id vectors (deterministic,
-    so the whole operator is SQL-oracleable — a trained quantizer slots
-    in without changing the plan shape). Every vector is assigned to its
-    nearest cell (euclidean, ties -> lowest cell id); each query probes
-    its ``n_probe`` nearest cells and reranks exactly (cosine) within
-    the probed inverted lists. The cell assignment is the partition key:
-    at scale the inverted lists are co-located and only ``n_probe/
-    n_cells`` of the corpus is touched per query.
+    so the whole operator is SQL-oracleable — a trained k-means
+    quantizer slots in without changing the plan shape, only the
+    centroid matrix). n_cells defaults to ceil(sqrt(n)), the standard
+    IVF sizing: round-1's fixed 8 cells made the cell key an 8-value
+    join key (guaranteed skew, parallelism cap) and candidate volume
+    ~n^2*probe/8 (VERDICT.md 'what's wrong' #4).
+
+    Plan shape (no wide vec-pair rows ever shuffle):
+      1. assignment: one mapInPandas pass with the (sqrt(n) x dim)
+         centroid matrix in the task closure — emits (cell, id, vec,
+         is_member) rows, one per probed cell;
+      2. rescoring: groupBy(cell).applyInPandas — each cell reranks
+         its probes against its inverted list as ONE numpy matrix and
+         emits only per-src top-k candidates;
+      3. a final per-src window merges the <= n_probe*k candidates.
+    Parallelism = sqrt(n) cells; per-cell work ~ n_probe * (n/cells)^2.
     """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
     pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cells = pts.orderBy("id").limit(n_cells).select(
-        F.col("id").alias("cell_id"), F.col("vec").alias("cvec")
-    )
-    scored = pts.crossJoin(F.broadcast(cells)).select(
-        "id",
-        "vec",
-        "cell_id",
-        distance_expr(F.col("vec"), F.col("cvec"), "euclidean").alias("cdist"),
-    )
-    w = Window.partitionBy("id").orderBy(F.col("cdist").asc(), F.col("cell_id").asc())
-    ranked = scored.withColumn("crank", F.row_number().over(w))
-    lists = ranked.where(F.col("crank") == 1).select(
-        F.col("cell_id"), F.col("id").alias("dst"), F.col("vec").alias("vec_b")
-    )
-    probes = ranked.where(F.col("crank") <= n_probe).select(
-        F.col("id").alias("src"), F.col("vec").alias("vec_a"), "cell_id"
-    )
-    cand = probes.join(lists, "cell_id").where(F.col("src") != F.col("dst"))
+    pts = pts.localCheckpoint()
+    n = pts.count()
+    if n_cells is None:
+        n_cells = int(np.ceil(np.sqrt(n)))
+    n_cells = max(1, min(n_cells, n))
+    cent_rows = pts.orderBy("id").limit(n_cells).collect()
+    cents = np.array([r["vec"] for r in cent_rows], dtype=np.float64)
+    n_probe = min(n_probe, len(cents))
 
-    def cos_batch(batches):
-        import numpy as np
-        import pandas as pd
-
+    def assign_fn(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            a = np.array(pdf["vec_a"].tolist(), dtype=np.float64)
-            b = np.array(pdf["vec_b"].tolist(), dtype=np.float64)
-            dot = np.einsum("ij,ij->i", a, b)
-            na = np.sqrt(np.einsum("ij,ij->i", a, a))
-            nb = np.sqrt(np.einsum("ij,ij->i", b, b))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                c = np.where((na == 0.0) | (nb == 0.0), 0.0, dot / (na * nb))
-            yield pd.DataFrame(
-                {"src": pdf["src"].to_numpy(), "dst": pdf["dst"].to_numpy(), "cos": c}
-            )
+            v = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            d = v[:, None, :] - cents[None, :, :]
+            d = np.sqrt((d * d).sum(-1))
+            # stable sort: cdist asc, ties -> lowest cell index (same
+            # order as the SQL oracle's cdist ASC, cell_id ASC)
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            ids = pdf["id"].to_numpy()
+            vec = pdf["vec"].to_numpy()
+            out = {
+                "cell": order.ravel().astype(np.int32),
+                "id": np.repeat(ids, n_probe),
+                "vec": np.repeat(vec, n_probe),
+                "is_member": np.tile(
+                    np.arange(n_probe) == 0, len(ids)
+                ),
+            }
+            yield pd.DataFrame(out)
 
-    rescored = cand.mapInPandas(cos_batch, "src long, dst long, cos double")
+    fanned = pts.mapInPandas(
+        assign_fn, "cell int, id long, vec array<double>, is_member boolean"
+    )
+
+    def cell_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        members = pdf[pdf["is_member"]]
+        if not len(members):
+            return pd.DataFrame({"src": [], "dst": [], "cos": []})
+        mid = members["id"].to_numpy()
+        mv = np.array(members["vec"].tolist(), dtype=np.float64)
+        pid = pdf["id"].to_numpy()
+        pv = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        nb = np.sqrt((mv * mv).sum(1))
+        na = np.sqrt((pv * pv).sum(1))
+        dot = pv @ mv.T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.where((na[:, None] == 0.0) | (nb[None, :] == 0.0), 0.0, dot / (na[:, None] * nb[None, :]))
+        c[pid[:, None] == mid[None, :]] = -np.inf  # exclude self
+        kk = min(k, c.shape[1])
+        # per-src top-k inside the cell (global top-k is within the
+        # union of per-cell top-k); ties -> lowest dst id
+        order = np.lexsort((mid[None, :].repeat(len(pid), 0), -c), axis=1)[:, :kk]
+        rows_i = np.repeat(np.arange(len(pid)), kk)
+        cols = order.ravel()
+        keep = np.isfinite(c[rows_i, cols])
+        return pd.DataFrame(
+            {
+                "src": pid[rows_i][keep],
+                "dst": mid[cols][keep],
+                "cos": c[rows_i, cols][keep],
+            }
+        )
+
+    rescored = fanned.groupBy("cell").applyInPandas(
+        cell_fn, "src long, dst long, cos double"
+    )
     w2 = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
     return (
         rescored.withColumn("rank", F.row_number().over(w2))
@@ -148,19 +189,42 @@ def embedding_neardup_pairs(
     tau: float = 0.95,
     id_col: str = "id",
     vec_col: str = "vec",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    exact_threshold: int = 100_000,
+    lsh_seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (src, dst, cos) with
     cos >= tau, src < dst — the embedding-space analogue of MinHash
-    near-dup (exact here; swap the block kernel for LSH candidate_pairs
-    at scale, same downstream)."""
-    return (
-        pairwise_distances(
-            emb, "cosine", id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
-        )
-        .withColumnRenamed("dist", "cos")
-        .where(F.col("cos") >= tau)
-        .select("src", "dst", F.round("cos", 6).alias("cos"))
+    near-dup.
+
+    Size-dispatched (VERDICT.md round-1 'what's wrong' #6): up to
+    ``exact_threshold`` rows the exact block kernel runs with the tau
+    predicate applied INSIDE each task (only matches ever become rows);
+    above it candidates come from hyperplane-LSH buckets
+    (pipeline.link.candidate_pairs) and are rescored exactly — the
+    scale path trades bounded recall (tunable via the LSH band layout)
+    for sub-quadratic candidate volume."""
+    from ..operators.kernels import _pairwise_numpy, auto_n_blocks
+
+    pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    pts = pts.localCheckpoint()
+    n = pts.count()
+    if n <= exact_threshold:
+        if n_blocks is None:
+            n_blocks = auto_n_blocks(n, pts.sparkSession.sparkContext.defaultParallelism)
+        return _pairwise_numpy(
+            pts, "cosine", "id", "vec", n_blocks, directed=False, tau=tau
+        ).select("src", "dst", F.round(F.col("dist"), 6).alias("cos"))
+    from ..pipeline.link import candidate_pairs, similarity_edges
+
+    dim = len(pts.select("vec").first()["vec"])
+    surf = pts.select(F.col("id").alias("surface_id"), "vec")
+    cand = candidate_pairs(surf, dim, seed=lsh_seed)
+    edges = similarity_edges(surf, cand, tau)
+    return edges.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        F.round(F.col("weight"), 6).alias("cos"),
     )
 
 

@@ -10,7 +10,9 @@ lists through core points (:129-143).
 Distributed re-expression (exact same cluster membership for core and
 border points, order-independent):
 
-  * neighbor pairs  = eps-range self-join (block-nested candidates)
+  * neighbor pairs  = eps-range self-join (pivot-partitioned exact
+                      eps join — the eps predicate prunes INSIDE
+                      candidate generation, see operators/epsjoin.py)
   * core points     = groupBy(src).count() + self >= minPts
   * clusters        = connected components over core-core edges
   * border points   = non-core with >= 1 core neighbor, assigned to the
@@ -27,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .components import connected_components
-from .kernels import pairwise_distances
+from .epsjoin import eps_neighbor_pairs
 
 
 def dbscan(
@@ -37,14 +39,12 @@ def dbscan(
     kernel: str = "euclidean",
     id_col: str = "id",
     vec_col: str = "vec",
-    n_blocks: int = 8,
     cc_max_iter: int = 30,
 ) -> DataFrame:
     """(id, cluster, is_core): cluster = min core id of the component,
     -1 for noise."""
     pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    d = pairwise_distances(pts, kernel, n_blocks=n_blocks, directed=True)
-    nbrs = d.where(F.col("dist") <= eps).select("src", "dst")
+    nbrs = eps_neighbor_pairs(pts, eps, kernel, directed=True).select("src", "dst")
 
     # neighbor count includes the point itself (Unsupervised.java:60-80)
     core = (

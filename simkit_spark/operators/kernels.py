@@ -25,6 +25,7 @@ hot path. Kernels:
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -38,6 +39,28 @@ KERNELS = ("euclidean", "manhattan", "canberra", "cosine", "jaccard", "bray_curt
 SIMILARITY_KERNELS = frozenset({"cosine", "jaccard"})
 
 _D = "double"
+
+# Target pairwise-evaluations per task for auto block sizing: a
+# 2048-row numpy chunk against a ~2000-row block is ~4M kernel evals
+# and a few tens of MB of working set — comfortably in-executor-memory
+# at any dim the pipeline uses.
+TARGET_PAIRS_PER_TASK = 4_000_000
+
+
+def auto_n_blocks(
+    n_rows: int,
+    parallelism: int = 1,
+    target_pairs: int = TARGET_PAIRS_PER_TASK,
+) -> int:
+    """Blocking factor so each of the B(B+1)/2 block-pair tasks holds
+    ~(n/B)^2 <= target_pairs AND there are at least ``parallelism``
+    tasks to spread over the cluster. A static B caps parallelism at
+    small B (36 tasks at B=8) and OOMs at large n — derive it from n
+    and the cluster instead (VERDICT.md round-1 'what's wrong' #7)."""
+    b_mem = math.ceil(n_rows / math.sqrt(float(target_pairs)))
+    # smallest B with B(B+1)/2 >= parallelism
+    b_par = math.ceil((math.sqrt(8.0 * max(parallelism, 1) + 1.0) - 1.0) / 2.0)
+    return int(min(max(b_mem, b_par, 1), 256))
 
 
 def _sum(col: Column) -> Column:
@@ -169,6 +192,9 @@ def _pairwise_numpy(
     n_blocks: int,
     directed: bool,
     chunk: int = 2048,
+    eps: float | None = None,
+    strict: bool = False,
+    tau: float | None = None,
 ) -> DataFrame:
     """Block-matrix pairwise kernel: rows are fanned to their
     B*(B+1)/2 block-pairs and each group computes its kernel *matrix*
@@ -177,15 +203,27 @@ def _pairwise_numpy(
     tasks, never as shuffled wide rows. This is the hot path
     (SURVEY.md §2.3: cdist-style block kernel); the SQL expression path
     below remains as the bit-exact oracle twin."""
-    spark = df.sparkSession
     b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), b.alias("blk"))
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "pa int, pb int"
+    # Fan each row to its B block-pair groups {(i, blk): i <= blk} u
+    # {(blk, j): j > blk} as a pure column-expression explode — a join
+    # against a block-pair table would plan as a BroadcastNestedLoopJoin
+    # (the OR-disjunction is not an equi-join) and serialize through one
+    # broadcast; this stays inside codegen with no join at all.
+    lower = F.transform(
+        F.sequence(F.lit(0), F.col("blk")),
+        lambda i: F.struct(i.cast("int").alias("pa"), F.col("blk").alias("pb")),
     )
-    fan = tagged.join(
-        F.broadcast(pairs), (F.col("blk") == F.col("pa")) | (F.col("blk") == F.col("pb"))
-    )
+    upper = F.when(
+        F.col("blk") < F.lit(n_blocks - 1),
+        F.transform(
+            F.sequence(F.col("blk") + 1, F.lit(n_blocks - 1)),
+            lambda j: F.struct(F.col("blk").alias("pa"), j.cast("int").alias("pb")),
+        ),
+    ).otherwise(F.array().cast("array<struct<pa:int,pb:int>>"))
+    fan = tagged.select(
+        "id", "vec", "blk", F.explode(F.concat(lower, upper)).alias("bp")
+    ).select("id", "vec", "blk", F.col("bp.pa").alias("pa"), F.col("bp.pb").alias("pb"))
 
     def kfn(key, pdf):
         pa, pb = key
@@ -207,6 +245,17 @@ def _pairwise_numpy(
                 hi = np.maximum(src, dst)
                 out.append(pd.DataFrame({"src": lo, "dst": hi, "dist": dist}))
 
+        def esel(d: np.ndarray) -> np.ndarray:
+            # eps / tau pushed INSIDE the task: pairs outside the
+            # threshold are dropped before they ever become rows (the
+            # all-pairs edge list never exists when the caller only
+            # wants the eps ball / the >= tau similarity set)
+            if eps is not None:
+                return d < eps if strict else d <= eps
+            if tau is not None:
+                return d >= tau
+            return np.ones(d.shape, dtype=bool)
+
         if pa == pb:
             sub = pdf[pdf["blk"] == pa]
             ids = sub["id"].to_numpy()
@@ -214,7 +263,8 @@ def _pairwise_numpy(
             for lo in range(0, len(ids), chunk):
                 a = v[lo : lo + chunk]
                 d = np_kernel(a, v, kernel)
-                iu, ju = np.nonzero(ids[lo : lo + chunk, None] < ids[None, :])
+                cond = (ids[lo : lo + chunk, None] < ids[None, :]) & esel(d)
+                iu, ju = np.nonzero(cond)
                 emit(ids[lo + iu], ids[ju], d[iu, ju])
         else:
             asub = pdf[pdf["blk"] == pa]
@@ -226,10 +276,8 @@ def _pairwise_numpy(
                 av = np.array(asub["vec"].tolist(), dtype=np.float64)
                 for lo in range(0, len(aids), chunk):
                     d = np_kernel(av[lo : lo + chunk], bv, kernel)
-                    ii, jj = np.meshgrid(
-                        np.arange(d.shape[0]), np.arange(d.shape[1]), indexing="ij"
-                    )
-                    emit(aids[lo + ii.ravel()], bids[jj.ravel()], d.ravel())
+                    iu, ju = np.nonzero(esel(d))
+                    emit(aids[lo + iu], bids[ju], d[iu, ju])
         if not out:
             return pd.DataFrame({"src": [], "dst": [], "dist": []})
         return pd.concat(out, ignore_index=True)
@@ -242,7 +290,7 @@ def pairwise_distances(
     kernel: str = "euclidean",
     id_col: str = "id",
     vec_col: str = "vec",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     directed: bool = False,
     impl: str = "numpy",
 ) -> DataFrame:
@@ -252,10 +300,18 @@ def pairwise_distances(
     triangle, DistanceMeasureNodes.java:17-28); ``directed=True`` emits
     both orientations for per-row window operators (kNN, sigmas).
 
+    n_blocks=None (default) sizes the blocking from the row count
+    (auto_n_blocks) — pass it explicitly only when the caller already
+    knows n and wants to skip the count job.
+
     impl="numpy" (default): Arrow-batched block kernel (fast path);
     impl="sql": pure Spark SQL expressions (bit-exact wrt a left-fold
     oracle; used where bitwise parity matters more than speed).
     """
+    if n_blocks is None:
+        n_blocks = auto_n_blocks(
+            df.count(), df.sparkSession.sparkContext.defaultParallelism
+        )
     if impl == "numpy":
         return _pairwise_numpy(df, kernel, id_col, vec_col, n_blocks, directed)
     pairs = block_pairs(df, id_col, vec_col, n_blocks)

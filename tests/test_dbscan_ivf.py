@@ -121,3 +121,32 @@ def test_silhouette_points_mean_matches(spark):
     mean_s = pts.agg(F.avg("s")).collect()[0][0]
     assert silhouette(df) == pytest.approx(mean_s, abs=1e-12)
     assert mean_s > 0.7
+
+
+def test_embedding_neardup_lsh_path_recall(spark):
+    """exact_threshold=0 forces the LSH-bucketed scale path; on tightly
+    clustered vectors it must recover (nearly) all exact >= tau pairs
+    and introduce none below tau."""
+    import numpy as np
+    from simkit_spark.functions.similarity import embedding_neardup_pairs
+
+    rng = np.random.RandomState(5)
+    rows = []
+    i = 0
+    for _ in range(20):
+        base = rng.randn(16)
+        base /= np.linalg.norm(base)
+        for _ in range(4):
+            v = base + 0.05 * rng.randn(16)
+            rows.append((i, (v / np.linalg.norm(v)).tolist()))
+            i += 1
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    exact = {
+        (r["src"], r["dst"]) for r in embedding_neardup_pairs(df, tau=0.9).collect()
+    }
+    lsh = {
+        (r["src"], r["dst"])
+        for r in embedding_neardup_pairs(df, tau=0.9, exact_threshold=0).collect()
+    }
+    assert lsh <= exact  # rescoring is exact -> no false positives
+    assert len(lsh) >= 0.9 * len(exact)  # high recall on clustered data

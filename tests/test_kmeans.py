@@ -56,3 +56,28 @@ def test_ari_known_values(spark):
     assert adjusted_rand_index(df) == pytest.approx(1.0)
     df2 = spark.createDataFrame([(i % 3, (i // 3) % 3) for i in range(90)], "true int, pred int")
     assert abs(adjusted_rand_index(df2)) < 0.05
+
+
+def test_silhouette_plan_has_no_cartesian(spark, blobs):
+    """The exact silhouette must generate pairs via the block kernel +
+    equi-joins — a BroadcastNestedLoopJoin cartesian was round-1's
+    scale killer (VERDICT.md 'what's wrong' #2)."""
+    from simkit_spark.operators.kmeans import silhouette_points
+
+    assigned, _ = kmeans(blobs, k=3, seed=42)
+    pts = silhouette_points(assigned)
+    plan = pts._jdf.queryExecution().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_silhouette_approx_ranks_like_exact(spark, blobs):
+    from simkit_spark.operators.kmeans import silhouette_points_approx
+
+    assigned, _ = kmeans(blobs, k=3, seed=42)
+    s_approx = (
+        silhouette_points_approx(assigned).agg({"s": "avg"}).collect()[0][0]
+    )
+    assert s_approx > 0.8  # same verdict as the exact form on separated blobs
+    # forced-approx dispatch path returns a sane mean too
+    assert silhouette(assigned, exact_threshold=0) == pytest.approx(s_approx, abs=1e-9)
