@@ -181,6 +181,7 @@ def eigensolve_auto(
     tol: float = 1e-7,
     seed: int = 42,
     local_threshold: int = 3000,
+    symmetric: bool = True,
 ) -> tuple[DataFrame, np.ndarray]:
     """Size-dispatched eigensolve (SURVEY.md §7.4.1): blocks up to
     ``local_threshold`` nodes collect to the driver and solve densely
@@ -188,7 +189,11 @@ def eigensolve_auto(
     ~2 per sweep); larger graphs run the matrix-free distributed
     iteration. After connected-components blocking the small case is
     the common one; the distributed path is the mega-cluster safety
-    net. Same return convention as eigensolve."""
+    net. Same return convention as eigensolve.
+
+    Pass ``symmetric=False`` for non-symmetric operators (directed-kNN
+    graphs, "rw" laplacians) so the local path does not mirror the
+    edge list (see eigen_local)."""
     if nodes is None:
         nodes = (
             edges.select(F.col("src").alias("id"))
@@ -201,7 +206,7 @@ def eigensolve_auto(
         return eigensolve(edges, nodes, k, max_iter, tol, seed)
     ids = [r["id"] for r in nodes.collect()]
     rows = [(r["src"], r["dst"], r["weight"]) for r in edges.collect()]
-    lam, x, idx = eigen_local(rows, ids, k)
+    lam, x, idx = eigen_local(rows, ids, k, symmetric=symmetric)
     spark = edges.sparkSession
     out = spark.createDataFrame(
         [(int(i), x[j].tolist()) for i, j in idx.items()], "id long, vec array<double>"
@@ -210,23 +215,33 @@ def eigensolve_auto(
 
 
 def eigen_local(
-    edges_rows: list, node_ids: list, k: int
+    edges_rows: list, node_ids: list, k: int, symmetric: bool = True
 ) -> tuple[np.ndarray, np.ndarray, dict]:
-    """Driver-side dense fallback for small blocks: numpy eigh.
+    """Driver-side dense fallback for small blocks: numpy eigh / eig.
 
-    edges_rows: iterable of (src, dst, weight) covering both
-    orientations or canonical (symmetrized here). Returns
-    (eigenvalues_asc[k], X[n,k], id->row index map).
+    edges_rows: iterable of (src, dst, weight). With ``symmetric=True``
+    (default) the input may be canonical (src < dst only) or carry both
+    orientations — missing mirrors are filled in. ``symmetric=False``
+    treats the edge list as the literal (possibly non-symmetric) matrix
+    — the directed-kNN laplacians and every "rw" laplacian — and solves
+    with np.linalg.eig (real spectra: rw is similar to the symmetric
+    normalized operator). Returns (eigenvalues_asc[k], X[n,k],
+    id->row index map); k largest, reported ascending —
+    EigenCalculation.java:289,305.
     """
     idx = {nid: i for i, nid in enumerate(sorted(node_ids))}
     n = len(idx)
     a = np.zeros((n, n))
     for s, d, w in edges_rows:
         a[idx[s], idx[d]] = w
-        a[idx[d], idx[s]] = w
-    lam, vec = np.linalg.eigh(a)
-    # k largest, reported ascending — EigenCalculation.java:289,305.
-    return lam[-k:], vec[:, -k:], idx
+        if symmetric:
+            a[idx[d], idx[s]] = w
+    if symmetric:
+        lam, vec = np.linalg.eigh(a)
+        return lam[-k:], vec[:, -k:], idx
+    lam_c, vec_c = np.linalg.eig(a)
+    order = np.argsort(lam_c.real)
+    return lam_c.real[order[-k:]], vec_c[:, order[-k:]].real, idx
 
 
 def eigengap_k(eigenvalues_asc: np.ndarray, max_k: int = 10) -> int:
