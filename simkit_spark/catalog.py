@@ -61,9 +61,7 @@ class TableStore:
         downstream joins on `col` are co-located and skew is bounded.
         """
         if self.use_iceberg:
-            full = f"{self.catalog}.{name}"
-            writer = df.writeTo(full).using("iceberg")
-            writer.createOrReplace()
+            self.iceberg_writer(df, name, partition_by, bucket_by).createOrReplace()
         else:
             out = df
             w = None
@@ -81,6 +79,29 @@ class TableStore:
         with open(self._manifest_path(name), "w") as f:
             json.dump(manifest, f, indent=1)
         return manifest
+
+    def iceberg_writer(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        bucket_by: tuple[int, str] | None = None,
+    ):
+        """Build the DataFrameWriterV2 for the Iceberg branch:
+        `writeTo(catalog.name).using("iceberg").partitionedBy(
+        bucket(N, col))` — the north_rule's `bucket(N, doc_id)`
+        partition transform. Split out so the writer construction is
+        contract-testable without an Iceberg runtime jar (this sandbox
+        ships none; see the TableStore docstring)."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        writer = df.writeTo(f"{self.catalog}.{name}").using("iceberg")
+        if bucket_by is not None:
+            n, col = bucket_by
+            writer = writer.partitionedBy(F.bucket(n, F.col(col)))
+        elif partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        return writer
 
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:

@@ -211,6 +211,27 @@ def synthesize(
     return docs, truth
 
 
+def with_event_ts(
+    docs: DataFrame,
+    start: str = "2026-01-01 00:00:00",
+    span_seconds: int = 3600,
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Attach a deterministic EVENT-TIME column derived from doc_id
+    (uniform over [start, start + span_seconds)) — the streaming
+    watermark anchors on this, never on processing time
+    (current_timestamp), so late-data semantics are real and testable.
+    Pure column expressions; same value for a doc on every engine run.
+    """
+    from pyspark.sql import functions as F
+
+    base = F.unix_timestamp(F.lit(start))
+    return docs.withColumn(
+        ts_col,
+        F.timestamp_seconds(base + F.pmod(F.xxhash64("doc_id"), F.lit(span_seconds))),
+    )
+
+
 def span_signature(df: DataFrame) -> DataFrame:
     """Per-row span-sequence signature for the invariant check
     (kind, text, media_ref, order) — BASELINE.json input_hint."""

@@ -181,8 +181,14 @@ def kmeans_auto(
     d = np.stack([np.sqrt(((v - c) ** 2).sum(1)) for c in centroids])
     assign_idx = np.argmin(d, axis=0)
     spark = points.sparkSession
+    import pandas as pd  # noqa: PLC0415
+
+    # Arrow path — a driver-side list of 200k Python tuples is exactly
+    # the copy the *_auto dispatches exist to avoid
     assigned = spark.createDataFrame(
-        [(int(i), vec.tolist(), int(c)) for i, vec, c in zip(ids, v, assign_idx)],
+        pd.DataFrame(
+            {"id": ids, "vec": list(v), "cluster": assign_idx.astype("int32")}
+        ),
         "id long, vec array<double>, cluster int",
     )
     return assigned, centroids

@@ -32,11 +32,13 @@ RAW_TRIPLES_SCHEMA = (
 )
 
 
-def explode_spans(docs: DataFrame) -> DataFrame:
+def explode_spans(docs: DataFrame, carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """documents(doc_id, spans[]) -> one row per span, order preserved
-    via posexplode (the span-sequence invariant's `order`)."""
+    via posexplode (the span-sequence invariant's `order`).
+    ``carry_cols``: extra doc-level columns to propagate onto every
+    span row (e.g. the event-time column for streaming)."""
     return docs.select(
-        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+        "doc_id", *carry_cols, F.posexplode("spans").alias("span_idx", "span")
     ).select(
         "doc_id",
         "span_idx",
@@ -44,6 +46,7 @@ def explode_spans(docs: DataFrame) -> DataFrame:
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
+        *carry_cols,
     )
 
 
@@ -54,19 +57,28 @@ def _stable_mention_id(doc_id: str, span_idx: int, start: int) -> int:
     return ((h << 31) ^ zlib.crc32(f"{start}|{doc_id}".encode())) & 0x7FFFFFFFFFFFFFFF
 
 
-def detect_mentions(spans: DataFrame) -> DataFrame:
+def detect_mentions(spans: DataFrame, ts_col: str | None = None) -> DataFrame:
     """Text spans -> (doc_id, span_idx, mention_id, surface, start).
 
     mention_id is content-derived (hash of doc/span/char-start), never
     monotonically_increasing_id — stable under re-partitioning and
-    checkpoint resume.
+    checkpoint resume. ``ts_col`` names a timestamp column to carry
+    through onto every mention (streaming event time).
     """
-    text_spans = spans.where(F.col("kind") == "text").select("doc_id", "span_idx", "text")
+    cols = ["doc_id", "span_idx", "text"] + ([ts_col] if ts_col else [])
+    text_spans = spans.where(F.col("kind") == "text").select(*cols)
+    schema = MENTIONS_SCHEMA + (f", {ts_col} timestamp" if ts_col else "")
 
     def find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("doc_id", "span_idx", "mention_id", "surface", "start")}
-            for doc_id, span_idx, text in zip(pdf["doc_id"], pdf["span_idx"], pdf["text"]):
+            keys = ["doc_id", "span_idx", "mention_id", "surface", "start"] + (
+                [ts_col] if ts_col else []
+            )
+            out = {k: [] for k in keys}
+            ts_vals = pdf[ts_col] if ts_col else None
+            for i, (doc_id, span_idx, text) in enumerate(
+                zip(pdf["doc_id"], pdf["span_idx"], pdf["text"])
+            ):
                 if not text:
                     continue
                 for m in MENTION_RE.finditer(text):
@@ -75,9 +87,11 @@ def detect_mentions(spans: DataFrame) -> DataFrame:
                     out["mention_id"].append(_stable_mention_id(doc_id, int(span_idx), m.start()))
                     out["surface"].append(m.group(0))
                     out["start"].append(m.start())
+                    if ts_col:
+                        out[ts_col].append(ts_vals.iloc[i])
             yield pd.DataFrame(out)
 
-    return text_spans.mapInPandas(find, MENTIONS_SCHEMA)
+    return text_spans.mapInPandas(find, schema)
 
 
 def extract_raw_triples(spans: DataFrame) -> DataFrame:

@@ -70,3 +70,85 @@ def test_streaming_extraction(spark, tmp_path):
     got = spark.read.parquet(out)
     # streaming output == batch output
     assert got.count() == truth.count()
+
+
+def test_mention_counts_event_time_late_drop(spark, tmp_path):
+    """Watermark semantics on REAL event time: a row arriving more than
+    `watermark` behind the max seen event time is dropped; on-time rows
+    keep aggregating (VERDICT.md round-1 'what's missing' #4)."""
+    import datetime as dt
+    import time
+
+    from simkit_spark.streaming import mention_counts
+
+    schema = (
+        "doc_id string, "
+        "spans array<struct<kind:string, text:string, media_ref:string, offset:int>>, "
+        "event_ts timestamp"
+    )
+
+    def doc(doc_id, surface, ts):
+        return (doc_id, [("text", f"{surface} acquired Target.", None, 0)], ts)
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    src = str(tmp_path / "src")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)  # distinct mtimes -> deterministic file order
+
+    # batch 1: three Alpha mentions in window [10:00, 10:10) plus one
+    # Omega at 10:25 that advances the watermark to 10:15
+    write_batch(
+        [
+            doc("d1", "Alpha", t0 + dt.timedelta(minutes=1)),
+            doc("d2", "Alpha", t0 + dt.timedelta(minutes=3)),
+            doc("d3", "Alpha", t0 + dt.timedelta(minutes=5)),
+            doc("d4", "Omega", t0 + dt.timedelta(minutes=25)),
+        ]
+    )
+    # batch 2: filler — since SPARK-42376 the LATE-EVENT filter uses the
+    # PREVIOUS batch's watermark (eviction uses the current one), so the
+    # 10:15 watermark only starts dropping late rows one batch later
+    write_batch([doc("d5", "Omega", t0 + dt.timedelta(minutes=26))])
+    # batch 3: one LATE Alpha at 10:05 (behind the 10:15 late-event
+    # watermark -> dropped) and one on-time Alpha at 10:27
+    write_batch(
+        [
+            doc("d6", "Alpha", t0 + dt.timedelta(minutes=5)),
+            doc("d7", "Alpha", t0 + dt.timedelta(minutes=27)),
+        ]
+    )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    counts = mention_counts(stream, ts_col="event_ts", watermark="10 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("mc_late")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql("select window.start as ws, surface, count from mc_late").collect()
+    w1 = [r for r in rows if r["ws"] == t0 and r["surface"] == "Alpha"]
+    # late d6 dropped: window [10:00,10:10) never reports 4
+    assert w1, rows
+    assert max(r["count"] for r in w1) == 3, rows
+    w2 = [
+        r
+        for r in rows
+        if r["ws"] == t0 + dt.timedelta(minutes=20) and r["surface"] == "Alpha"
+    ]
+    # on-time d7 lands in [10:20,10:30)
+    assert w2 and max(r["count"] for r in w2) == 1, rows
+    # the drop is visible in the operator metrics too
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped >= 1
