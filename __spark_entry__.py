@@ -314,6 +314,26 @@ def _bpe_tokens(spark, sf_dir):
     )
 
 
+def _quality_filter(spark, sf_dir):
+    from simkit_spark.functions.text import quality_filter
+
+    return quality_filter(_docs(spark, sf_dir))
+
+
+def _corpus_stats(spark, sf_dir):
+    from simkit_spark.functions.text import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
+def _neardup_resolve(spark, sf_dir):
+    from simkit_spark.functions.dedup import neardup_resolve
+
+    return neardup_resolve(_docs(spark, sf_dir), tau=0.6).select(
+        "doc_id", "keep_doc_id", F.col("cluster_size").cast("long").alias("cluster_size")
+    )
+
+
 def _pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -481,7 +501,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _pricing_summary,
         "top_customers": _top_customers,
         "events_hourly": _events_hourly,
+        "quality_filter": _quality_filter,
+        "corpus_stats": _corpus_stats,
         # non-SQL-expressible (rows-only):
+        "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
         "kmeans_clusters": _kmeans_clusters,
         "connected_components_eps": _connected_components_eps,
@@ -771,6 +794,21 @@ SELECT doc_id,
   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]'))::BIGINT AS n_bpe_tokens
 FROM documents"""
 
+_QUALITY_FILTER_SQL = (
+    "WITH q AS (" + _QUALITY_SQL + """)
+SELECT doc_id FROM q
+WHERE n_tokens >= 5 AND n_tokens <= 100000
+  AND alpha_ratio >= 0.5 AND mean_token_len <= 15.0"""
+)
+
+_CORPUS_STATS_SQL = f"""
+SELECT lang, count(*)::BIGINT AS n_docs,
+  sum(tc)::BIGINT AS sum_tokens,
+  round(avg(tc), 6) AS avg_tokens,
+  sum(nc)::BIGINT AS sum_chars
+FROM (SELECT lang, {_TOKEN_COUNT_EXPR} AS tc, length(text) AS nc FROM documents)
+GROUP BY lang"""
+
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
   round(sum(l_quantity), 2) AS sum_qty,
@@ -833,6 +871,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _PRICING_SQL,
         "top_customers": _TOP_CUSTOMERS_SQL,
         "events_hourly": _EVENTS_SQL,
+        "quality_filter": _QUALITY_FILTER_SQL,
+        "corpus_stats": _CORPUS_STATS_SQL,
         # spectral_embedding / kmeans_clusters / connected_components_eps /
         # kg_triples: iterative, non-SQL-expressible -> rows-only check
     }

@@ -42,6 +42,11 @@ HEADLINE = [
     "events_sessionize",
     "bpe_tokens",
     "dbscan",
+    "eps_graph",
+    "silhouette_labels",
+    "quality_filter",
+    "corpus_stats",
+    "neardup_resolve",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

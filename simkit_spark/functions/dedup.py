@@ -123,6 +123,51 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def neardup_resolve(
+    docs: DataFrame,
+    tau: float = 0.6,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate RESOLUTION: (doc_id, keep_doc_id, cluster_size).
+
+    The actionable form of near-dup detection for a training corpus:
+    MinHash -> LSH band candidates -> exact shingle Jaccard >= tau ->
+    connected-components over the near-dup graph -> keeper = min doc_id
+    per cluster. Docs in no cluster keep themselves (cluster_size 1).
+    Everything up to the CC merge is the same banded plan as
+    minhash_band_pairs (no O(n^2)); the merge is the pointer-doubling
+    CC operator, size-dispatched."""
+    from ..operators.components import connected_components_auto
+
+    docs = docs.localCheckpoint()
+    sigs = minhash_signatures(docs, text_col, n_hashes, shingle_n)
+    cand = minhash_band_pairs(sigs, n_hashes, n_bands)
+    jac = ngram_jaccard_pairs(docs, cand, text_col, shingle_n)
+    edges = jac.where(F.col("jaccard") >= tau).select("src", "dst")
+    # doc_ids are strings; CC works on longs — map through a dictionary
+    ids = docs.select(F.col("doc_id")).distinct().select(
+        "doc_id", F.xxhash64("doc_id").alias("nid")
+    ).localCheckpoint()
+    e = (
+        edges.join(ids.withColumnRenamed("doc_id", "src"), "src")
+        .withColumnRenamed("nid", "src_id")
+        .join(ids.withColumnRenamed("doc_id", "dst"), "dst")
+        .withColumnRenamed("nid", "dst_id")
+        .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
+    )
+    comp = connected_components_auto(e, nodes=ids.select(F.col("nid").alias("id")))
+    mapped = ids.join(comp.withColumnRenamed("id", "nid"), "nid")
+    # keeper = lexicographically smallest doc_id in the component (the
+    # component id is a hash, not meaningful — resolve back to doc_ids)
+    keep = mapped.groupBy("component").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("cluster_size")
+    )
+    return mapped.join(keep, "component").select("doc_id", "keep_doc_id", "cluster_size")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, pairs: DataFrame, text_col: str = "text", shingle_n: int = 3
 ) -> DataFrame:

@@ -84,6 +84,9 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "id",
     vec_col: str = "vec",
+    quantizer: str = "lowid",
+    train_sample: int = 50_000,
+    seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine search.
 
@@ -114,8 +117,23 @@ def ivf_topk(
     if n_cells is None:
         n_cells = int(np.ceil(np.sqrt(n)))
     n_cells = max(1, min(n_cells, n))
-    cent_rows = pts.orderBy("id").limit(n_cells).collect()
-    cents = np.array([r["vec"] for r in cent_rows], dtype=np.float64)
+    if quantizer == "kmeans":
+        # trained coarse quantizer: k-means on a hash-sampled subset
+        # (balanced cells -> balanced inverted lists; the lowid
+        # quantizer stays the SQL-oracleable default)
+        sample = (
+            pts.orderBy(F.xxhash64(F.col("id"), F.lit(seed)), F.col("id"))
+            .limit(train_sample)
+        )
+        from ..operators.kmeans import kmeans_auto
+
+        _, cents = kmeans_auto(sample, k=n_cells, max_iter=10, seed=seed)
+        cents = np.asarray(cents, dtype=np.float64)
+    elif quantizer == "lowid":
+        cent_rows = pts.orderBy("id").limit(n_cells).collect()
+        cents = np.array([r["vec"] for r in cent_rows], dtype=np.float64)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r} (lowid | kmeans)")
     n_probe = min(n_probe, len(cents))
 
     def assign_fn(batches):

@@ -87,6 +87,48 @@ def add_bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_alpha_ratio: float = 0.5,
+    max_mean_token_len: float = 15.0,
+) -> DataFrame:
+    """Corpus quality gate: keep docs passing the standard pretraining
+    filters (token-count band, alpha-char ratio, mean token length).
+    Pure column predicates over quality_features — Catalyst pushes the
+    whole conjunction into the scan; at 100 TB this IS the first stage
+    of the pipeline, so it must stay a filter, never a collect."""
+    q = quality_features(docs, text_col)
+    return q.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("mean_token_len") <= max_mean_token_len)
+    ).select("doc_id")
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language corpus rollup: doc count, token sum/mean, char sum —
+    the dataset-card numbers, one partial+final hash aggregation."""
+    t = F.col(text_col)
+    return (
+        docs.select(
+            "lang",
+            token_count(t).alias("n_tok"),
+            F.length(t).alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Normalization fingerprint: lowercase, collapse whitespace, md5 —
     the exact-dedup key (rolling-hash document fingerprinting)."""

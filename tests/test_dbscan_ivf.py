@@ -150,3 +150,30 @@ def test_embedding_neardup_lsh_path_recall(spark):
     }
     assert lsh <= exact  # rescoring is exact -> no false positives
     assert len(lsh) >= 0.9 * len(exact)  # high recall on clustered data
+
+
+def test_ivf_trained_quantizer_recall(spark):
+    """quantizer='kmeans' must reach at least the lowid quantizer's
+    recall vs exact top-k on clustered data (trained cells align with
+    real structure)."""
+    import numpy as np
+    from simkit_spark.functions.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.RandomState(9)
+    rows, i = [], 0
+    for _ in range(10):
+        base = rng.randn(16)
+        for _ in range(20):
+            v = base + 0.3 * rng.randn(16)
+            rows.append((i, v.tolist()))
+            i += 1
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+
+    def pairs(res):
+        return {(r["src"], r["dst"]) for r in res.collect()}
+
+    exact = pairs(cosine_topk(df, k=5))
+    trained = pairs(ivf_topk(df, k=5, n_probe=2, quantizer="kmeans"))
+    lowid = pairs(ivf_topk(df, k=5, n_probe=2, quantizer="lowid"))
+    assert len(trained & exact) / len(exact) >= len(lowid & exact) / len(exact) - 0.05
+    assert len(trained & exact) / len(exact) >= 0.7

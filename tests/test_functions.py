@@ -104,3 +104,23 @@ def test_lsh_topk_recall(spark, vecs):
     approx = {(r["src"], r["dst"]) for r in lsh_topk(vecs, k=1, dim=16, n_planes=8, n_bands=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_neardup_resolve_clusters(spark):
+    """Near-dup resolution: shingle-similar docs collapse to one keeper
+    per cluster; unique docs keep themselves."""
+    from simkit_spark.functions.dedup import neardup_resolve
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        ("a1", base),
+        ("a2", base + " extra"),                      # near-dup of a1
+        ("b1", "completely different text about spark engines and parquet files"),
+        ("c1", "another unrelated document mentioning graphs laplacians and clusters"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: (r["keep_doc_id"], r["cluster_size"]) for r in
+           neardup_resolve(docs, tau=0.5).collect()}
+    assert out["a1"] == ("a1", 2) and out["a2"] == ("a1", 2)
+    assert out["b1"] == ("b1", 1)
+    assert out["c1"] == ("c1", 1)
