@@ -673,11 +673,16 @@ CASE WHEN {_TOKEN_COUNT_EXPR} <= 3 THEN [array_to_string({_LTOKENS}, ' ')]
      ELSE list_distinct(list_transform(range(0, {_TOKEN_COUNT_EXPR} - 3 + 1),
           i -> array_to_string({_LTOKENS}[i+1:i+3], ' '))) END"""
 
+# multiply-shift family over the base md5 hash — mirrors dedup._mix
+# (odd multiplier = permutation mod 2^32; one md5 per shingle)
+_MIX = "(s * (2*h + 1) + h * 2654435761) % 4294967296"
+
 _MINHASH_SQL = f"""
 WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+ss AS (SELECT doc_id, {_MD5_LONG.format(arg="shingle")} AS s FROM sh),
 hs AS (SELECT unnest(range(0, 16)) AS h),
-hv AS (SELECT doc_id, h, {_MD5_LONG.format(arg="concat(shingle, ':', h)")} AS hv FROM sh CROSS JOIN hs)
-SELECT doc_id, h::BIGINT AS h, min(hv) AS minhash FROM hv GROUP BY doc_id, h"""
+hv AS (SELECT doc_id, h, {_MIX} AS hv FROM ss CROSS JOIN hs)
+SELECT doc_id, h::BIGINT AS h, min(hv)::BIGINT AS minhash FROM hv GROUP BY doc_id, h"""
 
 
 def _simhash_sql():
@@ -694,8 +699,9 @@ SELECT doc_id, ({sim})::BIGINT AS simhash FROM agg"""
 
 _NEARDUP_SQL = f"""
 WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+ss AS (SELECT doc_id, {_MD5_LONG.format(arg="shingle")} AS s FROM sh),
 hs AS (SELECT unnest(range(0, 16)) AS h),
-hv AS (SELECT doc_id, h, {_MD5_LONG.format(arg="concat(shingle, ':', h)")} AS hv FROM sh CROSS JOIN hs),
+hv AS (SELECT doc_id, h, {_MIX} AS hv FROM ss CROSS JOIN hs),
 sig AS (SELECT doc_id, h, min(hv) AS minhash FROM hv GROUP BY doc_id, h),
 banded AS (
   SELECT doc_id, (h // 4)::INT AS band,

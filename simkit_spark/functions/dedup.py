@@ -28,6 +28,17 @@ def _md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _mix(s: Column, h) -> Column:
+    """h-th member of a multiply-shift hash family over [0, 2^32):
+    (s * (2h+1) + h * 2654435761) mod 2^32. Odd multipliers are
+    bijections mod 2^32, so each h permutes the base md5 hash — one md5
+    per shingle feeds all n_hashes minhash rows instead of n_hashes
+    md5s (the round-1 bench's #1 CPU sink). Plain BIGINT arithmetic, so
+    the DuckDB oracle computes bit-identical values."""
+    hh = F.lit(h) if isinstance(h, int) else h
+    return F.pmod(s * (hh * 2 + 1) + hh * F.lit(2654435761), F.lit(4294967296))
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(fp, keep_doc_id, n_dups): one row per distinct normalized text;
     keeper = min doc_id."""
@@ -56,20 +67,28 @@ def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
     """(doc_id, h: int in [0,n_hashes), minhash: bigint) — n_hashes rows
-    per doc: min over shingles of md5(shingle || ':' || h)."""
+    per doc: min over shingles of mix_h(md5(shingle)).
+
+    Plan shape: ONE md5 per (doc, shingle) row, then the n_hashes
+    family members as arithmetic columns aggregated in a single
+    groupBy(doc_id) (n_hashes min-columns, exploded afterwards) — no
+    n_hashes-fold row blowup, no crossJoin."""
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
+    ).select("doc_id", _md5_long(F.col("shingle")).alias("s"))
+    agg = sh.groupBy("doc_id").agg(
+        *[F.min(_mix(F.col("s"), h)).alias(f"m{h}") for h in range(n_hashes)]
     )
-    hs = sh.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("h"))
-    return (
-        sh.crossJoin(F.broadcast(hs))
-        .select(
-            "doc_id",
-            "h",
-            _md5_long(F.concat_ws(":", F.col("shingle"), F.col("h"))).alias("hv"),
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("minhash"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(h).cast("long").alias("h"), F.col(f"m{h}").alias("minhash")
+            )
+            for h in range(n_hashes)
+        ]
+    )
+    return agg.select("doc_id", F.explode(pairs).alias("e")).select(
+        "doc_id", "e.h", "e.minhash"
     )
 
 
