@@ -78,6 +78,20 @@ def main():
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
 
+    # warmup: spawn the python worker pool + JIT the codegen paths so
+    # the first timed query doesn't absorb one-time session cost (a
+    # cluster's executors are long-lived; cold-start is not the
+    # operator's cost)
+    import pandas as _pd
+
+    warm = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    warm.mapInPandas(lambda it: it, warm.schema.simpleString()[7:-1]).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     qs = entry_mod.queries()
     results: dict[str, float] = {}
     for name in HEADLINE:

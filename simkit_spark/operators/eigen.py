@@ -194,6 +194,11 @@ def eigensolve_auto(
     Pass ``symmetric=False`` for non-symmetric operators (directed-kNN
     graphs, "rw" laplacians) so the local path does not mirror the
     edge list (see eigen_local)."""
+    # materialize the edge list ONCE before the dispatch's
+    # count/collect actions — without this every action re-runs the
+    # whole upstream affinity chain (pairwise kernel + windows +
+    # laplacian), tripling the stage cost
+    edges = edges.localCheckpoint()
     if nodes is None:
         nodes = (
             edges.select(F.col("src").alias("id"))
