@@ -49,14 +49,12 @@ def _dist(spark: SparkSession, sf_dir: str, kernel: str, directed: bool = False)
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spectral clustering of the sf0.001 embeddings."""
     from simkit_spark.operators.eigen import eigensolve_auto
-    from simkit_spark.operators.graphs import mutual_knn_edges, symmetrize
-    from simkit_spark.operators.kernels import pairwise_distances
+    from simkit_spark.operators.graphs import mutual_knn_from_points, symmetrize
     from simkit_spark.operators.kmeans import kmeans_auto
     from simkit_spark.operators.laplacian import laplacian
 
     emb = _emb(spark, "/root/testdata/sf0.001")
-    dist = pairwise_distances(emb, "euclidean", n_blocks=4, directed=True)
-    lap = laplacian(symmetrize(mutual_knn_edges(dist, 15)), "sym")
+    lap = laplacian(symmetrize(mutual_knn_from_points(emb, 15)), "sym")
     x, _ = eigensolve_auto(lap, k=3, max_iter=40, tol=1e-7, seed=42)
     assigned, _ = kmeans_auto(x, k=3, max_iter=20, seed=42)
     return assigned.select("id", F.col("cluster").cast("long").alias("cluster"))
@@ -73,20 +71,18 @@ def _pairwise(kernel):
 
 
 def _knn_graph(spark, sf_dir):
-    d = _dist(spark, sf_dir, "euclidean", directed=True)
-    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
-    return (
-        d.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= KNN_K)
-        .select("src", "dst", F.col("rank").cast("long").alias("rank"))
-    )
+    from simkit_spark.operators.kernels import pairwise_topk
+
+    # per-block top-k kernel: the ranking shuffle carries n*B*k rows,
+    # never the n^2 directed pair space
+    t = pairwise_topk(_emb(spark, sf_dir), KNN_K, "euclidean")
+    return t.select("src", "dst", F.col("rank").cast("long").alias("rank"))
 
 
 def _mutual_knn(spark, sf_dir):
-    from simkit_spark.operators.graphs import mutual_knn_edges
+    from simkit_spark.operators.graphs import mutual_knn_from_points
 
-    d = _dist(spark, sf_dir, "euclidean", directed=True)
-    return mutual_knn_edges(d, TOPK).select("src", "dst")
+    return mutual_knn_from_points(_emb(spark, sf_dir), TOPK).select("src", "dst")
 
 
 def _eps_graph(spark, sf_dir):
@@ -98,38 +94,37 @@ def _eps_graph(spark, sf_dir):
 
 
 def _local_sigmas(spark, sf_dir):
-    from simkit_spark.operators.graphs import local_sigmas
+    from simkit_spark.operators.kernels import pairwise_topk
 
-    d = _dist(spark, sf_dir, "euclidean", directed=True)
-    return local_sigmas(d, SIGMA_K).select("id", F.round("sigma", 6).alias("sigma"))
+    t = pairwise_topk(_emb(spark, sf_dir), SIGMA_K, "euclidean")
+    return t.where(F.col("rank") == SIGMA_K).select(
+        F.col("src").alias("id"), F.round("dist", 6).alias("sigma")
+    )
 
 
 def _gaussian_affinity(spark, sf_dir):
-    from simkit_spark.operators.graphs import full_affinity
+    from simkit_spark.operators.graphs import full_affinity_from_points
 
-    d = _dist(spark, sf_dir, "euclidean", directed=True)
-    return full_affinity(d, SIGMA_K).select(
+    return full_affinity_from_points(_emb(spark, sf_dir), SIGMA_K).select(
         "src", "dst", F.round("weight", 6).alias("weight")
     )
 
 
 def _degrees_knn(spark, sf_dir):
-    from simkit_spark.operators.graphs import knn_edges
+    from simkit_spark.operators.graphs import knn_graph_from_points
     from simkit_spark.operators.laplacian import degrees
 
-    d = _dist(spark, sf_dir, "euclidean", directed=True)
-    return degrees(knn_edges(d, KNN_K)).select(
+    return degrees(knn_graph_from_points(_emb(spark, sf_dir), KNN_K)).select(
         "id", F.round("degree", 6).alias("degree")
     )
 
 
 def _laplacian(kind):
     def q(spark, sf_dir):
-        from simkit_spark.operators.graphs import knn_edges
+        from simkit_spark.operators.graphs import knn_graph_from_points
         from simkit_spark.operators.laplacian import laplacian
 
-        d = _dist(spark, sf_dir, "euclidean", directed=True)
-        return laplacian(knn_edges(d, KNN_K), kind).select(
+        return laplacian(knn_graph_from_points(_emb(spark, sf_dir), KNN_K), kind).select(
             "src", "dst", F.round("weight", 6).alias("weight")
         )
 
@@ -142,6 +137,8 @@ def _cosine_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), k=TOPK).select(
         "src", "dst", "cos", F.col("rank").cast("long").alias("rank")
     )
+
+
 
 
 def _nearest_centroid(spark, sf_dir):
@@ -238,11 +235,10 @@ def _neardup_jaccard(spark, sf_dir):
 
 
 def _laplacian_ad(spark, sf_dir):
-    from simkit_spark.operators.graphs import knn_edges
+    from simkit_spark.operators.graphs import knn_graph_from_points
     from simkit_spark.operators.laplacian import laplacian
 
-    d = _dist(spark, sf_dir, "euclidean", directed=True)
-    return laplacian(knn_edges(d, KNN_K), "ad").select(
+    return laplacian(knn_graph_from_points(_emb(spark, sf_dir), KNN_K), "ad").select(
         "src", "dst", F.round("weight", 6).alias("weight")
     )
 
@@ -383,11 +379,10 @@ def _events_hourly(spark, sf_dir):
 # ---- non-SQL-expressible (rows-only driver check; numpy-verified in tests/)
 def _spectral_embedding(spark, sf_dir):
     from simkit_spark.operators.eigen import eigensolve_auto
-    from simkit_spark.operators.graphs import mutual_knn_edges, symmetrize
+    from simkit_spark.operators.graphs import mutual_knn_from_points, symmetrize
     from simkit_spark.operators.laplacian import laplacian
 
-    d = _dist(spark, sf_dir, "euclidean", directed=True)
-    lap = laplacian(symmetrize(mutual_knn_edges(d, TOPK)), "sym")
+    lap = laplacian(symmetrize(mutual_knn_from_points(_emb(spark, sf_dir), TOPK)), "sym")
     x, _ = eigensolve_auto(lap, k=2, max_iter=30, tol=1e-6, seed=42)
     return x.select("id", F.col("vec")[0].alias("e0"), F.col("vec")[1].alias("e1"))
 
@@ -416,11 +411,10 @@ def _dbscan(spark, sf_dir):
 
 def _eigengap(spark, sf_dir):
     from simkit_spark.operators.eigen import eigengap_k, eigensolve_auto
-    from simkit_spark.operators.graphs import mutual_knn_edges, symmetrize
+    from simkit_spark.operators.graphs import mutual_knn_from_points, symmetrize
     from simkit_spark.operators.laplacian import laplacian
 
-    d = _dist(spark, sf_dir, "euclidean", directed=True)
-    lap = laplacian(symmetrize(mutual_knn_edges(d, TOPK)), "sym")
+    lap = laplacian(symmetrize(mutual_knn_from_points(_emb(spark, sf_dir), TOPK)), "sym")
     _, lam = eigensolve_auto(lap, k=8, max_iter=30, tol=1e-6, seed=42)
     k_opt = eigengap_k(lam)
     return spark.createDataFrame([(int(k_opt),)], "k_opt int")

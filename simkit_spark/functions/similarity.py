@@ -25,16 +25,17 @@ def cosine_topk(
     n_blocks: int | None = None,
 ) -> DataFrame:
     """(src, dst, cos, rank): the k most cosine-similar neighbors per
-    src; ties by dst id. Exact — every pair evaluated once via the
-    numpy block kernel, both orientations emitted."""
-    both = pairwise_distances(
-        emb, "cosine", id_col=id_col, vec_col=vec_col, n_blocks=n_blocks, directed=True
-    ).withColumnRenamed("dist", "cos")
-    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
-    return (
-        both.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("src", "dst", F.round("cos", 6).alias("cos"), "rank")
+    src; ties by dst id. Exact — per-block top-k kernel
+    (kernels.pairwise_topk): every pair is still evaluated, but only
+    n*B*k candidate rows reach the ranking shuffle instead of the n^2
+    directed edge list."""
+    from ..operators.kernels import pairwise_topk
+
+    t = pairwise_topk(
+        emb, k, "cosine", id_col=id_col, vec_col=vec_col, n_blocks=n_blocks, largest=True
+    )
+    return t.select(
+        "src", "dst", F.round(F.col("dist"), 6).alias("cos"), "rank"
     )
 
 

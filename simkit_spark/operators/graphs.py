@@ -101,6 +101,79 @@ def mutual_knn_edges(dist_edges: DataFrame, k: int) -> DataFrame:
     )
 
 
+def full_affinity_from_points(
+    emb: DataFrame,
+    sigma_k: int,
+    kernel: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Self-tuning Gaussian affinity straight from points: sigmas come
+    from the per-block top-k kernel (rank == sigma_k) and the pairwise
+    weights from the canonical (src < dst) block kernel — neither path
+    shuffles the directed n^2 edge list through a window (the round-1
+    sigma ranking did). Output identical to
+    full_affinity(pairwise_distances(emb, directed=True), sigma_k)."""
+    from .kernels import pairwise_distances, pairwise_topk
+
+    emb = emb.localCheckpoint()
+    sig = (
+        pairwise_topk(emb, sigma_k, kernel, id_col, vec_col)
+        .where(F.col("rank") == sigma_k)
+        .select(F.col("src").alias("id"), F.col("dist").alias("sigma"))
+    )
+    canon = pairwise_distances(emb, kernel, id_col=id_col, vec_col=vec_col)
+    return (
+        canon.join(sig.withColumnRenamed("id", "src").withColumnRenamed("sigma", "sig_s"), "src")
+        .join(sig.withColumnRenamed("id", "dst").withColumnRenamed("sigma", "sig_d"), "dst")
+        .select(
+            "src",
+            "dst",
+            F.exp(-(F.col("dist") * F.col("dist")) / (F.col("sig_s") * F.col("sig_d"))).alias(
+                "weight"
+            ),
+        )
+    )
+
+
+def knn_graph_from_points(
+    emb: DataFrame,
+    k: int,
+    kernel: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Directed kNN graph straight from points via the per-block top-k
+    kernel (kernels.pairwise_topk): each block task emits only its
+    per-src top-k, so the ranking shuffle carries n*B*k rows instead of
+    the n^2 directed pair space (the round-1 plan windowed the full
+    pairwise edge list). Identical output to
+    knn_edges(pairwise_distances(emb, directed=True), k)."""
+    from .kernels import pairwise_topk
+
+    t = pairwise_topk(emb, k, kernel, id_col, vec_col)
+    return t.select("src", "dst", F.lit(1.0).alias("weight"))
+
+
+def mutual_knn_from_points(
+    emb: DataFrame,
+    k: int,
+    kernel: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Mutual-kNN graph from points via the top-k kernel (see
+    knn_graph_from_points); same output as
+    mutual_knn_edges(pairwise_distances(emb, directed=True), k)."""
+    knn = knn_graph_from_points(emb, k, kernel, id_col, vec_col).select("src", "dst")
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        knn.join(rev, ["src", "dst"], "leftsemi")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
 def symmetrize(edges: DataFrame) -> DataFrame:
     """Canonical (src<dst) edges -> both orientations (the reference
     mirrors a[j][i] = a[i][j], MatrixCalculation.java:76-77)."""

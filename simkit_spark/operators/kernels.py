@@ -285,6 +285,112 @@ def _pairwise_numpy(
     return fan.groupBy("pa", "pb").applyInPandas(kfn, "src long, dst long, dist double")
 
 
+def pairwise_topk(
+    df: DataFrame,
+    k: int,
+    kernel: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    n_blocks: int | None = None,
+    largest: bool = False,
+    chunk: int = 2048,
+) -> DataFrame:
+    """Exact per-src top-k neighbors: (src, dst, dist, rank), rank
+    1..k ordered by (dist asc, dst asc) — or (dist desc, dst asc) with
+    ``largest=True`` for similarity kernels.
+
+    Scale shape: each block-pair task emits only its per-src top-k
+    (lexsorted by (dist, dst) inside numpy, so tie semantics match the
+    final ranking exactly); the global window then ranks n*B*k
+    candidate rows instead of the n^2 directed pair space. The global
+    top-k per src is always contained in the union of its per-block
+    top-k sets, so the result is identical to ranking the full
+    pairwise edge list (the round-1 plan)."""
+    if n_blocks is None:
+        n_blocks = auto_n_blocks(
+            df.count(), df.sparkSession.sparkContext.defaultParallelism
+        )
+    b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), b.alias("blk"))
+    lower = F.transform(
+        F.sequence(F.lit(0), F.col("blk")),
+        lambda i: F.struct(i.cast("int").alias("pa"), F.col("blk").alias("pb")),
+    )
+    upper = F.when(
+        F.col("blk") < F.lit(n_blocks - 1),
+        F.transform(
+            F.sequence(F.col("blk") + 1, F.lit(n_blocks - 1)),
+            lambda j: F.struct(F.col("blk").alias("pa"), j.cast("int").alias("pb")),
+        ),
+    ).otherwise(F.array().cast("array<struct<pa:int,pb:int>>"))
+    fan = tagged.select(
+        "id", "vec", "blk", F.explode(F.concat(lower, upper)).alias("bp")
+    ).select("id", "vec", "blk", F.col("bp.pa").alias("pa"), F.col("bp.pb").alias("pb"))
+    sign = -1.0 if largest else 1.0
+
+    def topk_rows(src_ids, dst_ids, d):
+        """per-row top-k of d (src x dst) by (sign*dist, dst id); emits
+        (src, dst, dist) arrays. Self-pairs must be pre-masked to inf."""
+        kk = min(k, d.shape[1])
+        order = np.lexsort(
+            (np.broadcast_to(dst_ids, d.shape), sign * d), axis=1
+        )[:, :kk]
+        rows_i = np.repeat(np.arange(d.shape[0]), kk)
+        cols = order.ravel()
+        keep = np.isfinite(d[rows_i, cols])
+        return src_ids[rows_i][keep], dst_ids[cols][keep], d[rows_i, cols][keep]
+
+    def kfn(key, pdf):
+        pa, pb = key
+        out = []
+        if pa == pb:
+            sub = pdf[pdf["blk"] == pa]
+            ids = sub["id"].to_numpy()
+            v = np.array(sub["vec"].tolist(), dtype=np.float64)
+            for lo in range(0, len(ids), chunk):
+                d = np_kernel(v[lo : lo + chunk], v, kernel)
+                # self-pair sentinel sorts LAST under either direction
+                d[ids[lo : lo + chunk, None] == ids[None, :]] = (
+                    -np.inf if largest else np.inf
+                )
+                s, t, dd = topk_rows(ids[lo : lo + chunk], ids, d)
+                out.append(pd.DataFrame({"src": s, "dst": t, "dist": dd}))
+        else:
+            asub = pdf[pdf["blk"] == pa]
+            bsub = pdf[pdf["blk"] == pb]
+            aids = asub["id"].to_numpy()
+            bids = bsub["id"].to_numpy()
+            if len(aids) and len(bids):
+                av = np.array(asub["vec"].tolist(), dtype=np.float64)
+                bv = np.array(bsub["vec"].tolist(), dtype=np.float64)
+                for lo in range(0, len(aids), chunk):
+                    d = np_kernel(av[lo : lo + chunk], bv, kernel)
+                    s, t, dd = topk_rows(aids[lo : lo + chunk], bids, d)
+                    out.append(pd.DataFrame({"src": s, "dst": t, "dist": dd}))
+                for lo in range(0, len(bids), chunk):
+                    d = np_kernel(bv[lo : lo + chunk], av, kernel)
+                    s, t, dd = topk_rows(bids[lo : lo + chunk], aids, d)
+                    out.append(pd.DataFrame({"src": s, "dst": t, "dist": dd}))
+        if not out:
+            return pd.DataFrame({"src": [], "dst": [], "dist": []})
+        return pd.concat(out, ignore_index=True)
+
+    cand = fan.groupBy("pa", "pb").applyInPandas(kfn, "src long, dst long, dist double")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    order = (
+        [F.col("dist").desc(), F.col("dst").asc()]
+        if largest
+        else [F.col("dist").asc(), F.col("dst").asc()]
+    )
+    w = Window.partitionBy("src").orderBy(*order)
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "dist", "rank")
+    )
+
+
 def pairwise_distances(
     df: DataFrame,
     kernel: str = "euclidean",

@@ -61,3 +61,61 @@ def test_tiny5_golden(spark, tiny5, kernel):
 def test_directed_doubles_pairs(spark, tiny5):
     e = pairwise_distances(tiny5, "euclidean", n_blocks=2, directed=True)
     assert e.count() == 20
+
+
+def test_pairwise_topk_matches_windowed_ranking(spark):
+    """The per-block top-k kernel must equal ranking the full directed
+    pairwise edge list — including tie semantics (dist, then dst)."""
+    import numpy as np
+    from pyspark.sql import Window, functions as F
+
+    from simkit_spark.operators.kernels import pairwise_distances, pairwise_topk
+
+    rng = np.random.RandomState(11)
+    # quantized coords force distance ties to exercise the dst-tiebreak
+    rows = [(i, (np.round(rng.randn(4), 1)).tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    for kernel, largest in (("euclidean", False), ("cosine", True)):
+        t = pairwise_topk(df, 7, kernel, n_blocks=5, largest=largest)
+        got = {(r["src"], r["rank"]): (r["dst"], round(r["dist"], 9)) for r in t.collect()}
+        d = pairwise_distances(df, kernel, n_blocks=5, directed=True)
+        order = (
+            [F.col("dist").desc(), F.col("dst").asc()]
+            if largest
+            else [F.col("dist").asc(), F.col("dst").asc()]
+        )
+        w = Window.partitionBy("src").orderBy(*order)
+        want = {
+            (r["src"], r["rank"]): (r["dst"], round(r["dist"], 9))
+            for r in d.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 7)
+            .collect()
+        }
+        assert got == want, kernel
+
+
+def test_from_points_graphs_match_edge_constructors(spark):
+    import numpy as np
+    from simkit_spark.operators.graphs import (
+        full_affinity,
+        full_affinity_from_points,
+        knn_edges,
+        knn_graph_from_points,
+        mutual_knn_edges,
+        mutual_knn_from_points,
+    )
+    from simkit_spark.operators.kernels import pairwise_distances
+
+    rng = np.random.RandomState(13)
+    rows = [(i, rng.randn(6).tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    d = pairwise_distances(df, "euclidean", n_blocks=4, directed=True)
+
+    def s(res):
+        return {(r["src"], r["dst"]) for r in res.select("src", "dst").collect()}
+
+    assert s(knn_graph_from_points(df, 5)) == s(knn_edges(d, 5))
+    assert s(mutual_knn_from_points(df, 8)) == s(mutual_knn_edges(d, 8))
+    got = {(r["src"], r["dst"]): round(r["weight"], 9) for r in full_affinity_from_points(df, 4).collect()}
+    want = {(r["src"], r["dst"]): round(r["weight"], 9) for r in full_affinity(d, 4).collect()}
+    assert got == want
