@@ -152,3 +152,32 @@ def test_mention_counts_event_time_late_drop(spark, tmp_path):
         if p["stateOperators"]
     )
     assert dropped >= 1
+
+
+def test_resize_and_frame_sample(spark):
+    from pyspark.sql import functions as F
+
+    from simkit_spark.corpus import synthesize
+    from simkit_spark.functions.multimodal import fetch_media, resize_media, sample_frames
+    from simkit_spark.pipeline.extract import explode_spans
+
+    docs, _ = synthesize(spark, n_docs=120, n_entities=30, seed=42)
+    media = fetch_media(explode_spans(docs).where(F.col("kind") != "text")).cache()
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert "video" in kinds and "image" in kinds
+
+    rs = resize_media(media, out_h=4, out_w=4)
+    rows = rs.collect()
+    assert rows and all(len(r["pixels"]) == 4 * 4 * 3 for r in rows)
+    assert {r["kind"] for r in rows} <= {"image", "video"}  # audio skipped
+
+    fr = sample_frames(media, n_frames=2)
+    frows = fr.collect()
+    n_videos = media.where(F.col("kind") == "video").count()
+    assert len(frows) == 2 * n_videos
+    assert all(len(r["frame"]) == 16 * 16 * 3 for r in frows)
+    # deterministic across partitionings
+    fr2 = sample_frames(media.repartition(7), n_frames=2)
+    assert {(r["doc_id"], r["span_idx"], r["frame_idx"]) for r in frows} == {
+        (r["doc_id"], r["span_idx"], r["frame_idx"]) for r in fr2.collect()
+    }

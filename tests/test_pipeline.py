@@ -129,3 +129,22 @@ def test_pipeline_resume_skips_stages(spark, corpus, tmp_path_factory):
     assert m1["ts"] == m2["ts"]  # not rewritten => stage skipped
     assert m1["content_hash"] == m2["content_hash"]
     assert out2["triples"].count() == out1["triples"].count()
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be value-identical to a plain join under a hot
+    key (the 'celebrity entity' case it exists for)."""
+    from simkit_spark.operators.skew import salted_join
+
+    large = spark.createDataFrame(
+        [(f"d{i}", "HotCo" if i % 10 else f"Rare{i}") for i in range(2000)],
+        "doc_id string, surface string",
+    )
+    small = spark.createDataFrame(
+        [("HotCo", 1)] + [(f"Rare{i}", i) for i in range(0, 2000, 10)],
+        "surface string, entity_id long",
+    )
+    got = salted_join(large, small, "surface", "doc_id", n_salt=8).collect()
+    want = large.join(small, "surface").collect()
+    key = lambda r: (r["doc_id"], r["surface"], r["entity_id"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
