@@ -24,6 +24,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime64"):
+            # pandas resolution (ns vs us) is a representation detail,
+            # not a value difference — the driver hashes values only
+            df[c] = df[c].astype("datetime64[ns]")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
