@@ -40,6 +40,16 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
         return issues
     g, w = normalize(got), normalize(want)
     for c in g.columns:
+        # the driver hashes TYPED values: an int64 column vs a float64
+        # column hash-mismatches even when every value is numerically
+        # equal (the round-1 events_sessionize red cell) — flag it
+        gk = "datetime" if str(g[c].dtype).startswith("datetime") else g[c].dtype.kind
+        wk = "datetime" if str(w[c].dtype).startswith("datetime") else w[c].dtype.kind
+        if gk != wk and {gk, wk} <= {"i", "u", "f"}:
+            issues.append(
+                f"col {c}: dtype kind mismatch {g[c].dtype} vs {w[c].dtype} "
+                "(driver value-hash WILL differ even if values match)"
+            )
         if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(w[c].dtype, np.floating):
             a = g[c].astype(float).to_numpy()
             b = w[c].astype(float).to_numpy()
