@@ -148,3 +148,26 @@ def test_salted_join_matches_plain_join(spark):
     want = large.join(small, "surface").collect()
     key = lambda r: (r["doc_id"], r["surface"], r["entity_id"])
     assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_pipeline_prf_gate_distributed_link(spark, corpus):
+    """The DISTRIBUTED linking path (LSH buckets -> similarity edges ->
+    CC -> spectral refine via applyInPandas) must hit the same P/R gate
+    as the driver-local dispatch the other tests exercise."""
+    from simkit_spark.pipeline.embed import embed_distinct_surfaces
+    from simkit_spark.pipeline.link import link_entities
+    from simkit_spark.pipeline.materialize import resolve_triples
+
+    docs, truth = corpus
+    spans = explode_spans(docs)
+    mentions = detect_mentions(spans)
+    raw = extract_raw_triples(spans)
+    surfaces = embed_distinct_surfaces(mentions)
+    emap = link_entities(surfaces, mentions, 256, 0.65, 42, local_threshold=0)
+    triples = resolve_triples(raw, emap, use_salting=True)
+    vocab = build_vocab(60, 42)
+    alias_rows = [(a, v["canonical"]) for v in vocab for a in v["aliases"]]
+    alias_map = spark.createDataFrame(alias_rows, "surface string, canonical string")
+    prf = triple_prf(triples, truth, alias_map)
+    assert prf["precision"] >= 0.95, prf
+    assert prf["recall"] >= 0.95, prf

@@ -1,0 +1,67 @@
+"""Hypothesis property tests: kernel math invariants and the SQL-vs-
+numpy implementation equivalence on random vectors (the two impls must
+agree to float tolerance for EVERY kernel, not just the fixtures)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from simkit_spark.operators.kernels import KERNELS, SIMILARITY_KERNELS, np_kernel
+
+vec = st.lists(
+    st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+    min_size=4,
+    max_size=4,
+)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(a=vec, b=vec)
+@pytest.mark.parametrize("kernel", KERNELS)
+def test_kernel_math_properties(kernel, a, b):
+    if kernel in ("jaccard", "bray_curtis"):
+        # weighted Jaccard / Bray-Curtis are abundance measures: their
+        # range invariants only hold on the non-negative domain (the
+        # reference computes the identical formula and shares this
+        # domain restriction — hypothesis found the counterexamples)
+        a = [abs(x) for x in a]
+        b = [abs(x) for x in b]
+    a = np.array([a]); b = np.array([b])
+    d_ab = float(np_kernel(a, b, kernel)[0, 0])
+    d_ba = float(np_kernel(b, a, kernel)[0, 0])
+    assert d_ab == pytest.approx(d_ba, rel=1e-12, abs=1e-12)  # symmetry
+    assert np.isfinite(d_ab)
+    d_aa = float(np_kernel(a, a, kernel)[0, 0])
+    if kernel in SIMILARITY_KERNELS:
+        assert d_ab <= 1.0 + 1e-12
+        if np.linalg.norm(a) > 0:
+            assert d_aa == pytest.approx(1.0, abs=1e-9)  # self-similarity
+    else:
+        assert d_ab >= -1e-12  # non-negativity
+        assert abs(d_aa) < 1e-9  # identity
+
+
+def test_sql_impl_matches_numpy_impl(spark):
+    """impl='sql' (codegen fold) and impl='numpy' (block kernel) must
+    agree on random data for every kernel."""
+    from pyspark.sql import functions as F
+
+    from simkit_spark.operators.kernels import pairwise_distances
+
+    rng = np.random.RandomState(21)
+    rows = [(i, np.round(rng.randn(6) * 3, 3).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    for kernel in KERNELS:
+        a = {
+            (r["src"], r["dst"]): r["dist"]
+            for r in pairwise_distances(df, kernel, n_blocks=3, impl="numpy").collect()
+        }
+        b = {
+            (r["src"], r["dst"]): r["dist"]
+            for r in pairwise_distances(df, kernel, n_blocks=3, impl="sql").collect()
+        }
+        assert a.keys() == b.keys(), kernel
+        assert all(abs(a[k] - b[k]) < 1e-9 for k in a), kernel
