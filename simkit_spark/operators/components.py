@@ -17,6 +17,7 @@ replacement.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..util import materialize
 
 
 def connected_components_auto(
@@ -40,7 +41,7 @@ def connected_components_auto(
             .union(edges.select(F.col("dst").alias("id")))
             .distinct()
         )
-    nodes = nodes.localCheckpoint()
+    nodes = materialize(nodes)
     n_edges = edges.count()
     if n_edges > local_threshold:
         return connected_components(edges, nodes, max_iter)
@@ -85,8 +86,8 @@ def connected_components(
     )
     if nodes is None:
         nodes = sym.select(F.col("src").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
-    sym = sym.localCheckpoint()
+    labels = materialize(nodes.select("id", F.col("id").alias("component")))
+    sym = materialize(sym)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -106,7 +107,7 @@ def connected_components(
         new_labels = (
             stepped.join(parent, "component", "left")
             .select("id", F.coalesce("grand", "component").alias("component"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         changed = (
             new_labels.join(

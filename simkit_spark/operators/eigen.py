@@ -27,6 +27,7 @@ import math
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
+from ..util import materialize
 
 
 def _matvec(edges: DataFrame, v: DataFrame, k: int, shift: float = 0.0) -> DataFrame:
@@ -126,7 +127,7 @@ def eigensolve(
     """
     # The edge list is read once per sweep — materialize it (in prod this
     # is the persisted affinity stage table; here localCheckpoint).
-    edges = edges.localCheckpoint()
+    edges = materialize(edges)
     if nodes is None:
         nodes = edges.select(F.col("src").alias("id")).union(
             edges.select(F.col("dst").alias("id"))
@@ -139,7 +140,7 @@ def eigensolve(
         .collect()[0]["m"]
         or 1.0
     )
-    v = _init_v(nodes, k, seed).localCheckpoint()
+    v = materialize(_init_v(nodes, k, seed))
     prev = None
     for it in range(max_iter):
         y = _matvec(edges, v, k, shift=rho)
@@ -155,7 +156,7 @@ def eigensolve(
             # break lineage every other sweep: the gram job re-runs the
             # matvec chain since the last checkpoint, so its cost grows
             # linearly with the window (measured 0.3s -> 2.5s at 4)
-            v = v.localCheckpoint()
+            v = materialize(v)
         # Free Ritz estimate: A' PSD => singular values of Y == Ritz
         # values of A' on span(V); sqrt(eig(G)) needs no extra job.
         lam = np.sqrt(np.clip(np.sort(np.linalg.eigvalsh(g)), 0.0, None)) - rho
@@ -164,7 +165,7 @@ def eigensolve(
         prev = lam
     # Final Ritz rotation: align columns with eigenvectors of the small
     # projected operator, ascending eigenvalue order.
-    v = v.localCheckpoint()
+    v = materialize(v)
     y = _matvec(edges, v, k, shift=rho)
     b = _cross_gram(v, y, k)
     b = (b + b.T) / 2.0
@@ -198,14 +199,14 @@ def eigensolve_auto(
     # count/collect actions — without this every action re-runs the
     # whole upstream affinity chain (pairwise kernel + windows +
     # laplacian), tripling the stage cost
-    edges = edges.localCheckpoint()
+    edges = materialize(edges)
     if nodes is None:
         nodes = (
             edges.select(F.col("src").alias("id"))
             .union(edges.select(F.col("dst").alias("id")))
             .distinct()
         )
-    nodes = nodes.localCheckpoint()
+    nodes = materialize(nodes)
     n = nodes.count()
     if n > local_threshold:
         return eigensolve(edges, nodes, k, max_iter, tol, seed)

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..operators.components import connected_components_auto
+from ..util import materialize
 from .refine import (
     DEFAULT_MIN_SIZE,
     DEFAULT_NCUT_MAX,
@@ -307,7 +308,7 @@ def link_entities(
     Distinct-surface sets under ``local_threshold`` link driver-locally
     (see link_entities_local); above it, the distributed LSH path runs.
     """
-    surfaces = surfaces.localCheckpoint()
+    surfaces = materialize(surfaces)
     if surfaces.count() <= local_threshold:
         return link_entities_local(
             surfaces, mentions, dim, tau, seed,
@@ -316,7 +317,7 @@ def link_entities(
             refine_ncut_max=refine_ncut_max,
         )
     pairs = candidate_pairs(surfaces, dim, seed=seed)
-    edges = similarity_edges(surfaces, pairs, tau).localCheckpoint()
+    edges = materialize(similarity_edges(surfaces, pairs, tau))
     comp = connected_components_auto(
         edges.select("src", "dst"),
         nodes=surfaces.select(F.col("surface_id").alias("id")),

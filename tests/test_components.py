@@ -32,3 +32,32 @@ def test_isolated_nodes_kept(spark):
     nodes = spark.createDataFrame([(0,), (1,), (9,)], "id long")
     labels = {r["id"]: r["component"] for r in connected_components(edges, nodes).collect()}
     assert labels == {0: 0, 1: 0, 9: 9}
+
+
+def test_reliable_checkpoint_used_when_configured(spark, tmp_path):
+    """With a reliable checkpoint dir set, iterative operators must use
+    checkpoint() (fault-tolerant) instead of executor-resident
+    localCheckpoint — one lost executor must not kill iteration 39."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from simkit_spark.operators.components import connected_components
+
+    ckdir = str(tmp_path / "reliable_ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    try:
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 200, 2)] + [(i, i + 2) for i in range(0, 100, 2)],
+            "src long, dst long",
+        )
+        comp = connected_components(edges, max_iter=20)
+        assert comp.count() > 0
+        # reliable checkpoint files actually landed on disk
+        found = any(files for _, _, files in os.walk(ckdir))
+        assert found, "no reliable checkpoint files written"
+    finally:
+        # clear the dir so later tests go back to localCheckpoint
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.empty()
+        )
