@@ -65,11 +65,30 @@ def lsh_topk(
     )
     va = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("vec_a"))
     vb = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vec_b"))
-    scored = (
-        cand.join(va, "src")
-        .join(vb, "dst")
-        .select("src", "dst", distance_expr(F.col("vec_a"), F.col("vec_b"), "cosine").alias("cos"))
-    )
+    joined = cand.join(va, "src").join(vb, "dst")
+
+    def cos_batch(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            av = np.array(pdf["vec_a"].tolist(), dtype=np.float64)
+            bv = np.array(pdf["vec_b"].tolist(), dtype=np.float64)
+            dot = np.einsum("ij,ij->i", av, bv)
+            na = np.sqrt(np.einsum("ij,ij->i", av, av))
+            nb = np.sqrt(np.einsum("ij,ij->i", bv, bv))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.where((na == 0.0) | (nb == 0.0), 0.0, dot / (na * nb))
+            yield pd.DataFrame(
+                {"src": pdf["src"].to_numpy(), "dst": pdf["dst"].to_numpy(), "cos": c}
+            )
+
+    # Arrow-batched rescore (the SQL fold over two wide arrays per pair
+    # is JVM-allocation-bound at ~10x the cost; same tradeoff as
+    # pipeline.link.similarity_edges)
+    scored = joined.mapInPandas(cos_batch, "src long, dst long, cos double")
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -254,20 +273,29 @@ def assign_nearest_centroid(
     id_col: str = "id",
     vec_col: str = "vec",
 ) -> DataFrame:
-    """(id, centroid_id, dist): nearest centroid per point — broadcast
-    join + min_by (ties -> lowest centroid_id, reference argmin scan
-    semantics, Unsupervised.java:494-536)."""
-    c = centroids.select(
-        F.col("centroid_id"), F.col("cvec")
-    )
-    scored = emb.crossJoin(F.broadcast(c)).select(
+    """(id, centroid_id, dist): nearest centroid per point — the k
+    centroids are collected (tiny by contract) and the argmin becomes
+    ONE map-side projection: array_min over (dist, centroid_id)
+    structs, ties -> lowest centroid_id (reference argmin scan
+    semantics, Unsupervised.java:494-536). Zero shuffle — the round-1
+    crossJoin + per-id window moved n*k rows through an exchange for
+    an operation every row can decide alone."""
+    cents = centroids.select("centroid_id", "cvec").collect()
+    structs = [
+        F.struct(
+            F.round(
+                distance_expr(
+                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in r["cvec"]]), kernel
+                ),
+                6,
+            ).alias("dist"),
+            F.lit(r["centroid_id"]).cast("long").alias("centroid_id"),
+        )
+        for r in sorted(cents, key=lambda r: r["centroid_id"])
+    ]
+    best = F.array_min(F.array(*structs))
+    return emb.select(
         F.col(id_col).alias("id"),
-        "centroid_id",
-        F.round(distance_expr(F.col(vec_col), F.col("cvec"), kernel), 6).alias("dist"),
-    )
-    w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "centroid_id", "dist")
+        best["centroid_id"].alias("centroid_id"),
+        best["dist"].alias("dist"),
     )
