@@ -85,6 +85,37 @@ def knn_edges(dist_edges: DataFrame, k: int) -> DataFrame:
     )
 
 
+def knn_edges_value_match(dist_edges: DataFrame, k: int) -> DataFrame:
+    """VALUE-match kNN variant — the reference's other kNN
+    (`ReadCsvTestData.calculateKNN:223-235` + `calculateKNNGraph:
+    327-346`): row i's threshold set is the k smallest entries of the
+    sorted row INCLUDING the self-distance 0, and an edge exists iff
+    its distance VALUE is in that set. Equivalent closed form: keep
+    every neighbor with dist <= the (k-1)-th smallest neighbor
+    distance — so duplicate distances can yield MORE than k neighbors
+    (the tie quirk that separates it from the index-based variant;
+    SURVEY.md §7.4.3). Directed, weight 1.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if k == 1:
+        # threshold set is {0.0}: only exact-duplicate points connect
+        return dist_edges.where(F.col("dist") <= 0.0).select(
+            "src", "dst", F.lit(1.0).alias("weight")
+        )
+    w = Window.partitionBy("src").orderBy(F.col("dist").asc(), F.col("dst").asc())
+    thresh = (
+        dist_edges.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == k - 1)
+        .select("src", F.col("dist").alias("thresh"))
+    )
+    return (
+        dist_edges.join(thresh, "src")
+        .where(F.col("dist") <= F.col("thresh"))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
 def mutual_knn_edges(dist_edges: DataFrame, k: int) -> DataFrame:
     """a_ij = 1 iff j in kNN(i) AND i in kNN(j)
     (ReadCsvTestData.java:363-384 calculateMutualKNNGraph — implemented

@@ -151,3 +151,43 @@ def test_laplacian_sym_knn_golden(dist):
 def test_laplacian_rw_knn_golden(dist):
     got = as_matrix(laplacian(_knn_adj(dist), "rw").collect())
     assert_matrix(got, LAP_RW_KNN)
+
+
+def test_knn_value_match_variant(spark):
+    """Value-match kNN (calculateKNN + calculateKNNGraph) vs a direct
+    local replica of the Java code, on data with duplicate distances —
+    the tie case where it diverges from index-based kNN by including
+    MORE than k neighbors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from simkit_spark.operators.graphs import knn_edges, knn_edges_value_match
+    from simkit_spark.operators.kernels import pairwise_distances
+
+    # grid points -> many duplicate pairwise distances
+    pts = [(i, [float(i % 4), float(i // 4)]) for i in range(16)]
+    df = spark.createDataFrame(pts, "id long, vec array<double>")
+    d = pairwise_distances(df, "euclidean", n_blocks=2, directed=True)
+    k = 3
+    got = {(r["src"], r["dst"]) for r in knn_edges_value_match(d, k).collect()}
+
+    # local replica of the Java semantics
+    P = np.array([p[1] for p in pts])
+    D = np.sqrt(((P[:, None] - P[None]) ** 2).sum(-1))
+    want = set()
+    for i in range(16):
+        vals = np.sort(D[i])[:k]  # includes self 0.0
+        for j in range(16):
+            if j != i and D[i][j] in vals:
+                want.add((i, j))
+    assert got == want
+    # the tie quirk vs index-based kNN: value-match includes ALL ties at
+    # the threshold (an interior grid point gets 4 distance-1 neighbors
+    # for k=3) but EXCLUDES the index variant's arbitrary tie winners
+    # beyond the threshold value — the two sets genuinely diverge
+    idx = {(r["src"], r["dst"]) for r in knn_edges(d, k).collect()}
+    assert idx != got
+    from collections import Counter
+
+    per_src = Counter(s for s, _ in got)
+    assert max(per_src.values()) > k  # ties expand past k
