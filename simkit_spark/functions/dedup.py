@@ -93,11 +93,20 @@ def minhash_signatures(
 
 
 def minhash_band_pairs(
-    signatures: DataFrame, n_hashes: int = 16, n_bands: int = 4
+    signatures: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become
     candidate pairs (src < dst). Band key = md5 of the concatenated
-    band signature (portable)."""
+    band signature (portable).
+
+    ``max_bucket`` drops band buckets larger than the cap before the
+    self-join — the no-silent-quadratic guard for degenerate corpora
+    (e.g. millions of identical boilerplate docs share every band and
+    would otherwise produce a quadratic bucket). None (default) keeps
+    exact oracle parity; set it at scale."""
     rows_per_band = n_hashes // n_bands
     banded = (
         signatures.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
@@ -108,6 +117,14 @@ def minhash_band_pairs(
             )
         )
     )
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "band_key")
+            .count()
+            .where(F.col("count") <= max_bucket)
+            .select("band", "band_key")
+        )
+        banded = banded.join(ok, ["band", "band_key"], "leftsemi")
     a = banded.select("band", "band_key", F.col("doc_id").alias("src"))
     b = banded.select("band", "band_key", F.col("doc_id").alias("dst"))
     return (
