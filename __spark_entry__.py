@@ -453,7 +453,7 @@ def _kg_triples(spark, sf_dir):
     mentions = detect_mentions(spans)
     raw = extract_raw_triples(spans)
     surfaces = embed_distinct_surfaces(mentions)
-    emap = link_entities(surfaces, mentions, 256, 0.65, 42)
+    emap = link_entities(surfaces, mentions, 256, 0.75, 42)
     t = resolve_triples(raw, emap, use_salting=False)
     return t.select("subj", "pred", "obj").distinct()
 

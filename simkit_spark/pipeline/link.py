@@ -33,6 +33,50 @@ from .refine import (
 )
 
 
+def lsh_params(
+    n: int,
+    tau_design: float = 0.9,
+    recall: float = 0.9,
+) -> tuple[int, int]:
+    """(n_planes, n_bands) sized to the distinct-surface count.
+
+    A FIXED band layout cannot scale: 4-bit bands have 16 buckets per
+    band, so at 25k surfaces every bucket holds ~1.5k rows and the
+    band self-join emits ~78M candidate pairs (measured — the linking
+    stage stops being sub-quadratic exactly when the distributed path
+    takes over). Standard LSH sizing instead: band width rpb grows
+    with log2(n) so random-pair collisions keep candidate volume
+    near-linear, and the band count b restores recall for true alias
+    pairs (cos >= tau_design, bit-agreement p1 = 1 - arccos(tau)/pi):
+    recall = 1 - (1 - p1^rpb)^b. tau_design targets ALIAS-level
+    similarity (~0.9 after surface normalization) rather than the tau
+    threshold floor — borderline pairs near the floor are exactly the
+    noisy edges spectral refinement exists to resist, so buying their
+    recall with 10x the candidate volume is the wrong trade (measured:
+    rpb designed at tau 0.8 over-generated 115 candidates per true
+    edge at 25k surfaces; the rescore is memory-bandwidth-bound, so
+    candidate volume IS the linking cost).
+
+    Below the 20k local-dispatch threshold the layout pins to the
+    round-1 (16, 4) so small-corpus behavior (and every fixture) is
+    bit-identical; pairs near the tau floor get lower recall at scale
+    by design — those are the noisy edges spectral refinement exists
+    to resist.
+    """
+    if n <= 20_000:
+        return 16, 4
+    p1 = 1.0 - np.arccos(min(tau_design, 1.0)) / np.pi
+    # rpb tracks log2(n)+1 (clamped) so random collisions stay
+    # near-linear; past n ~ 2^23 the fixed 32-band budget progressively
+    # narrows recall to the highest-similarity pairs — the standard
+    # single-probe LSH tradeoff (multi-probe or more bands buys it
+    # back with more compute)
+    rpb = int(np.clip(round(np.log2(max(n, 2))) + 1, 12, 24))
+    hit = p1 ** rpb
+    b = int(np.clip(np.ceil(np.log(1.0 - recall) / np.log(1.0 - hit)), 4, 32))
+    return rpb * b, b
+
+
 def lsh_signatures(
     emb: DataFrame,
     dim: int,
@@ -68,17 +112,22 @@ def lsh_signatures(
 def candidate_pairs(
     emb: DataFrame,
     dim: int,
-    n_planes: int = 16,
-    n_bands: int = 4,
+    n_planes: int | None = None,
+    n_bands: int | None = None,
     seed: int = 42,
     max_bucket: int = 2000,
     id_col: str = "surface_id",
 ) -> DataFrame:
     """LSH-bucket self-join -> distinct candidate (src, dst) pairs,
-    src < dst. Buckets larger than max_bucket are dropped with the cap
-    logged into the plan (a stop-word-like surface that collides with
-    everything would otherwise create a quadratic bucket — the cap is
-    the explicit 'no silent quadratic' guard)."""
+    src < dst. Band layout auto-sizes from the row count when not given
+    (lsh_params). Buckets larger than max_bucket are dropped with the
+    cap logged into the plan (a stop-word-like surface that collides
+    with everything would otherwise create a quadratic bucket — the
+    cap is the explicit 'no silent quadratic' guard)."""
+    if n_planes is None or n_bands is None:
+        auto_planes, auto_bands = lsh_params(emb.count())
+        n_planes = n_planes if n_planes is not None else auto_planes
+        n_bands = n_bands if n_bands is not None else auto_bands
     sigs = lsh_signatures(emb, dim, n_planes, n_bands, seed, id_col)
     counts = sigs.groupBy("band", "sig").count()
     ok = counts.where(F.col("count") <= max_bucket).select("band", "sig")
@@ -98,15 +147,56 @@ def similarity_edges(
     pairs: DataFrame,
     tau: float,
     id_col: str = "surface_id",
+    broadcast_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """Exact cosine on candidate pairs; keep weight >= tau. (Reference
     epsilon semantics are strict '<' on a distance; on a similarity the
     mirrored strict form is '> tau', we use >= for stability and
     document the boundary in tests.)
 
-    The kernel itself runs as a vectorized Arrow batch (row-normalized
-    matrices, one einsum per batch) — the SQL fold over two ~256-dim
-    arrays per pair is JVM-allocation-bound at ~10x the cost."""
+    Plan dispatch: when the whole (id, vec) table fits the broadcast
+    budget, ship it once as a numpy matrix and rescore the NARROW
+    (src, dst) pair stream in place — each candidate pair row is 16
+    bytes instead of two ~2 KB vectors, which at ~250 candidates per
+    surface is the difference between shuffling 100 MB and 25 GB
+    (measured: 73s -> ~3s at 25k surfaces / 6M candidates). Above the
+    budget, fall back to the equi-join + Arrow-batch rescore (vecs
+    replicated per candidate, but no driver-size assumption)."""
+    spark = emb.sparkSession
+    first = emb.select("vec").first()
+    dim = len(first["vec"]) if first else 0
+    n = emb.count()
+    if n * dim * 8 <= broadcast_bytes:
+        rows = emb.select(F.col(id_col).alias("id"), "vec").collect()
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids)
+        ids_sorted = ids[order]
+        mat = np.array([rows[i]["vec"] for i in order], dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(1))
+        bc = spark.sparkContext.broadcast((ids_sorted, mat, norms))
+
+        def cos_bc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bids, bmat, bnorm = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                si = np.searchsorted(bids, pdf["src"].to_numpy())
+                di = np.searchsorted(bids, pdf["dst"].to_numpy())
+                a, b = bmat[si], bmat[di]
+                dot = np.einsum("ij,ij->i", a, b)
+                na, nb = bnorm[si], bnorm[di]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    w = np.where((na == 0.0) | (nb == 0.0), 0.0, dot / (na * nb))
+                keep = w >= tau
+                yield pd.DataFrame(
+                    {
+                        "src": pdf["src"].to_numpy()[keep],
+                        "dst": pdf["dst"].to_numpy()[keep],
+                        "weight": w[keep],
+                    }
+                )
+
+        return pairs.mapInPandas(cos_bc, "src long, dst long, weight double")
     va = emb.select(F.col(id_col).alias("src"), F.col("vec").alias("vec_a"))
     vb = emb.select(F.col(id_col).alias("dst"), F.col("vec").alias("vec_b"))
     joined = pairs.join(va, "src").join(vb, "dst")
@@ -159,9 +249,10 @@ def link_entities_local(
     vecs = np.array([r["vec"] for r in rows], dtype=np.float64)
     n = len(rows)
     rng = np.random.RandomState(seed)
-    planes = rng.randn(16, dim)
-    n_bands, rpb = 4, 4
-    bits = (vecs @ planes.T) > 0 if n else np.zeros((0, 16), bool)
+    n_planes, n_bands = lsh_params(n)  # same layout rule as distributed
+    rpb = n_planes // n_bands
+    planes = rng.randn(n_planes, dim)
+    bits = (vecs @ planes.T) > 0 if n else np.zeros((0, n_planes), bool)
     # buckets -> candidate pairs (same (band, sig) grouping as the
     # distributed path; max_bucket cap unnecessary at driver scale)
     from collections import defaultdict
@@ -211,12 +302,12 @@ def link_entities_local(
     out = []
     for root, members in comp_members.items():
         # spectral refinement (north_star canonicalization: CC merge ->
-        # spectral split of over-merged components; same kernel as the
-        # distributed path)
+        # recursive spectral split of over-merged components; the SAME
+        # kernel+recursion as the distributed path)
         groups = [members]
         es = comp_edges.get(root, [])
         if refine and len(members) >= refine_min_size and es:
-            labels = spectral_split(
+            assign = refine_component_rows(
                 ids[members],
                 np.array([ids[e[0]] for e in es]),
                 np.array([ids[e[1]] for e in es]),
@@ -224,9 +315,10 @@ def link_entities_local(
                 min_size=refine_min_size,
                 ncut_max=refine_ncut_max,
             )
+            local_of = {int(ids[m]): m for m in members}
             by = defaultdict(list)
-            for m, lbl in zip(members, labels):
-                by[int(lbl)].append(m)
+            for sid, ent in assign:
+                by[ent].append(local_of[sid])
             groups = list(by.values())
         for grp in groups:
             entity_id = int(min(ids[m] for m in grp))
@@ -285,7 +377,7 @@ def link_entities(
     surfaces: DataFrame,
     mentions: DataFrame,
     dim: int,
-    tau: float = 0.65,
+    tau: float = 0.75,
     seed: int = 42,
     cc_max_iter: int = 30,
     local_threshold: int = 20_000,

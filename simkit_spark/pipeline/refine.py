@@ -71,6 +71,45 @@ def _kmeans_np(x: np.ndarray, k: int, max_iter: int = 50) -> np.ndarray:
     return labels
 
 
+# Components up to this many members use the dense eigh path; larger
+# ones use sparse edge-list orthogonal iteration (eigh is O(n^3) —
+# a 20k-member noise-glued component would take hours dense and runs
+# in seconds sparse).
+DENSE_LIMIT = 2000
+
+
+def _topk_eigen_sparse(
+    si: np.ndarray,
+    di: np.ndarray,
+    w_norm: np.ndarray,
+    n: int,
+    k: int,
+    sweeps: int = 80,
+    seed: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k (signed-largest) eigenpairs of the symmetric normalized
+    affinity given as an edge list — orthogonal iteration with an
+    edge-list matvec (np.add.at, O(E) per sweep) and a +1 diagonal
+    shift (S has spectrum in [-1, 1], so S + I is PSD and dominant
+    eigenpairs are the signed-largest of S). Returns (eigenvalues
+    descending, X[n, k])."""
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, k)
+    for _ in range(sweeps):
+        y = v.copy()  # shift: (S + I) @ v
+        np.add.at(y, si, w_norm[:, None] * v[di])
+        np.add.at(y, di, w_norm[:, None] * v[si])
+        v, _ = np.linalg.qr(y)
+    y = v.copy()
+    np.add.at(y, si, w_norm[:, None] * v[di])
+    np.add.at(y, di, w_norm[:, None] * v[si])
+    b = v.T @ y
+    b = (b + b.T) / 2.0
+    lam, rot = np.linalg.eigh(b)  # ascending of S + I
+    x = v @ rot
+    return (lam - 1.0)[::-1], x[:, ::-1]  # descending of S
+
+
 def spectral_split(
     ids: np.ndarray,
     src: np.ndarray,
@@ -89,7 +128,8 @@ def spectral_split(
     "sym Laplacian" the reference eigendecomposes,
     `MatrixCalculation.java` semantics, SURVEY.md §2.5); its top
     eigenvalue is 1 and the count of eigenvalues near 1 equals the
-    number of weakly-coupled clusters.
+    number of weakly-coupled clusters. Dense eigh up to DENSE_LIMIT
+    members, sparse edge-list orthogonal iteration beyond.
     """
     n = len(ids)
     if n < min_size or len(src) == 0:
@@ -97,17 +137,25 @@ def spectral_split(
     order = np.argsort(ids)
     ids_sorted = ids[order]
     pos = {int(i): p for p, i in enumerate(ids_sorted)}
-    a = np.zeros((n, n))
     si = np.array([pos[int(s)] for s in src])
     di = np.array([pos[int(d)] for d in dst])
-    a[si, di] = weight
-    a[di, si] = weight
-    deg = a.sum(1)
+    w = np.asarray(weight, dtype=np.float64)
+    deg = np.zeros(n)
+    np.add.at(deg, si, w)
+    np.add.at(deg, di, w)
     with np.errstate(divide="ignore"):
         dis = np.where(deg > 0, 1.0 / np.sqrt(deg), 0.0)
-    s = a * dis[:, None] * dis[None, :]
-    lam, vec = np.linalg.eigh(s)  # ascending
-    top = lam[::-1][: min(max_k, n)]  # descending
+    w_norm = w * dis[si] * dis[di]
+    kk = min(max_k, n)
+    if n <= DENSE_LIMIT:
+        a = np.zeros((n, n))
+        a[si, di] = w_norm
+        a[di, si] = w_norm
+        lam, vec = np.linalg.eigh(a)  # ascending
+        top = lam[::-1][:kk]
+        x_all = vec[:, ::-1][:, :kk]
+    else:
+        top, x_all = _topk_eigen_sparse(si, di, w_norm, n, kk)
     gaps = top[:-1] - top[1:]
     if gaps.size == 0:
         return np.zeros(n, dtype=int)
@@ -119,21 +167,23 @@ def spectral_split(
     # eigenmap, experiments_simkit-0.1.2.py:125-134 — row norm only
     # stabilizes the split decision, membership is identical on the
     # well-separated cases both handle)
-    x = vec[:, -k:]
+    x = x_all[:, :k]
     nrm = np.linalg.norm(x, axis=1, keepdims=True)
     x = np.where(nrm > 0, x / nrm, x)
     labels_sorted = _kmeans_np(x, k)
     # reject degenerate partitions (empty cluster)
     if len(np.unique(labels_sorted)) < 2:
         return np.zeros(n, dtype=int)
-    # normalized-cut acceptance gate
+    # normalized-cut acceptance gate (edge-list form: cut = weight
+    # crossing the partition, vol = degree mass of the cluster)
     ncuts = []
+    crossing = labels_sorted[si] != labels_sorted[di]
     for c in np.unique(labels_sorted):
         inc = labels_sorted == c
-        vol = a[inc].sum()
+        vol = deg[inc].sum()
         if vol <= 0:
             return np.zeros(n, dtype=int)
-        cut = a[inc][:, ~inc].sum()
+        cut = w[crossing & (inc[si] | inc[di])].sum()
         ncuts.append(cut / vol)
     if float(np.mean(ncuts)) > ncut_max:
         return np.zeros(n, dtype=int)
@@ -151,19 +201,46 @@ def refine_component_rows(
     min_size: int = DEFAULT_MIN_SIZE,
     ncut_max: float = DEFAULT_NCUT_MAX,
     max_k: int = DEFAULT_MAX_K,
-    max_members: int = 100_000,
+    max_members: int = 2_000_000,
+    max_depth: int = 16,
 ) -> list[tuple[int, int]]:
     """(surface_id, entity_id) assignments for one component after
-    refinement; entity_id = min surface_id within the refined
+    RECURSIVE refinement; entity_id = min surface_id within the final
     sub-cluster (the same id rule the unrefined CC merge uses, so
-    un-split components keep their ids bit-for-bit)."""
+    un-split components keep their ids bit-for-bit).
+
+    Recursion is essential at scale: one eigengap split carves at most
+    ``max_k`` pieces, but a noise-glued component can contain THOUSANDS
+    of entities — each accepted split's sub-clusters are re-examined
+    (with their induced edge subsets) until the eigengap/ncut gates
+    stop splitting or ``max_depth`` is reached. Total work is
+    O(E * depth) via the sparse path, so even a corpus-sized blob
+    terminates."""
     if len(ids) > max_members:
         ent = int(ids.min())
         return [(int(i), ent) for i in ids]
-    labels = spectral_split(ids, src, dst, weight, min_size, ncut_max, max_k)
-    out = []
-    for c in np.unique(labels):
-        members = ids[labels == c]
-        ent = int(members.min())
-        out.extend((int(i), ent) for i in members)
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    weight = np.asarray(weight, dtype=np.float64)
+    out: list[tuple[int, int]] = []
+    stack = [(ids, src, dst, weight, 0)]
+    while stack:
+        cids, cs, cd, cw, depth = stack.pop()
+        labels = (
+            spectral_split(cids, cs, cd, cw, min_size, ncut_max, max_k)
+            if depth < max_depth
+            else np.zeros(len(cids), dtype=int)
+        )
+        uniq = np.unique(labels)
+        if len(uniq) < 2:
+            ent = int(cids.min())
+            out.extend((int(i), ent) for i in cids)
+            continue
+        lab_of = {int(i): int(l) for i, l in zip(cids, labels)}
+        es_lab = np.array([lab_of[int(s)] for s in cs])
+        ed_lab = np.array([lab_of[int(d)] for d in cd])
+        for c in uniq:
+            members = cids[labels == c]
+            keep = (es_lab == c) & (ed_lab == c)
+            stack.append((members, cs[keep], cd[keep], cw[keep], depth + 1))
     return out

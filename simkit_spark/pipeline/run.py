@@ -20,8 +20,15 @@ from .materialize import build_edges, build_nodes, build_provenance, resolve_tri
 @dataclass
 class PipelineConfig:
     seed: int = 42
-    dim: int = DEFAULT_DIM
-    tau: float = 0.65
+    # None -> auto-sized from the distinct-surface count (embed.auto_dim):
+    # a fixed 256-dim hash space silently degrades linking P/R once the
+    # vocabulary outgrows it
+    dim: int | None = None
+    # 0.75: keeps alias pairs (>=0.8 after surface normalization) and
+    # rejects the near-collision band 0.65 admitted — at 8000 ambiguous
+    # entities the 0.65 threshold cost ~35 precision points (measured),
+    # at small vocabularies both give P/R = 1.0
+    tau: float = 0.75
     n_salt: int = 16
     # None -> spark.sql.shuffle.partitions at run time: bucket count must
     # scale with the cluster or it CAPS stage parallelism (16 buckets on
@@ -46,17 +53,24 @@ def run_pipeline(
     doc_buckets = cfg.doc_buckets
     if doc_buckets is None:
         doc_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    fp = {"seed": cfg.seed, "dim": cfg.dim, "tau": cfg.tau}
 
     spans = explode_spans(documents)
 
+    # mentions first (it feeds the dim resolution); its fingerprint
+    # cannot depend on dim (detection is dim-free)
     mentions = store.run_stage(
         "mentions",
         lambda: detect_mentions(spans),
-        inputs={**fp, "stage": "mentions"},
+        inputs={"seed": cfg.seed, "stage": "mentions"},
         force=force,
         bucket_by=(doc_buckets, "doc_id"),
     )
+    dim = cfg.dim
+    if dim is None:
+        from .embed import auto_dim
+
+        dim = auto_dim(mentions.select("surface").distinct().count())
+    fp = {"seed": cfg.seed, "dim": dim, "tau": cfg.tau}
     raw_triples = store.run_stage(
         "raw_triples",
         lambda: extract_raw_triples(spans),
@@ -66,13 +80,13 @@ def run_pipeline(
     )
     surfaces = store.run_stage(
         "surfaces",
-        lambda: embed_distinct_surfaces(mentions, cfg.dim),
+        lambda: embed_distinct_surfaces(mentions, dim),
         inputs={**fp, "stage": "surfaces"},
         force=force,
     )
     entity_map = store.run_stage(
         "entity_map",
-        lambda: link_entities(surfaces, mentions, cfg.dim, cfg.tau, cfg.seed),
+        lambda: link_entities(surfaces, mentions, dim, cfg.tau, cfg.seed),
         inputs={**fp, "stage": "entity_map"},
         force=force,
     )
