@@ -200,12 +200,34 @@ def eigensolve_auto(
     # whole upstream affinity chain (pairwise kernel + windows +
     # laplacian), tripling the stage cost
     edges = materialize(edges)
+    spark = edges.sparkSession
     if nodes is None:
+        # vertex set == edge endpoints: ONE Arrow collect serves the
+        # dispatch decision AND the local solve (the distinct + count +
+        # two collects it replaces were 4 driver-sequential jobs — pure
+        # scheduling latency on a loaded box)
+        n_edges = edges.count()
+        if n_edges <= 3 * local_threshold * local_threshold:
+            epd = edges.select("src", "dst", "weight").toPandas()
+            ids = np.unique(np.concatenate([epd["src"].to_numpy(), epd["dst"].to_numpy()]))
+            if len(ids) <= local_threshold:
+                rows = list(epd.itertuples(index=False, name=None))
+                lam, x, idx = eigen_local(rows, [int(i) for i in ids], k, symmetric=symmetric)
+                import pandas as pd  # noqa: PLC0415
+
+                out = spark.createDataFrame(
+                    pd.DataFrame(
+                        {"id": [int(i) for i in idx], "vec": [x[j].tolist() for j in idx.values()]}
+                    ),
+                    "id long, vec array<double>",
+                )
+                return out, lam
         nodes = (
             edges.select(F.col("src").alias("id"))
             .union(edges.select(F.col("dst").alias("id")))
             .distinct()
         )
+        return eigensolve(edges, materialize(nodes), k, max_iter, tol, seed)
     nodes = materialize(nodes)
     n = nodes.count()
     if n > local_threshold:
@@ -213,7 +235,6 @@ def eigensolve_auto(
     ids = [r["id"] for r in nodes.collect()]
     rows = [(r["src"], r["dst"], r["weight"]) for r in edges.collect()]
     lam, x, idx = eigen_local(rows, ids, k, symmetric=symmetric)
-    spark = edges.sparkSession
     out = spark.createDataFrame(
         [(int(i), x[j].tolist()) for i, j in idx.items()], "id long, vec array<double>"
     )
