@@ -73,6 +73,14 @@ def build_vocab(n_entities: int = 120, seed: int = 42) -> list[dict]:
     """
     rng = random.Random(seed)
     vocab, seen_syl, bases = [], [], set()
+    # substring-either-direction test via substring SETS: the naive
+    # any(a in b or b in a) scan is O(n) per candidate -> O(n^2) total
+    # (190 s to build a 16k vocabulary); indexing every substring of
+    # accepted bases (and probing every substring of the candidate)
+    # keeps the IDENTICAL accept/reject decisions at O(L^2) per
+    # candidate
+    accepted_substrings: set[str] = set()
+    bases_lower: set[str] = set()
     misses = 0
     while len(vocab) < n_entities:
         sy = [rng.choice(_SYL) for _ in range(rng.randint(2, 3))]
@@ -87,11 +95,27 @@ def build_vocab(n_entities: int = 120, seed: int = 42) -> list[dict]:
         if misses < 2000 and any(len(set(sy) & s2) > 1 for s2 in seen_syl):
             misses += 1
             continue
-        if any(base.lower() in b.lower() or b.lower() in base.lower() for b in bases):
+        low = base.lower()
+        contained = low in accepted_substrings  # base inside an accepted one
+        if not contained:
+            # an accepted base inside this candidate?
+            subs = {
+                low[i:j]
+                for i in range(len(low))
+                for j in range(i + 6, len(low) + 1)
+            }
+            contained = not bases_lower.isdisjoint(subs)
+        if contained:
             misses += 1
             continue
         seen_syl.append(set(sy))
         bases.add(base)
+        bases_lower.add(low)
+        # only substrings of length >= 6 can ever match a candidate
+        # (candidates shorter than 6 are rejected before this check)
+        accepted_substrings.update(
+            low[i:j] for i in range(len(low)) for j in range(i + 6, len(low) + 1)
+        )
         suffix = rng.choice(_SUFFIX)
         canonical = f"{base} {suffix}"
         aliases = [canonical, base]

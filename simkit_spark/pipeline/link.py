@@ -29,7 +29,6 @@ from .refine import (
     DEFAULT_MIN_SIZE,
     DEFAULT_NCUT_MAX,
     refine_component_rows,
-    spectral_split,
 )
 
 
