@@ -183,11 +183,14 @@ def kmeans_auto(
     spark = points.sparkSession
     import pandas as pd  # noqa: PLC0415
 
-    # Arrow path — a driver-side list of 200k Python tuples is exactly
-    # the copy the *_auto dispatches exist to avoid
+    # tolist() everywhere: non-Arrow sessions (the PySpark default)
+    # verify rows element-by-element and reject numpy scalars inside
+    # array<double> — `list(v)` (numpy row views) hard-errors there
+    # (CORRECTNESS_r02 kmeans_clusters). Python natives work under both
+    # Arrow and row-verification paths.
     assigned = spark.createDataFrame(
         pd.DataFrame(
-            {"id": ids, "vec": list(v), "cluster": assign_idx.astype("int32")}
+            {"id": ids.tolist(), "vec": v.tolist(), "cluster": assign_idx.tolist()}
         ),
         "id long, vec array<double>, cluster int",
     )
