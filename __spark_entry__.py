@@ -395,12 +395,15 @@ def _kmeans_clusters(spark, sf_dir):
 
 
 def _connected_components_eps(spark, sf_dir):
-    from simkit_spark.operators.components import connected_components
+    from simkit_spark.operators.components import connected_components_auto
     from simkit_spark.operators.epsjoin import eps_neighbor_pairs
 
     emb = _emb(spark, sf_dir)
     edges = eps_neighbor_pairs(emb, EPS, strict=True).select("src", "dst")
-    return connected_components(edges, nodes=emb.select("id"), max_iter=30)
+    # size-dispatched CC (union-find under one Arrow collect below the
+    # threshold; pointer-doubling loop above) — the auto path also
+    # materializes the eps join once instead of re-running it per action
+    return connected_components_auto(edges, nodes=emb.select("id"), max_iter=30)
 
 
 def _dbscan(spark, sf_dir):

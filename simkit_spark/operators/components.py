@@ -35,6 +35,11 @@ def connected_components_auto(
     eigensolve_auto's dispatch."""
     import numpy as np  # noqa: PLC0415
 
+    # materialize BEFORE the dispatch actions: count + toPandas are two
+    # separate actions, and without lineage-breaking each one re-runs
+    # the whole upstream chain (for the eps-graph caller that is the
+    # full n^2/2 block kernel — the r2 bench regression)
+    edges = materialize(edges.select("src", "dst"))
     if nodes is None:
         nodes = (
             edges.select(F.col("src").alias("id"))
@@ -46,9 +51,27 @@ def connected_components_auto(
     if n_edges > local_threshold:
         return connected_components(edges, nodes, max_iter)
     ids = np.sort(nodes.toPandas()["id"].to_numpy())
-    epd = edges.select("src", "dst").toPandas()
-    src = np.searchsorted(ids, epd["src"].to_numpy())
-    dst = np.searchsorted(ids, epd["dst"].to_numpy())
+    epd = edges.toPandas()
+    esrc = epd["src"].to_numpy()
+    edst = epd["dst"].to_numpy()
+    src = np.searchsorted(ids, esrc)
+    dst = np.searchsorted(ids, edst)
+    # searchsorted silently maps an endpoint id missing from `nodes` to
+    # a neighboring node's index (or walks off the end) — corrupting
+    # unions where the old dict-based code raised KeyError. Keep the
+    # contract violation loud (ADVICE r2 #1).
+    if len(esrc):
+        bad = (
+            (src >= len(ids)) | (dst >= len(ids))
+            | (ids[np.minimum(src, len(ids) - 1)] != esrc)
+            | (ids[np.minimum(dst, len(ids) - 1)] != edst)
+        )
+        if bad.any():
+            i = int(np.nonzero(bad)[0][0])
+            raise KeyError(
+                f"edge endpoint not in nodes: ({esrc[i]}, {edst[i]}) — "
+                "connected_components_auto requires nodes to cover every endpoint"
+            )
     parent = np.arange(len(ids))
 
     def find(x: int) -> int:
@@ -66,11 +89,18 @@ def connected_components_auto(
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    comp = np.array([ids[find(i)] for i in range(len(ids))])
+    comp = np.array([ids[find(i)] for i in range(len(ids))], dtype=ids.dtype)
     import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.types import StructField, StructType  # noqa: PLC0415
 
+    # explicit schema: an empty graph (no core points, say) must not
+    # fall into schema inference, which raises on zero rows
+    id_type = nodes.schema["id"].dataType
+    schema = StructType(
+        [StructField("id", id_type, False), StructField("component", id_type, False)]
+    )
     return edges.sparkSession.createDataFrame(
-        pd.DataFrame({"id": ids, "component": comp})
+        pd.DataFrame({"id": ids, "component": comp}), schema=schema
     )
 
 

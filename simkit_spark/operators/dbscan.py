@@ -28,7 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .components import connected_components
+from ..util import materialize
+from .components import connected_components_auto
 from .epsjoin import eps_neighbor_pairs
 
 
@@ -44,11 +45,24 @@ def dbscan(
     """(id, cluster, is_core): cluster = min core id of the component,
     -1 for noise."""
     pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    nbrs = eps_neighbor_pairs(pts, eps, kernel, directed=True).select("src", "dst")
+    # undirected pairs (src < dst), materialized ONCE: the eps join is
+    # the dominant cost (n^2/2 kernel evals on concentrated data) and
+    # `nbrs` feeds three downstream consumers — without lineage-breaking
+    # each one re-ran the whole join, and directed=True doubled every
+    # shuffled row besides (the r2 bench regression, VERDICT #3)
+    nbrs = materialize(
+        eps_neighbor_pairs(pts, eps, kernel, directed=False).select("src", "dst")
+    )
+    # both orientations, derived from the cached narrow pairs (no kernel
+    # re-evaluation — just a second pass over 16-byte rows)
+    sym = nbrs.unionAll(
+        nbrs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
 
-    # neighbor count includes the point itself (Unsupervised.java:60-80)
+    # neighbor count includes the point itself (Unsupervised.java:60-80);
+    # degree = count over both endpoints of the undirected pair list
     core = (
-        nbrs.groupBy(F.col("src").alias("id"))
+        sym.groupBy(F.col("src").alias("id"))
         .agg((F.count(F.lit(1)) + 1).alias("n_nbrs"))
         .where(F.col("n_nbrs") >= min_pts)
         .select("id")
@@ -57,16 +71,15 @@ def dbscan(
     core_edges = (
         nbrs.join(core.withColumnRenamed("id", "src"), "src", "leftsemi")
         .join(core.withColumnRenamed("id", "dst"), "dst", "leftsemi")
-        .where(F.col("src") < F.col("dst"))
         .select("src", "dst")
     )
-    comp = connected_components(core_edges, nodes=core, max_iter=cc_max_iter)
+    comp = connected_components_auto(core_edges, nodes=core, max_iter=cc_max_iter)
 
     core_assign = comp.select("id", F.col("component").alias("cluster")).withColumn(
         "is_core", F.lit(True)
     )
     border = (
-        nbrs.join(core.withColumnRenamed("id", "src"), "src", "leftsemi")
+        sym.join(core.withColumnRenamed("id", "src"), "src", "leftsemi")
         .join(core.withColumnRenamed("id", "dst"), "dst", "left_anti")
         .join(comp.withColumnRenamed("id", "src"), "src")
         .groupBy(F.col("dst").alias("id"))

@@ -34,6 +34,33 @@ def test_isolated_nodes_kept(spark):
     assert labels == {0: 0, 1: 0, 9: 9}
 
 
+def test_auto_empty_edges_each_node_own_component(spark):
+    # zero edges (e.g. dbscan with no core points) must not hit the
+    # empty-createDataFrame schema-inference error on the local path
+    from simkit_spark.operators.components import connected_components_auto
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    nodes = spark.createDataFrame([(3,), (7,)], "id long")
+    labels = {
+        r["id"]: r["component"]
+        for r in connected_components_auto(edges, nodes).collect()
+    }
+    assert labels == {3: 3, 7: 7}
+
+
+def test_auto_missing_endpoint_raises(spark):
+    # ADVICE r2 #1: searchsorted must not silently mis-map an endpoint
+    # missing from `nodes` — the contract violation stays loud
+    import pytest
+
+    from simkit_spark.operators.components import connected_components_auto
+
+    edges = spark.createDataFrame([(0, 99)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    with pytest.raises(KeyError, match="endpoint not in nodes"):
+        connected_components_auto(edges, nodes).collect()
+
+
 def test_reliable_checkpoint_used_when_configured(spark, tmp_path):
     """With a reliable checkpoint dir set, iterative operators must use
     checkpoint() (fault-tolerant) instead of executor-resident
