@@ -108,7 +108,8 @@ def main():
     # identical runs swing up to 3x wall (BENCH/BASELINE.md documents
     # the same practice for the scaling evidence); min is the only
     # defensible single number for "what the pipeline costs"
-    kg_secs = min(kg_pipeline_secs(spark, KG_DOCS) for _ in range(2))
+    kg_runs = [round(kg_pipeline_secs(spark, KG_DOCS), 3) for _ in range(2)]
+    kg_secs = min(kg_runs)
     results["kg_pipeline"] = round(kg_secs, 3)
     results["kg_docs_per_sec"] = round(KG_DOCS / kg_secs, 2)
 
@@ -122,6 +123,9 @@ def main():
                 "sf": sf,
                 "kg_docs": KG_DOCS,
                 "cpus": int(cpus),
+                # both raw runs, so round-over-round deltas are
+                # variance-separable from plan changes
+                "kg_runs": kg_runs,
             }
         )
     )
