@@ -246,7 +246,11 @@ def embedding_neardup_pairs(
     n = pts.count()
     if n <= exact_threshold:
         if n_blocks is None:
-            n_blocks = auto_n_blocks(n, pts.sparkSession.sparkContext.defaultParallelism)
+            from ..operators.kernels import vec_dim
+
+            n_blocks = auto_n_blocks(
+                n, pts.sparkSession.sparkContext.defaultParallelism, dim=vec_dim(pts)
+            )
         return _pairwise_numpy(
             pts, "cosine", "id", "vec", n_blocks, directed=False, tau=tau
         ).select("src", "dst", F.round(F.col("dist"), 6).alias("cos"))

@@ -115,9 +115,14 @@ def eps_neighbor_pairs(
         est_copies = float((dpp <= r_proxy[None, :] + eps).sum(1).mean()) + 1.0
         method = "pivot" if est_copies <= max(4.0, np.sqrt(len(pivots))) else "block"
     if method == "block":
-        from .kernels import _pairwise_numpy, auto_n_blocks
+        from .kernels import _pairwise_numpy, auto_n_blocks, vec_dim
 
-        n_blocks = auto_n_blocks(n, pts.sparkSession.sparkContext.defaultParallelism)
+        # dim from the probe's pivot matrix when available (free);
+        # otherwise one limit-1 job on the checkpointed points
+        dim = pivots.shape[1] if pivots is not None and len(pivots) else vec_dim(pts)
+        n_blocks = auto_n_blocks(
+            n, pts.sparkSession.sparkContext.defaultParallelism, dim=dim
+        )
         pairs = _pairwise_numpy(
             pts, kernel, "id", "vec", n_blocks, directed, chunk, eps=eps, strict=strict
         )

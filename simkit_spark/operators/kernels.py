@@ -51,16 +51,32 @@ def auto_n_blocks(
     n_rows: int,
     parallelism: int = 1,
     target_pairs: int = TARGET_PAIRS_PER_TASK,
+    dim: int | None = None,
 ) -> int:
     """Blocking factor so each of the B(B+1)/2 block-pair tasks holds
     ~(n/B)^2 <= target_pairs AND there are at least ``parallelism``
     tasks to spread over the cluster. A static B caps parallelism at
     small B (36 tasks at B=8) and OOMs at large n — derive it from n
-    and the cluster instead (VERDICT.md round-1 'what's wrong' #7)."""
-    b_mem = math.ceil(n_rows / math.sqrt(float(target_pairs)))
+    and the cluster instead (VERDICT.md round-1 'what's wrong' #7).
+
+    ``dim`` scales the per-pair budget: np_kernel's explicit-difference
+    temporaries are chunk x block x dim x 8 bytes, so a 512-dim input
+    needs 8x more blocks than the 64-dim test shape for the same task
+    memory (VERDICT r2 'what's wrong' #5). dim <= 64 (and None, for
+    callers that can't know it) keeps decisions bit-identical to the
+    dim-blind rule."""
+    eff_target = target_pairs / max((dim or 0) / 64.0, 1.0)
+    b_mem = math.ceil(n_rows / math.sqrt(float(eff_target)))
     # smallest B with B(B+1)/2 >= parallelism
     b_par = math.ceil((math.sqrt(8.0 * max(parallelism, 1) + 1.0) - 1.0) / 2.0)
     return int(min(max(b_mem, b_par, 1), 256))
+
+
+def vec_dim(df: DataFrame, vec_col: str = "vec") -> int | None:
+    """Vector width from one row (a limit-1 job; callers that already
+    know the dim pass it straight to auto_n_blocks instead)."""
+    row = df.select(vec_col).first()
+    return len(row[0]) if row and row[0] is not None else None
 
 
 def _sum(col: Column) -> Column:
@@ -308,7 +324,9 @@ def pairwise_topk(
     pairwise edge list (the round-1 plan)."""
     if n_blocks is None:
         n_blocks = auto_n_blocks(
-            df.count(), df.sparkSession.sparkContext.defaultParallelism
+            df.count(),
+            df.sparkSession.sparkContext.defaultParallelism,
+            dim=vec_dim(df, vec_col),
         )
     b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), b.alias("blk"))
@@ -416,7 +434,9 @@ def pairwise_distances(
     """
     if n_blocks is None:
         n_blocks = auto_n_blocks(
-            df.count(), df.sparkSession.sparkContext.defaultParallelism
+            df.count(),
+            df.sparkSession.sparkContext.defaultParallelism,
+            dim=vec_dim(df, vec_col),
         )
     if impl == "numpy":
         return _pairwise_numpy(df, kernel, id_col, vec_col, n_blocks, directed)

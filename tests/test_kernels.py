@@ -119,3 +119,22 @@ def test_from_points_graphs_match_edge_constructors(spark):
     got = {(r["src"], r["dst"]): round(r["weight"], 9) for r in full_affinity_from_points(df, 4).collect()}
     want = {(r["src"], r["dst"]): round(r["weight"], 9) for r in full_affinity(d, 4).collect()}
     assert got == want
+
+
+def test_auto_n_blocks_dim_aware():
+    # the per-pair memory target scales with dim: chunk x block x dim x 8
+    # bytes of explicit-difference temporaries (VERDICT r2 #5). dim<=64
+    # (or unknown) must keep the dim-blind decision bit-identical.
+    from simkit_spark.operators.kernels import auto_n_blocks
+
+    n = 100_000
+    base = auto_n_blocks(n, parallelism=32)
+    assert auto_n_blocks(n, parallelism=32, dim=64) == base
+    assert auto_n_blocks(n, parallelism=32, dim=32) == base
+    assert auto_n_blocks(n, parallelism=32, dim=None) == base
+    b512 = auto_n_blocks(n, parallelism=32, dim=512)
+    # 8x smaller pair budget -> sqrt(8) ~ 2.83x more blocks
+    assert b512 >= int(base * 2.8)
+    # task temporary stays bounded: (n/B * chunk-capped rows) * dim * 8
+    per_task_pairs = (n / b512) ** 2
+    assert per_task_pairs * 512 * 8 <= 4_000_000 * 64 * 8 * 1.1
