@@ -187,6 +187,19 @@ def neardup_resolve(
     ids = docs.select(F.col("doc_id")).distinct().select(
         "doc_id", F.xxhash64("doc_id").alias("nid")
     ).localCheckpoint()
+    # a 64-bit hash collision would SILENTLY merge unrelated docs into
+    # one cluster and pick a wrong keeper — vanishingly rare, but
+    # undetectable after the fact, so fail loudly instead (ADVICE r2 #5)
+    chk = ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("nid").alias("n_nid"),
+    ).first()
+    if chk["n"] != chk["n_nid"]:
+        raise RuntimeError(
+            f"xxhash64 collision over doc_id: {chk['n']} distinct doc_ids -> "
+            f"{chk['n_nid']} distinct node ids; neardup_resolve would merge "
+            "unrelated documents. Re-key doc_ids (e.g. add a salt column)."
+        )
     e = (
         edges.join(ids.withColumnRenamed("doc_id", "src"), "src")
         .withColumnRenamed("nid", "src_id")

@@ -201,13 +201,47 @@ def eigensolve_auto(
     # laplacian), tripling the stage cost
     edges = materialize(edges)
     spark = edges.sparkSession
+
+    def _require_symmetric() -> None:
+        # the distributed solver's Gram/Ritz iteration assumes a
+        # symmetric operator; silently running it on a non-symmetric
+        # one would make 'rw'-style results diverge from the local
+        # path at the size boundary (ADVICE r2 #2). Stay loud.
+        if not symmetric:
+            raise ValueError(
+                "eigensolve_auto(symmetric=False) exceeds local_threshold="
+                f"{local_threshold}: the distributed eigensolve only handles "
+                "symmetric operators — symmetrize the edge list (or "
+                "similarity-transform the 'rw' laplacian to 'sym', same "
+                "spectrum) before calling, or raise local_threshold"
+            )
+
     if nodes is None:
         # vertex set == edge endpoints: ONE Arrow collect serves the
         # dispatch decision AND the local solve (the distinct + count +
         # two collects it replaces were 4 driver-sequential jobs — pure
         # scheduling latency on a loaded box)
         n_edges = edges.count()
-        if n_edges <= 3 * local_threshold * local_threshold:
+        if n_edges <= local_threshold * local_threshold:
+            # cap = lt^2 rows (a dense lt-node directed block; ~24 bytes
+            # a row). Past ~2M rows one extra distinct-count job is
+            # cheaper than risking a wasted / driver-heavy collect when
+            # the node count turns out to exceed the threshold
+            # (ADVICE r2 #3).
+            if n_edges > 2_000_000:
+                n_ids = (
+                    edges.select(F.explode(F.array("src", "dst")).alias("id"))
+                    .agg(F.approx_count_distinct("id").alias("n"))
+                    .first()["n"]
+                )
+                if n_ids > 1.1 * local_threshold:
+                    _require_symmetric()
+                    nodes = (
+                        edges.select(F.col("src").alias("id"))
+                        .union(edges.select(F.col("dst").alias("id")))
+                        .distinct()
+                    )
+                    return eigensolve(edges, materialize(nodes), k, max_iter, tol, seed)
             epd = edges.select("src", "dst", "weight").toPandas()
             ids = np.unique(np.concatenate([epd["src"].to_numpy(), epd["dst"].to_numpy()]))
             if len(ids) <= local_threshold:
@@ -222,6 +256,7 @@ def eigensolve_auto(
                     "id long, vec array<double>",
                 )
                 return out, lam
+        _require_symmetric()
         nodes = (
             edges.select(F.col("src").alias("id"))
             .union(edges.select(F.col("dst").alias("id")))
@@ -231,6 +266,7 @@ def eigensolve_auto(
     nodes = materialize(nodes)
     n = nodes.count()
     if n > local_threshold:
+        _require_symmetric()
         return eigensolve(edges, nodes, k, max_iter, tol, seed)
     ids = [r["id"] for r in nodes.collect()]
     rows = [(r["src"], r["dst"], r["weight"]) for r in edges.collect()]

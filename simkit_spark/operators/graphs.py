@@ -109,9 +109,14 @@ def knn_edges_value_match(dist_edges: DataFrame, k: int) -> DataFrame:
         .where(F.col("rn") == k - 1)
         .select("src", F.col("dist").alias("thresh"))
     )
+    # LEFT join: a src with fewer than k-1 neighbor rows (k > n, or a
+    # pre-filtered edge list) has no (k-1)-th row — its whole threshold
+    # set is the row itself, so it keeps every edge (reference
+    # value-match semantics; ADVICE r2 #4: the inner join silently
+    # dropped such rows entirely)
     return (
-        dist_edges.join(thresh, "src")
-        .where(F.col("dist") <= F.col("thresh"))
+        dist_edges.join(thresh, "src", "left")
+        .where(F.col("dist") <= F.coalesce(F.col("thresh"), F.lit(float("inf"))))
         .select("src", "dst", F.lit(1.0).alias("weight"))
     )
 

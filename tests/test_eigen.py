@@ -70,3 +70,19 @@ def test_eigengap():
     e = np.array([0.0, 0.1, 0.2, 2.2, 2.3])
     assert eigengap_k(e) == 3
     assert eigengap_k(np.array([0.5, 0.6])) == 2  # floor at 2
+
+
+def test_eigensolve_auto_nonsymmetric_distributed_raises(spark):
+    # ADVICE r2 #2: the distributed solver assumes a symmetric operator;
+    # symmetric=False past local_threshold must fail loudly, not
+    # silently diverge from the local path
+    import pytest
+
+    from simkit_spark.operators.eigen import eigensolve_auto
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 8, 1.0) for i in range(8)], "src long, dst long, weight double"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    with pytest.raises(ValueError, match="symmetric"):
+        eigensolve_auto(edges, nodes, k=2, local_threshold=4, symmetric=False)

@@ -191,3 +191,17 @@ def test_knn_value_match_variant(spark):
 
     per_src = Counter(s for s, _ in got)
     assert max(per_src.values()) > k  # ties expand past k
+
+
+def test_knn_value_match_short_rows_keep_all_edges(spark):
+    # ADVICE r2 #4: a src with fewer than k-1 neighbor rows has no
+    # (k-1)-th threshold row; its whole row IS the threshold set, so
+    # every edge must survive (the inner join dropped them all)
+    from simkit_spark.operators.graphs import knn_edges_value_match
+
+    d = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (0, 2, 2.0), (2, 0, 2.0)],
+        "src long, dst long, dist double",
+    )
+    got = {(r["src"], r["dst"]) for r in knn_edges_value_match(d, k=10).collect()}
+    assert got == {(0, 1), (1, 0), (0, 2), (2, 0)}
