@@ -94,11 +94,14 @@ class TableStore:
         contract-testable without an Iceberg runtime jar (this sandbox
         ships none; see the TableStore docstring)."""
         from pyspark.sql import functions as F  # noqa: PLC0415
+        from pyspark.sql.functions import partitioning  # noqa: PLC0415
 
         writer = df.writeTo(f"{self.catalog}.{name}").using("iceberg")
         if bucket_by is not None:
             n, col = bucket_by
-            writer = writer.partitionedBy(F.bucket(n, F.col(col)))
+            # partitioning.bucket replaces the F.bucket deprecated in
+            # Spark 4.0 (same Iceberg partition transform)
+            writer = writer.partitionedBy(partitioning.bucket(n, F.col(col)))
         elif partition_by:
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         return writer

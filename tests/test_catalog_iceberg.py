@@ -64,9 +64,12 @@ def test_iceberg_writer_plain_partitioning(spark):
 
 
 def test_bucket_transform_is_real_column(spark):
-    # F.bucket produces a genuine partition-transform Column without any
-    # Iceberg jar on the classpath — the contract the writer relies on
-    col = F.bucket(16, F.col("doc_id"))
+    # partitioning.bucket produces a genuine partition-transform Column
+    # without any Iceberg jar on the classpath — the contract the
+    # writer relies on (replaces F.bucket, deprecated in Spark 4.0)
+    from pyspark.sql.functions import partitioning
+
+    col = partitioning.bucket(16, F.col("doc_id"))
     assert "bucket" in str(col).lower()
     # and it is rejected outside partitionedBy context, proving it is a
     # transform, not an ordinary expression
