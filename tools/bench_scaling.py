@@ -78,20 +78,28 @@ def _burn(_):
     return x
 
 
-def hw_ceiling() -> float:
+def hw_ceiling(rounds: int = 3) -> float:
     """Raw CPU capacity ratio of 32 vs 8 concurrent processes on this
     box (pure-python busy loop, no Spark). On shared/SMT hosts this is
     well under 4x — it bounds any attainable 8->32 thread speedup and
-    calibrates the efficiency number."""
+    calibrates the efficiency number.
+
+    Interleaved best-of-N per level: a single 2s window can land on a
+    noisy-neighbor burst and depress one side of the ratio (observed: a
+    one-shot read once reported 4.84x, i.e. "superlinear hardware" —
+    impossible; the 8-proc window was simply stolen). Max-rate-per-level
+    across interleaved rounds reads the least-stolen window of each, and
+    the ratio is clamped to the physical bound of 4."""
     import multiprocessing as mp
 
-    rates = {}
-    for n in (8, 32):
-        with mp.Pool(n) as p:
-            t0 = time.time()
-            total = sum(p.map(_burn, range(n)))
-            rates[n] = total / (time.time() - t0)
-    return rates[32] / rates[8]
+    rates = {8: 0.0, 32: 0.0}
+    for _ in range(rounds):
+        for n in (8, 32):
+            with mp.Pool(n) as p:
+                t0 = time.time()
+                total = sum(p.map(_burn, range(n)))
+                rates[n] = max(rates[n], total / (time.time() - t0))
+    return min(rates[32] / rates[8], 4.0)
 
 
 def main():
