@@ -239,17 +239,15 @@ def embedding_neardup_pairs(
     (pipeline.link.candidate_pairs) and are rescored exactly — the
     scale path trades bounded recall (tunable via the LSH band layout)
     for sub-quadratic candidate volume."""
-    from ..operators.kernels import _pairwise_numpy, auto_n_blocks
+    from ..operators.kernels import _pairwise_numpy, auto_n_blocks, rows_and_dim
 
     pts = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     pts = pts.localCheckpoint()
-    n = pts.count()
+    n, dim = rows_and_dim(pts)
     if n <= exact_threshold:
         if n_blocks is None:
-            from ..operators.kernels import vec_dim
-
             n_blocks = auto_n_blocks(
-                n, pts.sparkSession.sparkContext.defaultParallelism, dim=vec_dim(pts)
+                n, pts.sparkSession.sparkContext.defaultParallelism, dim=dim
             )
         return _pairwise_numpy(
             pts, "cosine", "id", "vec", n_blocks, directed=False, tau=tau

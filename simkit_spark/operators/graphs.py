@@ -150,15 +150,19 @@ def full_affinity_from_points(
     shuffles the directed n^2 edge list through a window (the round-1
     sigma ranking did). Output identical to
     full_affinity(pairwise_distances(emb, directed=True), sigma_k)."""
-    from .kernels import pairwise_distances, pairwise_topk
+    from .kernels import auto_n_blocks, pairwise_distances, pairwise_topk, rows_and_dim
 
     emb = emb.localCheckpoint()
+    # size both kernel passes from ONE (count, dim) action — per-call
+    # auto-sizing would pay the fixed driver-job latency twice more
+    n, d = rows_and_dim(emb, vec_col)
+    nb = auto_n_blocks(n, emb.sparkSession.sparkContext.defaultParallelism, dim=d)
     sig = (
-        pairwise_topk(emb, sigma_k, kernel, id_col, vec_col)
+        pairwise_topk(emb, sigma_k, kernel, id_col, vec_col, n_blocks=nb)
         .where(F.col("rank") == sigma_k)
         .select(F.col("src").alias("id"), F.col("dist").alias("sigma"))
     )
-    canon = pairwise_distances(emb, kernel, id_col=id_col, vec_col=vec_col)
+    canon = pairwise_distances(emb, kernel, id_col=id_col, vec_col=vec_col, n_blocks=nb)
     return (
         canon.join(sig.withColumnRenamed("id", "src").withColumnRenamed("sigma", "sig_s"), "src")
         .join(sig.withColumnRenamed("id", "dst").withColumnRenamed("sigma", "sig_d"), "dst")

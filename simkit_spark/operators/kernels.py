@@ -79,6 +79,19 @@ def vec_dim(df: DataFrame, vec_col: str = "vec") -> int | None:
     return len(row[0]) if row and row[0] is not None else None
 
 
+def rows_and_dim(df: DataFrame, vec_col: str = "vec") -> tuple[int, int | None]:
+    """(row count, vector width) in ONE action — sizing auto_n_blocks
+    needs both, and paying two sequential driver jobs (count + first)
+    per pairwise call doubles the fixed scheduling latency of every
+    kernel invocation on a loaded cluster."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col(vec_col)), ignorenulls=True).alias("d"),
+    ).first()
+    d = row["d"]
+    return int(row["n"]), (int(d) if d is not None and d >= 0 else None)
+
+
 def _sum(col: Column) -> Column:
     return F.aggregate(col, F.lit(0.0).cast(_D), lambda acc, x: acc + x)
 
@@ -323,10 +336,9 @@ def pairwise_topk(
     top-k sets, so the result is identical to ranking the full
     pairwise edge list (the round-1 plan)."""
     if n_blocks is None:
+        n, d = rows_and_dim(df, vec_col)
         n_blocks = auto_n_blocks(
-            df.count(),
-            df.sparkSession.sparkContext.defaultParallelism,
-            dim=vec_dim(df, vec_col),
+            n, df.sparkSession.sparkContext.defaultParallelism, dim=d
         )
     b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     tagged = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), b.alias("blk"))
@@ -433,10 +445,9 @@ def pairwise_distances(
     oracle; used where bitwise parity matters more than speed).
     """
     if n_blocks is None:
+        n, d = rows_and_dim(df, vec_col)
         n_blocks = auto_n_blocks(
-            df.count(),
-            df.sparkSession.sparkContext.defaultParallelism,
-            dim=vec_dim(df, vec_col),
+            n, df.sparkSession.sparkContext.defaultParallelism, dim=d
         )
     if impl == "numpy":
         return _pairwise_numpy(df, kernel, id_col, vec_col, n_blocks, directed)
