@@ -41,9 +41,16 @@ def _gather_strings(flat: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> p
     total = int(out_off[-1])
     idx = np.repeat(starts, lengths) + (np.arange(total) - np.repeat(out_off[:-1], lengths))
     data = flat[idx].tobytes()
-    arr = pa.StringArray.from_buffers(
-        n, pa.py_buffer(out_off.astype(np.int32).tobytes()), pa.py_buffer(data)
-    )
+    if total > np.iinfo(np.int32).max:
+        # string offsets are int32 — a batch gathering > 2 GiB of match
+        # bytes would silently wrap; large_string carries int64 offsets
+        arr = pa.LargeStringArray.from_buffers(
+            n, pa.py_buffer(out_off.tobytes()), pa.py_buffer(data)
+        )
+    else:
+        arr = pa.StringArray.from_buffers(
+            n, pa.py_buffer(out_off.astype(np.int32).tobytes()), pa.py_buffer(data)
+        )
     return arr.to_pandas()
 
 
