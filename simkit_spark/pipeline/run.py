@@ -43,11 +43,26 @@ def run_pipeline(
     store: TableStore,
     cfg: PipelineConfig | None = None,
     force: bool = False,
+    timings: dict | None = None,
 ) -> dict[str, DataFrame]:
     """documents(doc_id, spans) -> {mentions, raw_triples, surfaces,
     entity_map, triples, nodes, edges, provenance} — each persisted as a
-    stage table with a lineage manifest."""
+    stage table with a lineage manifest.
+
+    ``timings``: pass a dict to collect per-stage wall seconds (stage
+    compute + table write + manifest hash-scan) — the first thing to
+    read when throughput regresses or a cluster resize doesn't pay."""
+    import time as _time  # noqa: PLC0415
+
     cfg = cfg or PipelineConfig()
+
+    def staged(name: str, fn, **kw) -> DataFrame:
+        t0 = _time.time()
+        out = store.run_stage(name, fn, **kw)
+        if timings is not None:
+            timings[name] = round(_time.time() - t0, 3)
+        return out
+
     # resolve locally — mutating the caller's cfg would pin the first
     # session's shuffle-partition count onto a reused config object
     doc_buckets = cfg.doc_buckets
@@ -58,7 +73,7 @@ def run_pipeline(
 
     # mentions first (it feeds the dim resolution); its fingerprint
     # cannot depend on dim (detection is dim-free)
-    mentions = store.run_stage(
+    mentions = staged(
         "mentions",
         lambda: detect_mentions(spans),
         inputs={"seed": cfg.seed, "stage": "mentions"},
@@ -69,47 +84,50 @@ def run_pipeline(
     if dim is None:
         from .embed import auto_dim
 
+        t0 = _time.time()
         dim = auto_dim(mentions.select("surface").distinct().count())
+        if timings is not None:
+            timings["auto_dim"] = round(_time.time() - t0, 3)
     fp = {"seed": cfg.seed, "dim": dim, "tau": cfg.tau}
-    raw_triples = store.run_stage(
+    raw_triples = staged(
         "raw_triples",
         lambda: extract_raw_triples(spans),
         inputs={**fp, "stage": "raw_triples"},
         force=force,
         bucket_by=(doc_buckets, "doc_id"),
     )
-    surfaces = store.run_stage(
+    surfaces = staged(
         "surfaces",
         lambda: embed_distinct_surfaces(mentions, dim),
         inputs={**fp, "stage": "surfaces"},
         force=force,
     )
-    entity_map = store.run_stage(
+    entity_map = staged(
         "entity_map",
         lambda: link_entities(surfaces, mentions, dim, cfg.tau, cfg.seed),
         inputs={**fp, "stage": "entity_map"},
         force=force,
     )
-    triples = store.run_stage(
+    triples = staged(
         "triples",
         lambda: resolve_triples(raw_triples, entity_map, cfg.use_salting, cfg.n_salt),
         inputs={**fp, "stage": "triples"},
         force=force,
         bucket_by=(doc_buckets, "doc_id"),
     )
-    nodes = store.run_stage(
+    nodes = staged(
         "nodes",
         lambda: build_nodes(entity_map, mentions),
         inputs={**fp, "stage": "nodes"},
         force=force,
     )
-    edges = store.run_stage(
+    edges = staged(
         "edges",
         lambda: build_edges(triples),
         inputs={**fp, "stage": "edges"},
         force=force,
     )
-    provenance = store.run_stage(
+    provenance = staged(
         "provenance",
         lambda: build_provenance(triples),
         inputs={**fp, "stage": "provenance"},

@@ -43,15 +43,18 @@ with tempfile.TemporaryDirectory() as wh:
     run_pipeline(spark, warm, TableStore(spark, wh), PipelineConfig(seed=42))["triples"].count()
 best = None
 for rep in range(2):
+    stage_t = {{}}
     with tempfile.TemporaryDirectory() as wh:
         t0 = time.time()
-        out = run_pipeline(spark, docs, TableStore(spark, wh), PipelineConfig(seed=42))
+        out = run_pipeline(spark, docs, TableStore(spark, wh), PipelineConfig(seed=42),
+                           timings=stage_t)
         n = out["triples"].count()
         dt = time.time() - t0
     if best is None or dt < best[0]:
-        best = (dt, n)
+        best = (dt, n, stage_t)
 print(json.dumps({{"cpus": cpus, "secs": best[0], "docs": n_docs,
-                   "docs_per_sec": n_docs/best[0], "triples": best[1]}}))
+                   "docs_per_sec": n_docs/best[0], "triples": best[1],
+                   "stages": best[2]}}))
 spark.stop()
 """
 
@@ -122,6 +125,12 @@ def main():
             hi = r32
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
     hw = hw_ceiling()
+    stage_rows = "\n".join(
+        f"| {s} | {lo['stages'].get(s, 0.0):.1f} | {hi['stages'].get(s, 0.0):.1f} | "
+        f"{(lo['stages'].get(s, 0.0) / hi['stages'][s]):.2f}x |"
+        for s in hi.get("stages", {})
+        if hi["stages"].get(s)
+    )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence
@@ -140,6 +149,13 @@ executors, per BASELINE.md):
 
 **Scaling efficiency (local proxy) = throughput(4N) / (4 x throughput(N))
 = {eff:.3f}** (speedup {hi['docs_per_sec']/lo['docs_per_sec']:.2f}x of the nominal 4x).
+
+Per-stage wall seconds of the best run at each level (stage compute +
+bucketed write + manifest hash-scan; `run_pipeline(timings=...)`):
+
+| stage | local[8] s | local[32] s | speedup |
+|---|---|---|---|
+{stage_rows}
 
 **Hardware ceiling of this box: 32 concurrent processes deliver only
 {hw:.2f}x the raw CPU throughput of 8** (pure-python busy-loop, no Spark
