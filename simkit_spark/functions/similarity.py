@@ -66,6 +66,10 @@ def lsh_topk(
     from ..pipeline.link import candidate_pairs, similarity_edges
 
     e = emb.select(F.col(id_col).alias("surface_id"), F.col(vec_col).alias("vec"))
+    # ~5 driver actions follow (band auto-sizing count, bucket-count
+    # job, rescore dispatch first/count/collect) — break the lineage
+    # once or each one re-runs the caller's upstream chain
+    e = e.localCheckpoint()
     cand = candidate_pairs(
         e, dim, n_planes=n_planes, n_bands=n_bands, seed=seed, max_bucket=max_bucket
     )
@@ -254,7 +258,8 @@ def embedding_neardup_pairs(
         ).select("src", "dst", F.round(F.col("dist"), 6).alias("cos"))
     from ..pipeline.link import candidate_pairs, similarity_edges
 
-    dim = len(pts.select("vec").first()["vec"])
+    if dim is None:  # rows_and_dim above already knows it; don't re-probe
+        dim = len(pts.select("vec").first()["vec"])
     surf = pts.select(F.col("id").alias("surface_id"), "vec")
     cand = candidate_pairs(surf, dim, seed=lsh_seed)
     edges = similarity_edges(surf, cand, tau)

@@ -62,14 +62,32 @@ def auto_n_blocks(
     ``dim`` scales the per-pair budget: np_kernel's explicit-difference
     temporaries are chunk x block x dim x 8 bytes, so a 512-dim input
     needs 8x more blocks than the 64-dim test shape for the same task
-    memory (VERDICT r2 'what's wrong' #5). dim <= 64 (and None, for
-    callers that can't know it) keeps decisions bit-identical to the
-    dim-blind rule."""
-    eff_target = target_pairs / max((dim or 0) / 64.0, 1.0)
+    memory (VERDICT r2 'what's wrong' #5). Constant memory needs the
+    BLOCK ROW COUNT n/B to shrink linearly with dim, i.e. the pair
+    budget (n/B)^2 divided by (dim/64)^2 — dividing by dim/64 only
+    bought sqrt(dim) and still built multi-GB temporaries at dim 512.
+    dim <= 64 (and None, for callers that can't know it) keeps
+    decisions bit-identical to the dim-blind rule. Belt-and-braces:
+    _task_chunk additionally bounds the temporary inside each task
+    even when the block cap pins B."""
+    eff_target = target_pairs / max((dim or 0) / 64.0, 1.0) ** 2
     b_mem = math.ceil(n_rows / math.sqrt(float(eff_target)))
     # smallest B with B(B+1)/2 >= parallelism
     b_par = math.ceil((math.sqrt(8.0 * max(parallelism, 1) + 1.0) - 1.0) / 2.0)
-    return int(min(max(b_mem, b_par, 1), 256))
+    # cap bounds the task count (1024 -> ~525k block-pair tasks, fine
+    # for a large cluster's scheduler); past it, _task_chunk still
+    # bounds task memory and only per-task compute grows
+    return int(min(max(b_mem, b_par, 1), 1024))
+
+
+def _task_chunk(chunk: int, v: "np.ndarray") -> int:  # noqa: F821
+    """a-side row chunk inside a kernel task, shrunk with the vector
+    width so the chunk x block x dim x 8-byte temporary never outgrows
+    the 64-dim budget even when the block-count cap pins B. Identical
+    to ``chunk`` at dim <= 64; chunking only partitions the
+    computation, so outputs are bit-identical either way."""
+    dim = v.shape[1] if v.ndim == 2 and v.size else 64
+    return max(128, (chunk * 64) // max(dim, 64))
 
 
 def vec_dim(df: DataFrame, vec_col: str = "vec") -> int | None:
@@ -289,10 +307,11 @@ def _pairwise_numpy(
             sub = pdf[pdf["blk"] == pa]
             ids = sub["id"].to_numpy()
             v = np.array(sub["vec"].tolist(), dtype=np.float64)
-            for lo in range(0, len(ids), chunk):
-                a = v[lo : lo + chunk]
+            ch = _task_chunk(chunk, v)
+            for lo in range(0, len(ids), ch):
+                a = v[lo : lo + ch]
                 d = np_kernel(a, v, kernel)
-                cond = (ids[lo : lo + chunk, None] < ids[None, :]) & esel(d)
+                cond = (ids[lo : lo + ch, None] < ids[None, :]) & esel(d)
                 iu, ju = np.nonzero(cond)
                 emit(ids[lo + iu], ids[ju], d[iu, ju])
         else:
@@ -303,8 +322,9 @@ def _pairwise_numpy(
             if len(aids) and len(bids):
                 bv = np.array(bsub["vec"].tolist(), dtype=np.float64)
                 av = np.array(asub["vec"].tolist(), dtype=np.float64)
-                for lo in range(0, len(aids), chunk):
-                    d = np_kernel(av[lo : lo + chunk], bv, kernel)
+                ch = _task_chunk(chunk, av)
+                for lo in range(0, len(aids), ch):
+                    d = np_kernel(av[lo : lo + ch], bv, kernel)
                     iu, ju = np.nonzero(esel(d))
                     emit(aids[lo + iu], bids[ju], d[iu, ju])
         if not out:
@@ -377,13 +397,14 @@ def pairwise_topk(
             sub = pdf[pdf["blk"] == pa]
             ids = sub["id"].to_numpy()
             v = np.array(sub["vec"].tolist(), dtype=np.float64)
-            for lo in range(0, len(ids), chunk):
-                d = np_kernel(v[lo : lo + chunk], v, kernel)
+            ch = _task_chunk(chunk, v)
+            for lo in range(0, len(ids), ch):
+                d = np_kernel(v[lo : lo + ch], v, kernel)
                 # self-pair sentinel sorts LAST under either direction
-                d[ids[lo : lo + chunk, None] == ids[None, :]] = (
+                d[ids[lo : lo + ch, None] == ids[None, :]] = (
                     -np.inf if largest else np.inf
                 )
-                s, t, dd = topk_rows(ids[lo : lo + chunk], ids, d)
+                s, t, dd = topk_rows(ids[lo : lo + ch], ids, d)
                 out.append(pd.DataFrame({"src": s, "dst": t, "dist": dd}))
         else:
             asub = pdf[pdf["blk"] == pa]
@@ -393,13 +414,14 @@ def pairwise_topk(
             if len(aids) and len(bids):
                 av = np.array(asub["vec"].tolist(), dtype=np.float64)
                 bv = np.array(bsub["vec"].tolist(), dtype=np.float64)
-                for lo in range(0, len(aids), chunk):
-                    d = np_kernel(av[lo : lo + chunk], bv, kernel)
-                    s, t, dd = topk_rows(aids[lo : lo + chunk], bids, d)
+                ch = _task_chunk(chunk, av)
+                for lo in range(0, len(aids), ch):
+                    d = np_kernel(av[lo : lo + ch], bv, kernel)
+                    s, t, dd = topk_rows(aids[lo : lo + ch], bids, d)
                     out.append(pd.DataFrame({"src": s, "dst": t, "dist": dd}))
-                for lo in range(0, len(bids), chunk):
-                    d = np_kernel(bv[lo : lo + chunk], av, kernel)
-                    s, t, dd = topk_rows(bids[lo : lo + chunk], aids, d)
+                for lo in range(0, len(bids), ch):
+                    d = np_kernel(bv[lo : lo + ch], av, kernel)
+                    s, t, dd = topk_rows(bids[lo : lo + ch], aids, d)
                     out.append(pd.DataFrame({"src": s, "dst": t, "dist": dd}))
         if not out:
             return pd.DataFrame({"src": [], "dst": [], "dist": []})

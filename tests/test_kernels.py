@@ -133,8 +133,19 @@ def test_auto_n_blocks_dim_aware():
     assert auto_n_blocks(n, parallelism=32, dim=32) == base
     assert auto_n_blocks(n, parallelism=32, dim=None) == base
     b512 = auto_n_blocks(n, parallelism=32, dim=512)
-    # 8x smaller pair budget -> sqrt(8) ~ 2.83x more blocks
-    assert b512 >= int(base * 2.8)
-    # task temporary stays bounded: (n/B * chunk-capped rows) * dim * 8
-    per_task_pairs = (n / b512) ** 2
-    assert per_task_pairs * 512 * 8 <= 4_000_000 * 64 * 8 * 1.1
+    # (dim/64)^2 = 64x smaller pair budget -> 8x more blocks, so the
+    # ACTUAL task temporary chunk x (n/B) x dim stays constant (the
+    # linear dim/64 rule only bought sqrt: multi-GB at dim 512)
+    assert b512 >= base * 7
+    assert (n / b512) * 512 <= (n / base) * 64 * 1.05
+    # in-task belt-and-braces: the a-side chunk shrinks with dim even
+    # when the block cap pins B; dim <= 64 (or degenerate input) is
+    # bit-identical to the static chunk
+    import numpy as np
+
+    from simkit_spark.operators.kernels import _task_chunk
+
+    assert _task_chunk(2048, np.zeros((10, 64))) == 2048
+    assert _task_chunk(2048, np.zeros((10, 32))) == 2048
+    assert _task_chunk(2048, np.zeros((10, 512))) == 256
+    assert _task_chunk(2048, np.zeros((0,))) == 2048

@@ -87,7 +87,11 @@ def test_mention_ids_stable(spark, corpus):
 def test_pipeline_prf_gate(spark, corpus, tmp_path_factory):
     docs, truth = corpus
     store = TableStore(spark, str(tmp_path_factory.mktemp("warehouse")))
-    out = run_pipeline(spark, docs, store, PipelineConfig(seed=42))
+    timings = {}
+    out = run_pipeline(spark, docs, store, PipelineConfig(seed=42), timings=timings)
+    # timings contract: every stage (+ the auto_dim probe) reports a wall
+    assert set(timings) == set(out) | {"auto_dim"}, timings
+    assert all(v >= 0 for v in timings.values()), timings
     vocab = build_vocab(60, 42)
     alias_rows = [(a, v["canonical"]) for v in vocab for a in v["aliases"]]
     alias_map = spark.createDataFrame(alias_rows, "surface string, canonical string")

@@ -47,12 +47,17 @@ ROWS_ONLY = [
 def _canon_cell(v):
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    # NaN before the float branch: a null that pandas stored as float64
+    # NaN must canonicalize like a null object ('<null>'), not 'nan' —
+    # otherwise the hash depends on the column's pandas dtype
+    if isinstance(v, (float, np.floating)) and np.isnan(v):
+        return "<null>"
     if isinstance(v, (float, np.floating)):
         r = round(float(v), 6)
         return "0.0" if r == 0.0 else repr(r)  # -0.0 -> 0.0
     if isinstance(v, (int, np.integer)):
         return str(int(v))
-    if v is None or (isinstance(v, float) and np.isnan(v)):
+    if v is None:
         return "<null>"
     return str(v)
 
