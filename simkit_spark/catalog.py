@@ -60,6 +60,23 @@ class TableStore:
         partition transform: rows are routed to N stable hash buckets so
         downstream joins on `col` are co-located and skew is bounded.
         """
+        from pyspark.sql import Observation  # noqa: PLC0415
+
+        # lineage metrics ride the WRITE job via observe(): count +
+        # xor-of-row-hashes are collected while the rows stream to the
+        # sink, so the manifest costs zero extra scans (the old design
+        # re-read the whole table after writing — a full second pass
+        # over the data per stage, untenable at 100 TB). xor is
+        # associative+commutative, so the hash is order- and
+        # partitioning-independent; computed over the logical columns
+        # only (never the derived _bucket routing column).
+        obs = Observation()
+        cols = df.columns
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("c"),
+            F.bit_xor(F.xxhash64(*[F.col(c).cast("string") for c in cols])).alias("h"),
+        )
         if self.use_iceberg:
             self.iceberg_writer(df, name, partition_by, bucket_by).createOrReplace()
         else:
@@ -75,7 +92,16 @@ class TableStore:
             else:
                 w = out.write.mode("overwrite")
             w.parquet(self._path(name))
-        manifest = self._build_manifest(name, stage or name, inputs or {})
+        got = obs.get
+        manifest = {
+            "table": name,
+            "stage": stage or name,
+            "row_count": int(got["c"]),
+            "content_hash": str(got["h"] or 0),
+            "inputs": inputs or {},
+            "partitions": self._partition_audit(name),
+            "ts": time.time(),
+        }
         with open(self._manifest_path(name), "w") as f:
             json.dump(manifest, f, indent=1)
         return manifest
@@ -123,36 +149,30 @@ class TableStore:
             return json.load(f)
 
     # -- lineage -------------------------------------------------------
-    def _build_manifest(self, name: str, stage: str, inputs: dict) -> dict:
-        df = self.read(name)
-        # ONE scan: per-partition (count, xor-of-row-hashes); the global
-        # content hash folds the partition hashes driver-side (xor is
-        # associative+commutative, so the result is order- and
-        # partitioning-independent); per-partition counts double as the
-        # skew audit.
-        per = (
-            df.groupBy(F.spark_partition_id().alias("p"))
-            .agg(
-                F.count(F.lit(1)).alias("c"),
-                F.bit_xor(
-                    F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-                ).alias("h"),
-            )
-            .collect()
-        )
-        n = sum(r["c"] for r in per)
-        h = 0
-        for r in per:
-            h ^= r["h"] or 0
-        return {
-            "table": name,
-            "stage": stage,
-            "row_count": n,
-            "content_hash": str(h),
-            "inputs": inputs,
-            "partitions": sorted((r["p"], r["c"]) for r in per),
-            "ts": time.time(),
-        }
+    def _partition_audit(self, name: str) -> list:
+        """Per-partition (dir, rows, bytes) from parquet FOOTERS — pure
+        metadata reads on the driver (a few KB per file), no data scan.
+        Doubles as the skew audit: one oversized bucket is visible here
+        before it stalls a downstream join. Iceberg keeps this in its
+        own manifests, so the branch records nothing extra."""
+        if self.use_iceberg:
+            return []
+        try:  # pragma: no cover - pyarrow is a hard dep in practice
+            import pyarrow.parquet as pq  # noqa: PLC0415
+        except ImportError:  # pragma: no cover
+            return []
+        root = self._path(name)
+        agg: dict[str, list[int]] = {}
+        for dirpath, _dirs, files in os.walk(root):
+            part = os.path.relpath(dirpath, root)
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, fn)
+                ent = agg.setdefault("" if part == "." else part, [0, 0])
+                ent[0] += pq.ParquetFile(p).metadata.num_rows
+                ent[1] += os.path.getsize(p)
+        return sorted([d, c, b] for d, (c, b) in agg.items())
 
     # -- checkpoint/resume ---------------------------------------------
     def run_stage(

@@ -50,8 +50,9 @@ def run_pipeline(
     stage table with a lineage manifest.
 
     ``timings``: pass a dict to collect per-stage wall seconds (stage
-    compute + table write + manifest hash-scan) — the first thing to
-    read when throughput regresses or a cluster resize doesn't pay."""
+    compute + table write; lineage metrics ride the write job via
+    observe()) — the first thing to read when throughput regresses or a
+    cluster resize doesn't pay."""
     import time as _time  # noqa: PLC0415
 
     cfg = cfg or PipelineConfig()

@@ -31,7 +31,16 @@ from simkit_spark.corpus import synthesize
 from simkit_spark.pipeline.run import PipelineConfig, run_pipeline
 
 cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); doc_sents = int(sys.argv[3])
-spark = get_spark(f"scale{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8))
+scratch = sys.argv[4] if len(sys.argv) > 4 and sys.argv[4] else None
+conf = {{}}
+if scratch:
+    # warehouse + shuffle/spill on the given base (e.g. /dev/shm tmpfs):
+    # isolates COMPUTE scaling from this box's single shared disk — the
+    # per-executor-local-disk regime of the real cluster target
+    tempfile.tempdir = scratch
+    conf["spark.local.dir"] = tempfile.mkdtemp(prefix="spark-local-")
+spark = get_spark(f"scale{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8),
+                  extra_conf=conf)
 docs, _ = synthesize(spark, n_docs=n_docs, n_entities=200, seed=42, partitions=max(cpus, 8),
                      doc_sents=doc_sents)
 docs = docs.localCheckpoint()  # materialize input so we time the pipeline, not the generator
@@ -56,14 +65,17 @@ print(json.dumps({{"cpus": cpus, "secs": best[0], "docs": n_docs,
                    "docs_per_sec": n_docs/best[0], "triples": best[1],
                    "stages": best[2]}}))
 spark.stop()
+if scratch:
+    import shutil
+    shutil.rmtree(conf["spark.local.dir"], ignore_errors=True)
 """
 
 
-def run(cpus: int, n_docs: int, doc_sents: int) -> dict:
+def run(cpus: int, n_docs: int, doc_sents: int, scratch: str = "") -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     code = RUNNER.format(repo=repo)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(n_docs), str(doc_sents)],
+        [sys.executable, "-c", code, str(cpus), str(n_docs), str(doc_sents), scratch],
         capture_output=True, text=True, timeout=2400, cwd=repo,
     )
     if not out.stdout.strip():
@@ -105,6 +117,21 @@ def hw_ceiling(rounds: int = 3) -> float:
     return min(rates[32] / rates[8], 4.0)
 
 
+def measure(n_docs: int, doc_sents: int, reps: int, scratch: str = ""):
+    # interleave the two levels and keep the best run of each: the
+    # sandbox shares its box (observed ±50% wall variance on identical
+    # runs), so adjacent A/B pairs + min are the only defensible read
+    lo = hi = None
+    for _ in range(reps):
+        r8 = run(8, n_docs, doc_sents, scratch)
+        r32 = run(32, n_docs, doc_sents, scratch)
+        if lo is None or r8["secs"] < lo["secs"]:
+            lo = r8
+        if hi is None or r32["secs"] < hi["secs"]:
+            hi = r32
+    return lo, hi
+
+
 def main():
     n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "1000000"))
     # realistic document length: the 2-5-sentence default is so cheap to
@@ -112,26 +139,25 @@ def main():
     # size that fits a laptop — scaling is only measurable on real work
     doc_sents = int(os.environ.get("SPARK_GRAFT_DOC_SENTS", "24"))
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-    # interleave the two levels and keep the best run of each: the
-    # sandbox shares its box (observed ±50% wall variance on identical
-    # runs), so adjacent A/B pairs + min are the only defensible read
-    lo = hi = None
-    for _ in range(reps):
-        r8 = run(8, n_docs, doc_sents)
-        r32 = run(32, n_docs, doc_sents)
-        if lo is None or r8["secs"] < lo["secs"]:
-            lo = r8
-        if hi is None or r32["secs"] < hi["secs"]:
-            hi = r32
-    eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+    # two storage regimes: this box's single ext4 disk (conservative —
+    # 32 threads share ONE spindle, the write path cannot scale), and
+    # /dev/shm tmpfs (the cluster analogue — on the 4N-executor target
+    # every executor brings its own local disk, so the write path
+    # scales WITH parallelism; tmpfs is how this box can express that)
+    shm = "/dev/shm" if os.access("/dev/shm", os.W_OK) else ""
+    lo_m, hi_m = measure(n_docs, doc_sents, reps, scratch=shm)
+    lo_d, hi_d = measure(n_docs, doc_sents, max(reps // 2, 1), scratch="")
+    eff_m = hi_m["docs_per_sec"] / (4 * lo_m["docs_per_sec"])
+    eff_d = hi_d["docs_per_sec"] / (4 * lo_d["docs_per_sec"])
     hw = hw_ceiling()
+
     def _stage_row(s: str) -> str:
-        a = lo.get("stages", {}).get(s, 0.0)
-        b = hi.get("stages", {}).get(s, 0.0)
+        a = lo_m.get("stages", {}).get(s, 0.0)
+        b = hi_m.get("stages", {}).get(s, 0.0)
         ratio = f"{a / b:.2f}x" if a and b else "n/a"  # sub-ms rounds to 0
         return f"| {s} | {a:.1f} | {b:.1f} | {ratio} |"
 
-    all_stages = list(dict.fromkeys([*lo.get("stages", {}), *hi.get("stages", {})]))
+    all_stages = list(dict.fromkeys([*lo_m.get("stages", {}), *hi_m.get("stages", {})]))
     stage_rows = "\n".join(_stage_row(s) for s in all_stages)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
@@ -142,54 +168,63 @@ Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by tools/bench_scaling.py.
 Identical KG-construction job (synthesize {n_docs} interleaved docs ->
 extract -> embed -> LSH link -> CC merge -> materialize triples) at two
 parallelism levels, fresh JVM each (the sandbox proxy for N vs 4N
-executors, per BASELINE.md):
+executors, per BASELINE.md), under two storage regimes:
+
+**Per-executor-local storage regime (tmpfs scratch — the cluster
+analogue: on the 4N-executor target every executor brings its own
+local disk, so the write path scales with parallelism):**
 
 | parallelism | wall (s) | docs/sec |
 |---|---|---|
-| local[8]  (N)  | {lo['secs']:.1f} | {lo['docs_per_sec']:.1f} |
-| local[32] (4N) | {hi['secs']:.1f} | {hi['docs_per_sec']:.1f} |
+| local[8]  (N)  | {lo_m['secs']:.1f} | {lo_m['docs_per_sec']:.1f} |
+| local[32] (4N) | {hi_m['secs']:.1f} | {hi_m['docs_per_sec']:.1f} |
 
 **Scaling efficiency (local proxy) = throughput(4N) / (4 x throughput(N))
-= {eff:.3f}** (speedup {hi['docs_per_sec']/lo['docs_per_sec']:.2f}x of the nominal 4x).
+= {eff_m:.3f}** (speedup {hi_m['docs_per_sec']/lo_m['docs_per_sec']:.2f}x of the nominal 4x).
 
-Per-stage wall seconds of the best run at each level (stage compute +
-bucketed write + manifest hash-scan; `run_pipeline(timings=...)`):
+**Single-shared-disk regime (all writes through this box's ONE ext4
+spindle — the conservative floor; no cluster runs 32 executors
+against one disk):**
+
+| parallelism | wall (s) | docs/sec | efficiency |
+|---|---|---|---|
+| local[8]  (N)  | {lo_d['secs']:.1f} | {lo_d['docs_per_sec']:.1f} | |
+| local[32] (4N) | {hi_d['secs']:.1f} | {hi_d['docs_per_sec']:.1f} | {eff_d:.3f} |
+
+Per-stage wall seconds of the best tmpfs run at each level (stage
+compute + bucketed write, lineage metrics riding the write job;
+`run_pipeline(timings=...)`):
 
 | stage | local[8] s | local[32] s | speedup |
 |---|---|---|---|
 {stage_rows}
 
-Reading the stage table: each stage's wall = compute + parquet write +
-manifest hash-scan, and the writes land on this box's ONE shared disk,
-which more threads cannot scale (Amdahl on shared IO). Since the r3
-vectorized extractor cut per-doc CPU several-fold, absolute throughput
-rose at BOTH levels vs the r2 evidence (local[8]: 16.1k -> ~20k
-docs/s) while the thread-scaling ratio FELL — a faster engine against
-a fixed disk, not pipeline serialization. On the multi-executor target
-(4N executors = 4x disks + 4x heaps) the write path scales with the
-cluster; this per-stage table is the instrument to re-verify that
-there.
-
 **Hardware ceiling of this box: 32 concurrent processes deliver only
 {hw:.2f}x the raw CPU throughput of 8** (pure-python busy-loop, no Spark
 — SMT sharing + virtualization host steal), so the maximum attainable
 "efficiency" on this proxy is {hw/4:.2f}, and the pipeline achieves
-{eff/(hw/4):.0%} of that attainable ceiling.
+{eff_m/(hw/4):.0%} of that attainable ceiling in the
+per-executor-storage regime.
 
 Caveat: local-mode cores additionally share ONE JVM heap, one shuffle
-service, one disk and one node's memory bandwidth, so this proxy
+service and one node's memory bandwidth, so even the tmpfs proxy
 under-reports true multi-executor scaling (4N executors bring 4x heaps +
-4x IO — the regime the >=0.8 target describes). Host-neighbor noise of
-+-50% wall on identical runs is handled by interleaved best-of-N runs.
-All pipeline stages are shuffle-partitioned (no driver-side loops over
-per-row data); per-stage parallelism scales with
-spark.sql.shuffle.partitions, which the harness sets to the core count,
-and small-data stages size-dispatch to the driver so they never pay
-distributed latency for driver-sized work.
+4x memory bandwidth — the regime the >=0.8 target describes).
+Host-neighbor noise of +-50% wall on identical runs is handled by
+interleaved best-of-N runs. All pipeline stages are shuffle-partitioned
+(no driver-side loops over per-row data); per-stage parallelism scales
+with spark.sql.shuffle.partitions, which the harness sets to the core
+count, and small-data stages size-dispatch to the driver so they never
+pay distributed latency for driver-sized work.
+
+See BENCH/STRESS.md for the distributed-linking stress evidence
+(100k-300k docs past the local-dispatch threshold: P/R 0.971/0.986 at
+100k, 0.948/0.977 at 300k).
 """
     with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"n8": lo, "n32": hi, "efficiency": round(eff, 3),
+    print(json.dumps({"tmpfs": {"n8": lo_m, "n32": hi_m, "efficiency": round(eff_m, 3)},
+                      "disk": {"n8": lo_d, "n32": hi_d, "efficiency": round(eff_d, 3)},
                       "hw_ceiling_32_vs_8": round(hw, 2)}))
 
 
