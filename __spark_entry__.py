@@ -447,14 +447,20 @@ def _kg_triples(spark, sf_dir):
     from sf_dir — FIXTURES.md F4)."""
     from simkit_spark.corpus import synthesize
     from simkit_spark.pipeline.embed import embed_distinct_surfaces
-    from simkit_spark.pipeline.extract import detect_mentions, explode_spans, extract_raw_triples
+    from simkit_spark.pipeline.extract import (
+        detect_mentions,
+        explode_spans,
+        raw_triples_from_mentions,
+    )
     from simkit_spark.pipeline.link import link_entities
     from simkit_spark.pipeline.materialize import resolve_triples
 
     docs, _ = synthesize(spark, n_docs=200, n_entities=50, seed=42)
     spans = explode_spans(docs)
-    mentions = detect_mentions(spans)
-    raw = extract_raw_triples(spans)
+    # single matcher pass: raw triples derive from the mentions table
+    # (parity with extract_raw_triples asserted in tests/test_pipeline)
+    mentions = detect_mentions(spans, with_pred=True)
+    raw = raw_triples_from_mentions(mentions)
     surfaces = embed_distinct_surfaces(mentions)
     emap = link_entities(surfaces, mentions, 256, 0.75, 42)
     t = resolve_triples(raw, emap, use_salting=False)

@@ -39,6 +39,16 @@ for _p, _ph in _PHRASES:
 MENTIONS_SCHEMA = (
     "doc_id string, span_idx int, mention_id long, surface string, start int"
 )
+# with_pred=True appends `pred_prev`: the predicate recognized in the
+# text between the previous mention's end and this mention's start
+# within the same span (null for the span's first mention or when no
+# lexicon phrase matches). Resolving the lexicon lookup AT DETECTION
+# TIME keeps the mentions table narrow — storing the raw between-text
+# would re-write most of the corpus bytes — and makes raw-triple
+# extraction a pure-SQL derivation from the mentions table
+# (raw_triples_from_mentions): the pipeline runs the byte-level
+# matcher ONCE per span instead of twice.
+MENTIONS_PRED_SCHEMA = MENTIONS_SCHEMA + ", pred_prev string"
 RAW_TRIPLES_SCHEMA = (
     "doc_id string, span_idx int, subj_surface string, pred string, obj_surface string"
 )
@@ -85,20 +95,29 @@ def _stable_mention_ids(
     return (mid & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
-def detect_mentions(spans: DataFrame, ts_col: str | None = None) -> DataFrame:
+def detect_mentions(
+    spans: DataFrame, ts_col: str | None = None, with_pred: bool = False
+) -> DataFrame:
     """Text spans -> (doc_id, span_idx, mention_id, surface, start).
 
     mention_id is content-derived (hash of doc/span/char-start), never
     monotonically_increasing_id — stable under re-partitioning and
     checkpoint resume. ``ts_col`` names a timestamp column to carry
     through onto every mention (streaming event time).
+    ``with_pred=True`` adds `pred_prev` (see MENTIONS_PRED_SCHEMA) so
+    raw_triples_from_mentions can derive SVO candidates without a
+    second matcher pass over the text.
     """
     cols = ["doc_id", "span_idx", "text"] + ([ts_col] if ts_col else [])
     text_spans = spans.where(F.col("kind") == "text").select(*cols)
-    schema = MENTIONS_SCHEMA + (f", {ts_col} timestamp" if ts_col else "")
-    keys = ["doc_id", "span_idx", "mention_id", "surface", "start"] + (
-        [ts_col] if ts_col else []
+    schema = (MENTIONS_PRED_SCHEMA if with_pred else MENTIONS_SCHEMA) + (
+        f", {ts_col} timestamp" if ts_col else ""
     )
+    keys = ["doc_id", "span_idx", "mention_id", "surface", "start"]
+    if with_pred:
+        keys += ["pred_prev"]
+    if ts_col:
+        keys += [ts_col]
 
     def find_scalar(pdf: pd.DataFrame) -> pd.DataFrame:
         out = {k: [] for k in keys}
@@ -108,12 +127,21 @@ def detect_mentions(spans: DataFrame, ts_col: str | None = None) -> DataFrame:
         ):
             if not text:
                 continue
+            prev_end = None
             for m in MENTION_RE.finditer(text):
                 out["doc_id"].append(doc_id)
                 out["span_idx"].append(span_idx)
                 out["mention_id"].append(_stable_mention_id(doc_id, int(span_idx), m.start()))
                 out["surface"].append(m.group(0))
                 out["start"].append(m.start())
+                if with_pred:
+                    between = (
+                        None
+                        if prev_end is None
+                        else text[prev_end : m.start()].strip().lower()
+                    )
+                    out["pred_prev"].append(_PHRASE_TO_PRED.get(between))
+                    prev_end = m.end()
                 if ts_col:
                     out[ts_col].append(ts_vals.iloc[i])
         return pd.DataFrame(out)
@@ -141,11 +169,55 @@ def detect_mentions(spans: DataFrame, ts_col: str | None = None) -> DataFrame:
                 "surface": mt.surface.to_numpy(),
                 "start": mt.start,
             }
+            if with_pred:
+                # between-text gathered from the SAME byte buffer for
+                # every non-first mention of a row, then resolved to a
+                # predicate immediately (the table stores only the tiny
+                # nullable pred string, never the between-text bytes)
+                not_first = np.zeros(len(mt.row), dtype=bool)
+                not_first[1:] = mt.row[1:] == mt.row[:-1]
+                preds = np.full(len(mt.row), None, dtype=object)
+                if not_first.any():
+                    prev_end = mt.flat_end[np.nonzero(not_first)[0] - 1]
+                    betw = mt.substrings(prev_end, mt.flat_start[not_first])
+                    preds[not_first] = (
+                        betw.str.strip().str.lower().map(_PHRASE_TO_PRED).to_numpy()
+                    )
+                out["pred_prev"] = preds
             if ts_col:
                 out[ts_col] = pdf[ts_col].to_numpy()[mt.row]
             yield pd.DataFrame(out)
 
     return text_spans.mapInPandas(find, schema)
+
+
+def raw_triples_from_mentions(mentions: DataFrame) -> DataFrame:
+    """SVO candidates derived from a with_pred=True mentions table —
+    pure column expressions + one narrow groupBy; the span text never
+    re-enters the plan (extract_raw_triples re-matches it, this reuses
+    the detection pass).
+
+    Semantics identical to extract_raw_triples: a span qualifies iff it
+    has EXACTLY two mentions and the text strictly between them,
+    trimmed + lowercased, equals a predicate phrase (pred_prev resolved
+    that lookup at detection time)."""
+    g = (
+        mentions.groupBy("doc_id", "span_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_m"),
+            F.min_by("surface", "start").alias("subj_surface"),
+            F.max_by("surface", "start").alias("obj_surface"),
+            F.max_by("pred_prev", "start").alias("pred"),
+        )
+        .where((F.col("n_m") == 2) & F.col("pred").isNotNull())
+    )
+    return g.select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        "subj_surface",
+        "pred",
+        "obj_surface",
+    )
 
 
 def extract_raw_triples(spans: DataFrame) -> DataFrame:

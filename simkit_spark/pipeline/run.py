@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import TableStore
 from .embed import DEFAULT_DIM, embed_distinct_surfaces
-from .extract import detect_mentions, explode_spans, extract_raw_triples
+from .extract import detect_mentions, explode_spans, raw_triples_from_mentions
 from .link import link_entities
 from .materialize import build_edges, build_nodes, build_provenance, resolve_triples
 
@@ -73,11 +73,14 @@ def run_pipeline(
     spans = explode_spans(documents)
 
     # mentions first (it feeds the dim resolution); its fingerprint
-    # cannot depend on dim (detection is dim-free)
+    # cannot depend on dim (detection is dim-free). with_pred=True:
+    # the mentions pass is the ONLY matcher pass over the span text —
+    # raw triples derive from this table in pure SQL (narrow rows),
+    # halving the pipeline's text-scan work
     mentions = staged(
         "mentions",
-        lambda: detect_mentions(spans),
-        inputs={"seed": cfg.seed, "stage": "mentions"},
+        lambda: detect_mentions(spans, with_pred=True),
+        inputs={"seed": cfg.seed, "stage": "mentions", "pred": True},
         force=force,
         bucket_by=(doc_buckets, "doc_id"),
     )
@@ -92,8 +95,8 @@ def run_pipeline(
     fp = {"seed": cfg.seed, "dim": dim, "tau": cfg.tau}
     raw_triples = staged(
         "raw_triples",
-        lambda: extract_raw_triples(spans),
-        inputs={**fp, "stage": "raw_triples"},
+        lambda: raw_triples_from_mentions(mentions),
+        inputs={**fp, "stage": "raw_triples", "from": "mentions"},
         force=force,
         bucket_by=(doc_buckets, "doc_id"),
     )

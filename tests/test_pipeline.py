@@ -76,6 +76,22 @@ def test_extraction_matches_truth_surfaces(spark, corpus):
     assert joined.where(F.col("pred") != F.col("pred_true")).count() == 0
 
 
+def test_raw_triples_from_mentions_parity(spark, corpus):
+    """The pipeline's single-pass derivation (mentions with_pred=True ->
+    pure-SQL groupBy) must emit exactly the same triple rows as the
+    standalone second-matcher-pass extractor."""
+    from simkit_spark.pipeline.extract import raw_triples_from_mentions
+
+    docs, _ = corpus
+    spans = explode_spans(docs)
+    via_mentions = raw_triples_from_mentions(detect_mentions(spans, with_pred=True))
+    direct = extract_raw_triples(spans)
+    cols = ["doc_id", "span_idx", "subj_surface", "pred", "obj_surface"]
+    assert via_mentions.count() == direct.count()
+    assert via_mentions.select(*cols).exceptAll(direct.select(*cols)).count() == 0
+    assert direct.select(*cols).exceptAll(via_mentions.select(*cols)).count() == 0
+
+
 def test_mention_ids_stable(spark, corpus):
     docs, _ = corpus
     m1 = detect_mentions(explode_spans(docs))
