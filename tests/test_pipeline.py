@@ -92,6 +92,39 @@ def test_raw_triples_from_mentions_parity(spark, corpus):
     assert direct.select(*cols).exceptAll(via_mentions.select(*cols)).count() == 0
 
 
+def test_raw_triples_parity_non_ascii_fallback(spark):
+    """Non-ASCII text forces both extractors onto their scalar fallback
+    paths; the single-pass derivation must still match the standalone
+    extractor row-for-row (including pred_prev resolution in the scalar
+    branch)."""
+    from simkit_spark.pipeline.extract import raw_triples_from_mentions
+
+    texts = [
+        "Acme Corp acquired Beta Labs",          # clean triple
+        "café — Gamma Inc partnered with Delta Co",  # non-ASCII + triple
+        "Zürich is nice",                        # non-ASCII, no triple
+        "Epsilon Ltd supplies Zeta Gmbh today",  # trailing text after obj
+        "Eta Co likes Theta Co",                 # unknown predicate
+        "Iota Co acquired Kappa Co and Lambda Co",  # 3 mentions -> none
+        "",
+    ]
+    rows = [(f"d{i}", [{"kind": "text", "text": t, "media_ref": None, "offset": 0}])
+            for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    spans = explode_spans(docs)
+    via_mentions = raw_triples_from_mentions(detect_mentions(spans, with_pred=True))
+    direct = extract_raw_triples(spans)
+    cols = ["doc_id", "span_idx", "subj_surface", "pred", "obj_surface"]
+    got = sorted(tuple(r) for r in via_mentions.select(*cols).collect())
+    want = sorted(tuple(r) for r in direct.select(*cols).collect())
+    assert got == want
+    assert len(got) == 3  # d0, d1, d3
+
+
 def test_mention_ids_stable(spark, corpus):
     docs, _ = corpus
     m1 = detect_mentions(explode_spans(docs))
