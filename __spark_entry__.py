@@ -21,6 +21,12 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 EMB_DIM = 64
 KNN_K = 5
 EPS = 1.25
+# tighter radius for the CC / DBSCAN queries: at sf0.01 EPS=1.25 collapses
+# the whole dataset into ONE component (a degenerate, non-discriminating
+# check), while 1.15 yields ~135 components and an 84-core/147-border/
+# 269-noise DBSCAN split — so their DuckDB oracles actually verify the
+# clustering logic, not just "everything merged"
+EPS_CC = 1.15
 SIGMA_K = 5
 TOPK = 10
 
@@ -399,7 +405,7 @@ def _connected_components_eps(spark, sf_dir):
     from simkit_spark.operators.epsjoin import eps_neighbor_pairs
 
     emb = _emb(spark, sf_dir)
-    edges = eps_neighbor_pairs(emb, EPS, strict=True).select("src", "dst")
+    edges = eps_neighbor_pairs(emb, EPS_CC, strict=True).select("src", "dst")
     # size-dispatched CC (union-find under one Arrow collect below the
     # threshold; pointer-doubling loop above) — the auto path also
     # materializes the eps join once instead of re-running it per action
@@ -409,7 +415,7 @@ def _connected_components_eps(spark, sf_dir):
 def _dbscan(spark, sf_dir):
     from simkit_spark.operators.dbscan import dbscan
 
-    return dbscan(_emb(spark, sf_dir), eps=EPS, min_pts=4)
+    return dbscan(_emb(spark, sf_dir), eps=EPS_CC, min_pts=4)
 
 
 def _eigengap(spark, sf_dir):
@@ -720,6 +726,75 @@ SELECT c.src, c.dst,
         / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 6) AS jaccard
 FROM cand c JOIN shs sa ON c.src = sa.doc_id JOIN shs sb ON c.dst = sb.doc_id"""
 
+# --- recursive-CTE oracles for the graph-clustering queries.  Connected
+# components / DBSCAN / near-dup resolution are iterative on Spark
+# (pointer-doubling + union-find dispatch) but at sf0.01 the transitive
+# closure is small enough for DuckDB's WITH RECURSIVE: reach(id, root)
+# seeded with (id, id) and expanded over symmetrized edges terminates by
+# UNION-dedup, and min(root) per id is exactly the "component = min node
+# id" contract of connected_components_auto.  This upgrades three
+# formerly rows-only queries to full value-hash verification.
+_CC_EPS_SQL = (
+    "WITH RECURSIVE "
+    + _PAIR_BASE.strip().removeprefix("WITH").strip()
+    + f""",
+e AS (SELECT src, dst FROM (SELECT src, dst, {_DIST_EXPR['euclidean']} AS dist FROM pairs) WHERE dist < {EPS_CC}),
+esym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+r(id, rt) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT s.dst, r.rt FROM r JOIN esym s ON s.src = r.id)
+SELECT id, min(rt)::BIGINT AS component FROM r GROUP BY id"""
+)
+
+# DBSCAN (Unsupervised.java:60-148 semantics): neighbors are dist <= eps
+# self-inclusive, core iff degree+1 >= min_pts, clusters = CC over
+# core-core edges labeled by min core id, border = min cluster among
+# core neighbors, noise = -1.
+_DBSCAN_SQL = (
+    "WITH RECURSIVE "
+    + _PAIR_BASE.strip().removeprefix("WITH").strip()
+    + f""",
+e AS (SELECT src, dst FROM (SELECT src, dst, {_DIST_EXPR['euclidean']} AS dist FROM pairs) WHERE dist <= {EPS_CC}),
+esym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+core AS (SELECT src AS id FROM esym GROUP BY src HAVING count(*) + 1 >= 4),
+ce AS (SELECT e.src, e.dst FROM e JOIN core a ON e.src = a.id JOIN core b ON e.dst = b.id),
+cesym AS (SELECT src, dst FROM ce UNION ALL SELECT dst AS src, src AS dst FROM ce),
+r(id, rt) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT s.dst, r.rt FROM r JOIN cesym s ON s.src = r.id),
+comp AS (SELECT id, min(rt) AS component FROM r GROUP BY id),
+border AS (
+  SELECT s.dst AS id, min(c.component) AS cluster
+  FROM esym s JOIN comp c ON s.src = c.id
+  WHERE s.dst NOT IN (SELECT id FROM core)
+  GROUP BY s.dst),
+assigned AS (
+  SELECT id, component AS cluster, TRUE AS is_core FROM comp
+  UNION ALL
+  SELECT id, cluster, FALSE AS is_core FROM border)
+SELECT v.id, coalesce(a.cluster, -1)::BIGINT AS cluster, coalesce(a.is_core, FALSE) AS is_core
+FROM v LEFT JOIN assigned a ON v.id = a.id"""
+)
+
+# Near-dup RESOLUTION: the banded-candidate + exact-Jaccard chain is
+# _NEARDUP_SQL verbatim (as a subquery); edges are jaccard >= 0.6 (both
+# engines round to 6dp BEFORE the cut), components close over doc_ids
+# directly, keeper = min doc_id per component = min reachable doc_id.
+_NEARDUP_RESOLVE_SQL = f"""
+WITH RECURSIVE jac AS ({_NEARDUP_SQL}),
+ed AS (SELECT src, dst FROM jac WHERE jaccard >= 0.6),
+edsym AS (SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed),
+r(doc_id, rt) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, r.rt FROM r JOIN edsym s ON s.src = r.doc_id),
+comp AS (SELECT doc_id, min(rt) AS keep_doc_id FROM r GROUP BY doc_id),
+sz AS (SELECT keep_doc_id, count(*) AS cluster_size FROM comp GROUP BY keep_doc_id)
+SELECT c.doc_id, c.keep_doc_id, sz.cluster_size::BIGINT AS cluster_size
+FROM comp c JOIN sz USING (keep_doc_id)"""
+
 _LAP_AD_SQL = (
     _KNN_ADJ
     + """,
@@ -882,6 +957,13 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
-        # spectral_embedding / kmeans_clusters / connected_components_eps /
-        # kg_triples: iterative, non-SQL-expressible -> rows-only check
+        # iterative graph clustering, verified via recursive-CTE
+        # transitive closure (small enough at the driver's sf0.01)
+        "connected_components_eps": _CC_EPS_SQL,
+        "dbscan": _DBSCAN_SQL,
+        "neardup_resolve": _NEARDUP_RESOLVE_SQL,
+        # spectral_embedding / kmeans_clusters / eigengap / kg_triples /
+        # lsh_topk / media_features: iterative or hash-seeded numerics a
+        # SQL engine can't reproduce -> rows-only driver check, content
+        # hashes committed in ROWSONLY_HASHES.json
     }

@@ -31,16 +31,15 @@ sys.path.insert(0, REPO)
 ARTIFACT = os.path.join(REPO, "ROWSONLY_HASHES.json")
 SF_DIR = os.environ.get("SPARK_GRAFT_HASH_SF_DIR", "/root/testdata/sf0.01")
 
+# connected_components_eps / dbscan / neardup_resolve graduated to full
+# DuckDB oracles (recursive-CTE transitive closure) and left this list.
 ROWS_ONLY = [
     "spectral_embedding",
     "kmeans_clusters",
-    "connected_components_eps",
     "kg_triples",
-    "dbscan",
     "eigengap",
     "lsh_topk",
     "media_features",
-    "neardup_resolve",
 ]
 
 
