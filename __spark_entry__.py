@@ -336,6 +336,24 @@ def _neardup_resolve(spark, sf_dir):
     )
 
 
+def _stratified_sample(spark, sf_dir):
+    from simkit_spark.functions.curation import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), k=50, strata_col="lang", seed=42)
+
+
+def _doc_chunks(spark, sf_dir):
+    from simkit_spark.functions.curation import doc_chunks
+
+    return doc_chunks(_docs(spark, sf_dir), chunk=64, overlap=16)
+
+
+def _contamination(spark, sf_dir):
+    from simkit_spark.functions.curation import contamination
+
+    return contamination(_docs(spark, sf_dir), ngram=5, eval_mod=20)
+
+
 def _pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -512,6 +530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "quality_filter": _quality_filter,
         "corpus_stats": _corpus_stats,
+        "stratified_sample": _stratified_sample,
+        "doc_chunks": _doc_chunks,
+        "contamination": _contamination,
         # non-SQL-expressible (rows-only):
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
@@ -725,6 +746,56 @@ SELECT c.src, c.dst,
   round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
         / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 6) AS jaccard
 FROM cand c JOIN shs sa ON c.src = sa.doc_id JOIN shs sb ON c.dst = sb.doc_id"""
+
+# --- curation oracles (functions/curation.py): every hash decision is
+# md5-derived so DuckDB computes bit-identical samples/splits.
+_STRAT_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, md5(doc_id::VARCHAR || ':42') AS skey FROM documents),
+rk AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rank
+  FROM keyed)
+SELECT doc_id, lang, rank::BIGINT AS rank FROM rk WHERE rank <= 50"""
+
+# chunk=64, overlap=16 -> stride 48; chunk count = 1 + ceil((n-64)/48)
+# for n > 64 else 1 (integer math, identical to the Spark expression)
+_CHUNKS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks, {_TOKEN_COUNT_EXPR} AS n FROM documents),
+nz AS (SELECT * FROM base WHERE n > 0),
+c AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= 64 THEN 1 ELSE 1 + ((n - 64 + 47) // 48) END AS n_chunks
+  FROM nz),
+e AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       (chunk_id * 48)::BIGINT AS start_token,
+       least(64, n - chunk_id * 48)::BIGINT AS n_chunk_tokens,
+       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + least(64, n - chunk_id * 48)], ' ') AS chunk_text
+FROM e"""
+
+# word-5-gram shingles (lowercased, distinct; whole text when <= 5
+# tokens) — the n=5 instance of the _SHINGLES pattern
+_SHINGLES5 = f"""
+CASE WHEN {_TOKEN_COUNT_EXPR} <= 5 THEN [array_to_string({_LTOKENS}, ' ')]
+     ELSE list_distinct(list_transform(range(0, {_TOKEN_COUNT_EXPR} - 5 + 1),
+          i -> array_to_string({_LTOKENS}[i+1:i+5], ' '))) END"""
+
+_CONTAM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(concat('0x', substring(md5(doc_id::VARCHAR || ':ev'), 1, 8)) AS BIGINT) % 20 AS m
+  FROM documents),
+evg AS (SELECT DISTINCT unnest({_SHINGLES5}) AS g FROM d WHERE m = 0),
+tr AS (SELECT doc_id FROM d WHERE m <> 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM (SELECT doc_id, unnest({_SHINGLES5}) AS g FROM d WHERE m <> 0) t
+  JOIN evg USING (g) GROUP BY doc_id)
+SELECT tr.doc_id, coalesce(h.n_shared, 0)::BIGINT AS n_shared,
+       coalesce(h.n_shared, 0) > 0 AS contaminated
+FROM tr LEFT JOIN hits h USING (doc_id)"""
 
 # --- recursive-CTE oracles for the graph-clustering queries.  Connected
 # components / DBSCAN / near-dup resolution are iterative on Spark
@@ -957,6 +1028,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _EVENTS_SQL,
         "quality_filter": _QUALITY_FILTER_SQL,
         "corpus_stats": _CORPUS_STATS_SQL,
+        "stratified_sample": _STRAT_SQL,
+        "doc_chunks": _CHUNKS_SQL,
+        "contamination": _CONTAM_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

@@ -47,6 +47,9 @@ HEADLINE = [
     "quality_filter",
     "corpus_stats",
     "neardup_resolve",
+    "stratified_sample",
+    "doc_chunks",
+    "contamination",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

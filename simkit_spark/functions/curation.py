@@ -1,0 +1,175 @@
+"""Dataset-curation operators for training-data pipelines.
+
+  * stratified_sample — deterministic per-stratum quota sampling
+                        (hash-ordered, exact k per stratum) for
+                        language/source-balanced corpus construction
+  * doc_chunks        — fixed-size token-window chunking with overlap
+                        (the training-window splitter: one document ->
+                        many max-length sequences)
+  * contamination     — word-n-gram overlap of every training document
+                        against a held-out eval slice (benchmark-leak
+                        detection before a corpus ships)
+
+Like the dedup family, every operator is pure built-in Spark SQL
+(sequence/explode/window/join — no Python UDFs) and every random or
+hash decision comes from md5-derived values so a DuckDB oracle computes
+bit-identical results.
+
+Scale notes (100 TB):
+  * stratified_sample does exact top-k per stratum in TWO window
+    passes: pass 1 partitions by (stratum, spark_partition_id) so no
+    single task ever sorts a whole stratum (a stratum = "all English
+    documents" is ~the whole corpus — a global per-stratum window would
+    serialize it through one task); pass 2 ranks only the surviving
+    ≤ parts·k rows per stratum.
+  * doc_chunks is embarrassingly parallel (sequence+explode per row;
+    output rows ~ n_tokens/stride per doc, no shuffle at all).
+  * contamination broadcasts the DISTINCT eval shingle set (eval
+    benchmarks are tiny relative to the corpus — that is the point of
+    the check); the corpus side is one linear explode + broadcast-hash
+    semi-count, no shuffle of corpus text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import _md5_long, shingles
+from .text import token_count, tokens
+
+
+def _sample_key(doc_id_col, seed: int):
+    """Deterministic per-doc sort key: md5 over "<doc_id>:<seed>".
+    String-rendered doc_id so the DuckDB twin (doc_id::VARCHAR) hashes
+    the identical bytes for numeric and string ids alike."""
+    return F.md5(F.concat_ws(":", doc_id_col.cast("string"), F.lit(str(seed))))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly min(k, stratum size) docs per stratum, chosen by md5
+    hash order — deterministic, partitioning-independent, and stable
+    under corpus growth for the docs whose keys stay smallest.
+
+    Returns (doc_id, <strata_col>, rank) with rank in [1, k] per
+    stratum (hash order — rank 1 is the stratum's smallest key).
+    """
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col),
+        _sample_key(F.col(id_col), seed).alias("skey"),
+    )
+    # pass 1: per (stratum, input-partition) top-k — bounds every task's
+    # sort at k regardless of stratum skew
+    w1 = Window.partitionBy(strata_col, "p").orderBy("skey", "doc_id")
+    local = (
+        keyed.withColumn("p", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .drop("p", "rn")
+    )
+    # pass 2: global per-stratum rank over the ≤ parts·k survivors
+    w2 = Window.partitionBy(strata_col).orderBy("skey", "doc_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", strata_col, "rank")
+    )
+
+
+def doc_chunks(
+    docs: DataFrame,
+    chunk: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window chunking: one row per (doc, window) with
+    ``chunk``-token windows advancing by ``chunk - overlap`` tokens;
+    the final window is the remainder (>= 1 token). Docs with zero
+    tokens emit no rows.
+
+    Returns (doc_id, chunk_id, start_token, n_chunk_tokens, chunk_text).
+    Chunk count = 1 + ceil((n - chunk)/stride) for n > chunk else 1 —
+    plain integer math, bit-identical in the DuckDB twin.
+    """
+    if overlap >= chunk:
+        raise ValueError(f"overlap {overlap} must be < chunk {chunk}")
+    stride = chunk - overlap
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        token_count(F.col(text_col)).alias("n"),
+    ).where(F.col("n") > 0)
+    n_chunks = F.when(F.col("n") <= chunk, F.lit(1)).otherwise(
+        F.lit(1) + ((F.col("n") - chunk + stride - 1) / stride).cast("long")
+    )
+    start = F.col("chunk_id") * stride
+    length = F.least(F.lit(chunk), F.col("n") - start)
+    return (
+        base.select(
+            "doc_id",
+            "toks",
+            "n",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            start.cast("long").alias("start_token"),
+            length.cast("long").alias("n_chunk_tokens"),
+            F.array_join(F.slice(F.col("toks"), start + 1, length), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    ngram: int = 5,
+    eval_mod: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-leak check: split the corpus into a held-out "eval"
+    slice (md5(doc_id:ev) % eval_mod == 0 — deterministic, id-type
+    agnostic) and report, for every TRAINING doc, how many of its
+    distinct word-``ngram``-grams appear anywhere in the eval slice.
+
+    Returns (doc_id, n_shared, contaminated) over training docs only;
+    contaminated = any shared n-gram. The eval n-gram set is broadcast
+    (eval suites are tiny relative to a training corpus); the corpus
+    side is one linear shingle explode + broadcast semi-count.
+    """
+    is_eval = F.pmod(
+        _md5_long(F.concat_ws(":", F.col(id_col).cast("string"), F.lit("ev"))),
+        F.lit(eval_mod),
+    ) == 0
+    sh = shingles(F.col(text_col), ngram)
+    ev = (
+        docs.where(is_eval)
+        .select(F.explode(sh).alias("g"))
+        .distinct()
+    )
+    train = docs.where(~is_eval).select(F.col(id_col).alias("doc_id"))
+    hits = (
+        docs.where(~is_eval)
+        .select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("g"))
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -124,3 +124,76 @@ def test_neardup_resolve_clusters(spark):
     assert out["a1"] == ("a1", 2) and out["a2"] == ("a1", 2)
     assert out["b1"] == ("b1", 1)
     assert out["c1"] == ("c1", 1)
+
+
+# ---------------------------------------------------------------- curation
+def test_stratified_sample_exact_quota_and_partition_invariance(spark):
+    """Exactly min(k, stratum size) per stratum; the sampled SET is
+    identical whatever the input partitioning (the hash order is a
+    property of the data, not the plan)."""
+    from simkit_spark.functions.curation import stratified_sample
+
+    rows = [(f"d{i}", "en" if i % 3 else "fr") for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = stratified_sample(docs, k=10, strata_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add((r["doc_id"], r["rank"]))
+    assert len(by_lang["en"]) == 10 and len(by_lang["fr"]) == 10
+    assert {r["rank"] for r in out if r["lang"] == "en"} == set(range(1, 11))
+    # tiny stratum: all of it survives
+    rows2 = rows + [("z1", "zz"), ("z2", "zz")]
+    docs2 = spark.createDataFrame(rows2, "doc_id string, lang string")
+    out2 = stratified_sample(docs2, k=10, strata_col="lang")
+    assert out2.where("lang = 'zz'").count() == 2
+    # repartition must not change the chosen set
+    shuffled = stratified_sample(docs.repartition(7, "doc_id"), k=10,
+                                 strata_col="lang").collect()
+    assert {(r["doc_id"], r["rank"]) for r in shuffled} == {
+        (r["doc_id"], r["rank"]) for r in out}
+
+
+def test_doc_chunks_reconstruct_and_overlap(spark):
+    """Windows advance by chunk-overlap tokens; stripping each window's
+    first `overlap` tokens (after window 0) reconstructs the doc."""
+    from simkit_spark.functions.curation import doc_chunks
+
+    text = " ".join(f"t{i}" for i in range(150))
+    docs = spark.createDataFrame(
+        [("a", text), ("b", "short doc"), ("c", "   ")],
+        "doc_id string, text string")
+    out = doc_chunks(docs, chunk=64, overlap=16).collect()
+    assert not [r for r in out if r["doc_id"] == "c"]  # empty -> no rows
+    b = [r for r in out if r["doc_id"] == "b"]
+    assert len(b) == 1 and b[0]["chunk_text"] == "short doc"
+    a = sorted([r for r in out if r["doc_id"] == "a"], key=lambda r: r["chunk_id"])
+    # n=150, chunk 64, stride 48 -> starts 0, 48, 96 -> 3 windows
+    assert [r["start_token"] for r in a] == [0, 48, 96]
+    assert [r["n_chunk_tokens"] for r in a] == [64, 64, 54]
+    rebuilt = a[0]["chunk_text"].split()
+    for r in a[1:]:
+        rebuilt += r["chunk_text"].split()[16:]
+    assert rebuilt == text.split()
+
+
+def test_contamination_detects_planted_leak(spark):
+    """A training doc sharing a 5-gram with an eval doc is flagged;
+    clean docs are not. Eval membership is the deterministic md5 split,
+    so plant the leak by probing which side each doc landed on."""
+    from simkit_spark.functions.curation import contamination
+
+    leak = "alpha beta gamma delta epsilon"
+    rows = [(f"d{i}", f"unique{i} filler{i} words{i} here{i} now{i} end{i}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    split = contamination(docs, ngram=5, eval_mod=4)
+    train_ids = {r["doc_id"] for r in split.select("doc_id").collect()}
+    eval_id = next(i for i, _ in rows if i not in train_ids)
+    train_id = next(i for i, _ in rows if i in train_ids)
+    rows2 = [(i, leak + " tail" if i in (eval_id, train_id) else t) for i, t in rows]
+    out = {r["doc_id"]: (r["n_shared"], r["contaminated"]) for r in
+           contamination(spark.createDataFrame(rows2, "doc_id string, text string"),
+                         ngram=5, eval_mod=4).collect()}
+    assert out[train_id][1] is True and out[train_id][0] >= 1
+    clean = [v for k, v in out.items() if k != train_id]
+    assert all(v == (0, False) for v in clean)

@@ -87,3 +87,21 @@ def test_no_global_single_partition_window(spark):
 
     plan = _plan(e.queries()["top_customers"](spark, SF))
     assert "TakeOrderedAndProject" in plan  # the distributed TopK
+
+
+def test_curation_plans(spark):
+    """contamination broadcasts the (tiny) eval n-gram set — the corpus
+    side must never shuffle through a SortMergeJoin; stratified_sample's
+    first window partitions by (stratum, input partition) so no task
+    sorts a whole stratum; doc_chunks needs no shuffle at all."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    plan = _plan(e.queries()["stratified_sample"](spark, SF))
+    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+
+    plan = _plan(e.queries()["doc_chunks"](spark, SF))
+    assert "Exchange" not in plan
