@@ -130,13 +130,19 @@ def embed_surfaces(
 
 
 def embed_distinct_surfaces(mentions: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
-    """(surface) -> (surface, surface_id, vec) over DISTINCT surfaces.
+    """(surface) -> (surface, surface_id, n_mentions, vec) over
+    DISTINCT surfaces.
 
     Deduplicating by surface before any pairwise work is the first and
     strongest skew defense: a hot entity mentioned 10^9 times is ONE row
-    in the linking graph (SURVEY.md §7.4.4).
+    in the linking graph (SURVEY.md §7.4.4). The mention count rides the
+    SAME groupBy shuffle (distinct = groupBy with no aggregates), so the
+    canonical-form scoring downstream costs no second pass over the
+    mentions table.
     """
-    distinct = mentions.select("surface").distinct().select(
-        "surface", F.xxhash64("surface").alias("surface_id")
+    distinct = (
+        mentions.groupBy("surface")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select("surface", F.xxhash64("surface").alias("surface_id"), "n_mentions")
     )
     return embed_surfaces(distinct, "surface", dim)

@@ -232,6 +232,7 @@ def link_entities_local(
     refine: bool = True,
     refine_min_size: int = DEFAULT_MIN_SIZE,
     refine_ncut_max: float = DEFAULT_NCUT_MAX,
+    rows: list | None = None,
 ) -> DataFrame:
     """Driver-local twin of link_entities for small distinct-surface
     sets (the common case: distinct surfaces ≈ entity vocabulary, not
@@ -239,10 +240,20 @@ def link_entities_local(
     ~15 driver-sequential small-data jobs — the same size dispatch as
     eigensolve_auto / connected_components_auto. Identical output
     contract and identical bucket/threshold semantics (same hyperplane
-    seed, same band layout, same >= tau cut)."""
-    rows = surfaces.select("surface", "surface_id", "vec").collect()
-    freq_rows = mentions.groupBy("surface").count().collect()
-    freq = {r["surface"]: r["count"] for r in freq_rows}
+    seed, same band layout, same >= tau cut).
+
+    ``rows``: pre-collected surface rows (the dispatch in link_entities
+    already holds them from its size probe — re-collecting would redo
+    the job). Mention frequencies come from the surfaces' `n_mentions`
+    column when present (it rides the surfaces stage's own groupBy);
+    only legacy callers without it pay a mentions aggregation job."""
+    if rows is None:
+        rows = surfaces.collect()
+    if rows and "n_mentions" in rows[0].__fields__:
+        freq = {r["surface"]: r["n_mentions"] for r in rows}
+    else:
+        freq_rows = mentions.groupBy("surface").count().collect()
+        freq = {r["surface"]: r["count"] for r in freq_rows}
     ids = np.array([r["surface_id"] for r in rows])
     surfs = [r["surface"] for r in rows]
     vecs = np.array([r["vec"] for r in rows], dtype=np.float64)
@@ -399,14 +410,22 @@ def link_entities(
     Distinct-surface sets under ``local_threshold`` link driver-locally
     (see link_entities_local); above it, the distributed LSH path runs.
     """
-    surfaces = materialize(surfaces)
-    if surfaces.count() <= local_threshold:
+    # single-action size probe: collect up to threshold+1 rows; if the
+    # limit didn't bite we ALREADY hold the whole table and the local
+    # path starts with zero further jobs (the old materialize -> count
+    # -> collect chain was three driver round-trips for the same bytes)
+    probe_cols = [c for c in ("surface", "surface_id", "n_mentions", "vec")
+                  if c in surfaces.columns]
+    probe = surfaces.select(*probe_cols).limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
         return link_entities_local(
             surfaces, mentions, dim, tau, seed,
             refine=refine,
             refine_min_size=refine_min_size,
             refine_ncut_max=refine_ncut_max,
+            rows=probe,
         )
+    surfaces = materialize(surfaces)
     pairs = candidate_pairs(surfaces, dim, seed=seed)
     edges = materialize(similarity_edges(surfaces, pairs, tau))
     comp = connected_components_auto(
@@ -431,7 +450,12 @@ def link_entities(
             F.col("id").alias("surface_id"), F.col("component").alias("entity_id")
         )
     mapped = surfaces.select("surface", "surface_id").join(assign, "surface_id")
-    freq = mentions.groupBy("surface").count()
+    if "n_mentions" in surfaces.columns:
+        # frequency already rode the surfaces stage's groupBy — no
+        # second aggregation pass over the (corpus-sized) mentions table
+        freq = surfaces.select("surface", F.col("n_mentions").alias("count"))
+    else:
+        freq = mentions.groupBy("surface").count()
     scored = mapped.join(freq, "surface", "left").fillna(0, ["count"])
     w = Window.partitionBy("entity_id").orderBy(
         F.col("count").desc(), F.length("surface").desc(), F.col("surface").asc()

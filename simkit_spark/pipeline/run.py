@@ -89,7 +89,13 @@ def run_pipeline(
         from .embed import auto_dim
 
         t0 = _time.time()
-        dim = auto_dim(mentions.select("surface").distinct().count())
+        # tier choice (256/512/1024) only needs the vocabulary's order
+        # of magnitude: HLL is one partial-agg pass (no distinct
+        # shuffle) and is partitioning-independent, so the chosen dim —
+        # and every downstream fingerprint — stays deterministic
+        dim = auto_dim(
+            mentions.agg(F.approx_count_distinct("surface")).first()[0]
+        )
         if timings is not None:
             timings["auto_dim"] = round(_time.time() - t0, 3)
     fp = {"seed": cfg.seed, "dim": dim, "tau": cfg.tau}
