@@ -92,7 +92,7 @@ class TableStore:
             else:
                 w = out.write.mode("overwrite")
             w.parquet(self._path(name))
-        got = obs.get
+        got = self._observed(obs, name)
         manifest = {
             "table": name,
             "stage": stage or name,
@@ -148,20 +148,60 @@ class TableStore:
         with open(p) as f:
             return json.load(f)
 
+    def _observed(self, obs, name: str) -> dict:
+        """Resolve the write job's observed metrics. `Observation.get`
+        blocks until the metrics arrive and has NO timeout — fine on the
+        parquet branch (observe() on a V1 write is long-established),
+        but the Iceberg branch goes through a V2 write command this
+        sandbox cannot exercise (no runtime jar). If a deployment's
+        V2 path ever fails to surface the CollectMetrics result, fall
+        back to one aggregation over the freshly written table instead
+        of hanging every stage write forever."""
+        if not self.use_iceberg:
+            return obs.get
+        import concurrent.futures  # noqa: PLC0415
+
+        with concurrent.futures.ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(lambda: obs.get)
+            try:
+                return fut.result(timeout=120)
+            except concurrent.futures.TimeoutError:
+                back = self.read(name)
+                cols = [c for c in back.columns if c != "_bucket"]
+                return (
+                    back.agg(
+                        F.count(F.lit(1)).alias("c"),
+                        F.bit_xor(
+                            F.xxhash64(*[F.col(c).cast("string") for c in cols])
+                        ).alias("h"),
+                    )
+                    .first()
+                    .asDict()
+                )
+
     # -- lineage -------------------------------------------------------
-    def _partition_audit(self, name: str) -> list:
+    def _partition_audit(self, name: str) -> list | None:
         """Per-partition (dir, rows, bytes) from parquet FOOTERS — pure
         metadata reads on the driver (a few KB per file), no data scan.
         Doubles as the skew audit: one oversized bucket is visible here
         before it stalls a downstream join. Iceberg keeps this in its
-        own manifests, so the branch records nothing extra."""
+        own manifests, so the branch records nothing extra.
+
+        Footer walking needs driver-local file access; for a remote
+        warehouse (s3a://, hdfs://) the manifest records ``None`` —
+        "audit unavailable", distinguishable from a real empty table —
+        rather than silently pretending the table has no partitions
+        (swap the walk for the Hadoop FileSystem API when deploying
+        against object stores)."""
         if self.use_iceberg:
             return []
         try:  # pragma: no cover - pyarrow is a hard dep in practice
             import pyarrow.parquet as pq  # noqa: PLC0415
         except ImportError:  # pragma: no cover
-            return []
+            return None
         root = self._path(name)
+        if not os.path.isdir(root):
+            return None
         agg: dict[str, list[int]] = {}
         for dirpath, _dirs, files in os.walk(root):
             part = os.path.relpath(dirpath, root)

@@ -98,8 +98,14 @@ def doc_chunks(
     Chunk count = 1 + ceil((n - chunk)/stride) for n > chunk else 1 —
     plain integer math, bit-identical in the DuckDB twin.
     """
-    if overlap >= chunk:
-        raise ValueError(f"overlap {overlap} must be < chunk {chunk}")
+    if chunk < 1 or not 0 <= overlap < chunk:
+        # a negative overlap would silently SKIP tokens between windows
+        # (stride > chunk) — training-data loss with no error; reject at
+        # the API boundary
+        raise ValueError(
+            f"need chunk >= 1 and 0 <= overlap < chunk, got chunk={chunk} "
+            f"overlap={overlap}"
+        )
     stride = chunk - overlap
     toks = tokens(F.col(text_col))
     base = docs.select(

@@ -61,6 +61,14 @@ def connected_components_auto(
     # unions where the old dict-based code raised KeyError. Keep the
     # contract violation loud (ADVICE r2 #1).
     if len(esrc):
+        if len(ids) == 0:
+            # numpy's fancy-indexing guard below would IndexError on an
+            # empty ids array before `bad` exists — keep the contract
+            # violation loud AND well-typed
+            raise KeyError(
+                f"edge endpoint not in nodes: ({esrc[0]}, {edst[0]}) — "
+                "connected_components_auto requires nodes to cover every endpoint"
+            )
         bad = (
             (src >= len(ids)) | (dst >= len(ids))
             | (ids[np.minimum(src, len(ids) - 1)] != esrc)

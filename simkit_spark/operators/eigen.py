@@ -234,7 +234,19 @@ def eigensolve_auto(
                     .agg(F.approx_count_distinct("id").alias("n"))
                     .first()["n"]
                 )
-                if n_ids > 1.1 * local_threshold:
+                too_big = n_ids > 1.1 * local_threshold
+                if too_big and not symmetric:
+                    # the HLL estimate (~5% rsd) must not turn a legal
+                    # local solve into a hard error: a symmetric=False
+                    # caller has no distributed fallback, so spend one
+                    # exact count before deciding its fate
+                    too_big = (
+                        edges.select(F.explode(F.array("src", "dst")).alias("id"))
+                        .distinct()
+                        .count()
+                        > local_threshold
+                    )
+                if too_big:
                     _require_symmetric()
                     nodes = (
                         edges.select(F.col("src").alias("id"))
@@ -256,6 +268,41 @@ def eigensolve_auto(
                     "id long, vec array<double>",
                 )
                 return out, lam
+        elif not symmetric:
+            # n_edges > lt^2 can still be a small graph (duplicate edge
+            # rows); a symmetric=False caller has no distributed
+            # fallback, so check the exact node count before raising
+            # and solve locally on the deduplicated rows when legal
+            n_exact = (
+                edges.select(F.explode(F.array("src", "dst")).alias("id"))
+                .distinct()
+                .count()
+            )
+            if n_exact <= local_threshold:
+                dd = edges.select("src", "dst", "weight").dropDuplicates(
+                    ["src", "dst", "weight"]
+                )
+                epd = dd.limit(local_threshold * local_threshold + 1).toPandas()
+                if len(epd) <= local_threshold * local_threshold:
+                    ids = np.unique(
+                        np.concatenate([epd["src"].to_numpy(), epd["dst"].to_numpy()])
+                    )
+                    rows = list(epd.itertuples(index=False, name=None))
+                    lam, x, idx = eigen_local(
+                        rows, [int(i) for i in ids], k, symmetric=symmetric
+                    )
+                    import pandas as pd  # noqa: PLC0415
+
+                    out = spark.createDataFrame(
+                        pd.DataFrame(
+                            {
+                                "id": [int(i) for i in idx],
+                                "vec": [x[j].tolist() for j in idx.values()],
+                            }
+                        ),
+                        "id long, vec array<double>",
+                    )
+                    return out, lam
         _require_symmetric()
         nodes = (
             edges.select(F.col("src").alias("id"))

@@ -88,3 +88,16 @@ def test_reliable_checkpoint_used_when_configured(spark, tmp_path):
         getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
             spark.sparkContext._jvm.scala.Option.empty()
         )
+
+
+def test_auto_empty_nodes_raises_keyerror(spark):
+    """An explicit EMPTY nodes DF with non-empty edges must raise the
+    documented KeyError, not numpy IndexError (review r3 finding)."""
+    import pytest
+
+    from simkit_spark.operators.components import connected_components_auto
+
+    edges = spark.createDataFrame([(0, 99)], "src long, dst long")
+    nodes = spark.createDataFrame([], "id long")
+    with pytest.raises(KeyError, match="endpoint not in nodes"):
+        connected_components_auto(edges, nodes=nodes)

@@ -86,3 +86,24 @@ def test_eigensolve_auto_nonsymmetric_distributed_raises(spark):
     nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
     with pytest.raises(ValueError, match="symmetric"):
         eigensolve_auto(edges, nodes, k=2, local_threshold=4, symmetric=False)
+
+
+def test_eigensolve_auto_nonsymmetric_duplicate_edges_stays_local(spark):
+    """Duplicate edge rows can push n_edges past local_threshold^2 while
+    the true node count stays local-sized; symmetric=False must dedupe
+    and solve locally instead of raising (review r3 finding)."""
+    import numpy as np
+    from simkit_spark.operators.eigen import eigensolve_auto
+
+    base = [(i, (i + 1) % 4, 0.5) for i in range(4)] + [
+        (i, i, 0.5) for i in range(4)
+    ]
+    dup = base * 30  # 240 rows > local_threshold^2 at lt=4
+    edges = spark.createDataFrame(dup, "src long, dst long, weight double")
+    x, lam = eigensolve_auto(
+        edges, k=2, max_iter=50, tol=1e-8, seed=42,
+        local_threshold=4, symmetric=False,
+    )
+    assert x.count() == 4
+    # row-stochastic operator: top eigenvalue exactly 1
+    assert abs(lam[-1] - 1.0) < 1e-8
