@@ -336,6 +336,12 @@ def _neardup_resolve(spark, sf_dir):
     )
 
 
+def _repetition(spark, sf_dir):
+    from simkit_spark.functions.text import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir))
+
+
 def _stratified_sample(spark, sf_dir):
     from simkit_spark.functions.curation import stratified_sample
 
@@ -533,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "doc_chunks": _doc_chunks,
         "contamination": _contamination,
+        "repetition_features": _repetition,
         # non-SQL-expressible (rows-only):
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
@@ -774,6 +781,24 @@ SELECT doc_id, chunk_id::BIGINT AS chunk_id,
        least(64, n - chunk_id * 48)::BIGINT AS n_chunk_tokens,
        array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + least(64, n - chunk_id * 48)], ' ') AS chunk_text
 FROM e"""
+
+# repetition quality signals: type/token ratio + most-frequent-bigram
+# mode per doc (same explode -> count -> max shape as the Spark twin)
+_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS} AS toks, {_TOKEN_COUNT_EXPR} AS n FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, n - 1), i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+  FROM base WHERE n >= 2),
+cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+top AS (SELECT doc_id, max(c) AS top_bigram_n FROM cnt GROUP BY doc_id)
+SELECT b.doc_id, b.n::BIGINT AS n_tokens,
+       CASE WHEN b.n = 0 THEN 0.0
+            ELSE round(len(list_distinct(b.toks))::DOUBLE / b.n, 6) END AS distinct_ratio,
+       coalesce(t.top_bigram_n, 0)::BIGINT AS top_bigram_n,
+       round(coalesce(t.top_bigram_n, 0)::DOUBLE / greatest(b.n - 1, 1), 6) AS top_bigram_ratio
+FROM base b LEFT JOIN top t USING (doc_id)"""
 
 # word-5-gram shingles (lowercased, distinct; whole text when <= 5
 # tokens) — the n=5 instance of the _SHINGLES pattern
@@ -1031,6 +1056,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRAT_SQL,
         "doc_chunks": _CHUNKS_SQL,
         "contamination": _CONTAM_SQL,
+        "repetition_features": _REPETITION_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

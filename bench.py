@@ -50,6 +50,7 @@ HEADLINE = [
     "stratified_sample",
     "doc_chunks",
     "contamination",
+    "repetition_features",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

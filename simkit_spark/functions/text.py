@@ -137,3 +137,96 @@ def fingerprint(col: Column) -> Column:
 
 def add_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition quality signals (the Gopher/MassiveText-style rules):
+
+      * distinct_ratio   — type/token ratio (array_distinct, in-task)
+      * top_bigram_n     — occurrences of the doc's most frequent word
+                           bigram
+      * top_bigram_ratio — that count over the doc's bigram total
+
+    Boilerplate, keyword stuffing and degenerate generations all show
+    up as a low distinct_ratio or a high top_bigram_ratio. The bigram
+    mode is computed by explode -> two hash aggregations (per-doc-bigram
+    count, then per-doc max) — linear rows, shuffle keyed by doc_id, no
+    windows; zero-token docs report 0/0.0 rather than disappearing.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = token_count(t)
+    base = docs.select(
+        F.col("doc_id"),
+        n.alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks))
+            / F.greatest(n, F.lit(1)).cast("double"),
+            6,
+        ).alias("distinct_ratio"),
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(" ", toks[i], toks[i + 1]),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    return (
+        base.select("doc_id", "n_tokens", "distinct_ratio", F.size("bigrams").alias("nbg"))
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "distinct_ratio",
+            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+            F.round(
+                F.coalesce("top_bigram_n", F.lit(0))
+                / F.greatest("nbg", F.lit(1)).cast("double"),
+                6,
+            ).alias("top_bigram_ratio"),
+        )
+    )
+
+
+# PII patterns: identical Java-regex / RE2 semantics (no alternation
+# ambiguity, no backreferences) so the same pattern string drives both
+# Spark and any RE2-based engine. Replacement order matters (a phone
+# pattern would swallow IPs) and is fixed: email -> ip -> phone.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d().\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped numbers, keeping counts:
+    (doc_id, clean_text, n_email, n_ip, n_phone). Pure
+    regexp_count/regexp_replace column expressions — whole-stage
+    codegen, no Python in the scrub path. Counts are taken against the
+    progressively scrubbed text, matching the replacement order (an IP
+    inside an already-redacted email is not double-counted)."""
+    out = docs.select("doc_id", F.col(text_col).alias("clean_text"))
+    for name, pat, token in PII_PATTERNS:
+        out = out.select(
+            "doc_id",
+            *[c for c in out.columns if c.startswith("n_")],
+            F.regexp_count("clean_text", F.lit(pat)).alias(f"n_{name}"),
+            F.regexp_replace("clean_text", pat, token).alias("clean_text"),
+        )
+    return out.select(
+        "doc_id", "clean_text",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+    )

@@ -197,3 +197,36 @@ def test_contamination_detects_planted_leak(spark):
     assert out[train_id][1] is True and out[train_id][0] >= 1
     clean = [v for k, v in out.items() if k != train_id]
     assert all(v == (0, False) for v in clean)
+
+
+def test_repetition_features(spark):
+    from simkit_spark.functions.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [("a", "spark spark spark spark is fast"),
+         ("b", "all words here are different ones"),
+         ("c", "   "), ("d", "one")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert out["a"]["distinct_ratio"] == 0.5         # 3 distinct / 6
+    assert out["a"]["top_bigram_n"] == 3             # "spark spark" x3
+    assert out["a"]["top_bigram_ratio"] == 0.6       # 3 of 5 bigrams
+    assert out["b"]["distinct_ratio"] == 1.0 and out["b"]["top_bigram_n"] == 1
+    assert out["c"]["n_tokens"] == 0 and out["c"]["top_bigram_ratio"] == 0.0
+    assert out["d"]["n_tokens"] == 1 and out["d"]["top_bigram_n"] == 0
+
+
+def test_pii_scrub(spark):
+    """Planted PII is redacted in order (email -> ip -> phone) with
+    per-kind counts; clean text passes through untouched."""
+    from simkit_spark.functions.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [("a", "mail a@b.co and b@c.org, host 10.0.0.1, call +1 (555) 123-4567"),
+         ("b", "nothing sensitive 42 here")],
+        "doc_id string, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out["a"]["n_email"] == 2 and out["a"]["n_ip"] == 1 and out["a"]["n_phone"] == 1
+    assert out["a"]["clean_text"] == "mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE>"
+    assert out["b"]["clean_text"] == "nothing sensitive 42 here"
+    assert (out["b"]["n_email"], out["b"]["n_ip"], out["b"]["n_phone"]) == (0, 0, 0)
