@@ -41,12 +41,16 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
-    from ..catalog import TableStore
-    from ..corpus import synthesize
-    from .run import PipelineConfig, run_pipeline
+    # absolute imports: under `spark-submit path/to/__main__.py` this
+    # file runs as a bare script (module __main__, no package parent),
+    # where relative imports raise ImportError — the package itself
+    # arrives via --py-files
+    from simkit_spark.catalog import TableStore
+    from simkit_spark.corpus import synthesize
+    from simkit_spark.pipeline.run import PipelineConfig, run_pipeline
 
     if args.master:
-        from ..session import get_spark
+        from simkit_spark.session import get_spark
 
         spark = get_spark("simkit_spark_pipeline", master=args.master)
     else:
