@@ -107,3 +107,27 @@ def run_stream_to_table(stream_df: DataFrame, out_path: str, checkpoint: str, on
         q.awaitTermination(300)
         return q
     return writer.start()
+
+
+def streaming_dedup(
+    doc_stream: DataFrame,
+    delay: str = "30 minutes",
+    text_col: str = "text",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Streaming exact dedup over the normalization fingerprint, state
+    bounded by the event-time watermark (dropDuplicatesWithinWatermark).
+
+    Plain dropDuplicates on a stream keeps EVERY key forever —
+    unbounded state over an infinite corpus feed; the within-watermark
+    variant evicts a fingerprint once the watermark passes its event
+    time, so state is O(dedup window), the only viable shape for a
+    perpetual ingest of 10^12 docs. Exactly the streaming twin of
+    dedup.exact_dedup (same fingerprint column)."""
+    from .functions.text import fingerprint
+
+    return (
+        doc_stream.withColumn("fp", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )

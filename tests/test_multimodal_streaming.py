@@ -181,3 +181,48 @@ def test_resize_and_frame_sample(spark):
     assert {(r["doc_id"], r["span_idx"], r["frame_idx"]) for r in frows} == {
         (r["doc_id"], r["span_idx"], r["frame_idx"]) for r in fr2.collect()
     }
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate fingerprints arriving while the key's state is live are
+    suppressed; a distinct doc passes; state is watermark-bounded (the
+    unbounded-state dropDuplicates is unusable on an infinite feed)."""
+    import datetime as dt
+    import time
+
+    from simkit_spark.streaming import streaming_dedup
+
+    schema = "doc_id string, text string, event_ts timestamp"
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    src = str(tmp_path / "src")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.2)
+
+    write_batch([
+        ("d1", "Alpha acquired Target.", t0),
+        ("d2", "totally different text", t0 + dt.timedelta(minutes=1)),
+    ])
+    # same normalized text as d1 (case/whitespace differ), within the
+    # dedup window -> suppressed; d4 is new -> kept
+    write_batch([
+        ("d3", "  alpha acquired target. ", t0 + dt.timedelta(minutes=2)),
+        ("d4", "yet another unique doc", t0 + dt.timedelta(minutes=3)),
+    ])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = streaming_dedup(stream, delay="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    kept = {r["doc_id"] for r in spark.sql("select doc_id from sdedup").collect()}
+    assert kept == {"d1", "d2", "d4"}, kept
