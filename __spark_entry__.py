@@ -360,6 +360,12 @@ def _contamination(spark, sf_dir):
     return contamination(_docs(spark, sf_dir), ngram=5, eval_mod=20)
 
 
+def _pack_sequences(spark, sf_dir):
+    from simkit_spark.functions.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=256, shards=4, seed=42)
+
+
 def _pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -540,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "contamination": _contamination,
         "repetition_features": _repetition,
+        "pack_sequences": _pack_sequences,
         # non-SQL-expressible (rows-only):
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
@@ -800,6 +807,23 @@ SELECT b.doc_id, b.n::BIGINT AS n_tokens,
        round(coalesce(t.top_bigram_n, 0)::DOUBLE / greatest(b.n - 1, 1), 6) AS top_bigram_ratio
 FROM base b LEFT JOIN top t USING (doc_id)"""
 
+# budget-aligned sequence packing (curation.pack_sequences: shard by
+# md5, order by the md5 sample key, prefix-sum capped token counts,
+# bin = budget-aligned segment where the doc starts)
+_PACK_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(doc_id::VARCHAR || ':shard'), 1, 8)) AS BIGINT) % 4 AS shard,
+         md5(doc_id::VARCHAR || ':42') AS skey,
+         {_TOKEN_COUNT_EXPR} AS n
+  FROM documents),
+c AS (SELECT *, least(n, 256) AS ct FROM keyed),
+s AS (SELECT *, sum(ct) OVER (PARTITION BY shard ORDER BY skey, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct AS pre FROM c)
+SELECT doc_id, shard::BIGINT AS shard, (pre // 256)::BIGINT AS bin_id,
+       n::BIGINT AS n_tokens, (pre % 256)::BIGINT AS offset_tokens
+FROM s"""
+
 # word-5-gram shingles (lowercased, distinct; whole text when <= 5
 # tokens) — the n=5 instance of the _SHINGLES pattern
 _SHINGLES5 = f"""
@@ -1057,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _CHUNKS_SQL,
         "contamination": _CONTAM_SQL,
         "repetition_features": _REPETITION_SQL,
+        "pack_sequences": _PACK_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

@@ -51,6 +51,7 @@ HEADLINE = [
     "doc_chunks",
     "contamination",
     "repetition_features",
+    "pack_sequences",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

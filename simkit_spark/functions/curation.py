@@ -9,6 +9,9 @@
   * contamination     — word-n-gram overlap of every training document
                         against a held-out eval slice (benchmark-leak
                         detection before a corpus ships)
+  * pack_sequences    — deterministic budget-aligned packing of docs
+                        into fixed-token-budget training bins, sharded
+                        so packing parallelism scales
 
 Like the dedup family, every operator is pure built-in Spark SQL
 (sequence/explode/window/join — no Python UDFs) and every random or
@@ -178,4 +181,65 @@ def contamination(
         "doc_id",
         F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
         (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    shards: int = 8,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic budget-aligned sequence packing: assign docs to
+    fixed-token-budget bins for training-shard construction.
+
+    Docs route to ``shards`` independent shards by md5(doc_id) — a
+    single global greedy packer is inherently sequential and cannot
+    scale, whereas shard count bounds every task's window state and
+    packing parallelism scales with it. Within a shard, docs are
+    concatenated in md5-key order (the same key family as
+    stratified_sample) and the token stream is split at budget-aligned
+    boundaries: a doc belongs to the bin where it STARTS.
+
+    Semantics (stated exactly): with ct = min(n_tokens, budget) and
+    cum = in-order inclusive prefix sum of ct over the shard,
+    bin_id = floor((cum - ct) / budget) and
+    offset_tokens = (cum - ct) - bin_id * budget. A doc straddling an
+    alignment boundary stays WHOLE in the bin where it starts, so a
+    bin's total may exceed the budget by that one doc (total <
+    2 * budget); docs longer than the budget are capped for packing
+    arithmetic (splitting them is doc_chunks' job, not the packer's).
+    One window (prefix sum per shard) — no driver loop, no global sort,
+    and the whole closed form is reproducible in the DuckDB oracle.
+
+    Returns (doc_id, shard, bin_id, n_tokens, offset_tokens).
+    """
+    if budget < 1 or shards < 1:
+        raise ValueError(f"need budget >= 1 and shards >= 1, got {budget}, {shards}")
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(
+            _md5_long(F.concat_ws(":", F.col(id_col).cast("string"), F.lit("shard"))),
+            F.lit(shards),
+        ).cast("int").alias("shard"),
+        _sample_key(F.col(id_col), seed).alias("skey"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    ct = F.least(F.col("n_tokens"), F.lit(budget))
+    packed = (
+        keyed.withColumn("ct", ct)
+        .withColumn("cum", F.sum("ct").over(w))
+        .withColumn("pre", F.col("cum") - F.col("ct"))
+    )
+    return packed.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.floor(F.col("pre") / budget).cast("long").alias("bin_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("pre") - F.floor(F.col("pre") / budget) * budget)
+        .cast("long")
+        .alias("offset_tokens"),
     )

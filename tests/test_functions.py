@@ -230,3 +230,26 @@ def test_pii_scrub(spark):
     assert out["a"]["clean_text"] == "mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE>"
     assert out["b"]["clean_text"] == "nothing sensitive 42 here"
     assert (out["b"]["n_email"], out["b"]["n_ip"], out["b"]["n_phone"]) == (0, 0, 0)
+
+
+def test_pack_sequences_invariants(spark):
+    """Budget-aligned packing: offsets below budget, whole docs (doc
+    never split), bins total < 2*budget, deterministic under
+    repartitioning, every doc packed exactly once."""
+    from simkit_spark.functions.curation import pack_sequences
+
+    rows = [(f"d{i}", " ".join(["w"] * (5 + (i * 37) % 90))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = pack_sequences(docs, budget=100, shards=3, seed=42).collect()
+    assert len(out) == 60 and len({r["doc_id"] for r in out}) == 60
+    assert all(0 <= r["offset_tokens"] < 100 for r in out)
+    # bin totals: capped tokens per (shard, bin) < 2*budget
+    totals = {}
+    for r in out:
+        totals[(r["shard"], r["bin_id"])] = totals.get((r["shard"], r["bin_id"]), 0) + min(
+            r["n_tokens"], 100)
+    assert all(t < 200 for t in totals.values()), totals
+    # most bins are well filled (the aligned split wastes < 1 doc per bin)
+    assert sum(t >= 100 for t in totals.values()) >= len(totals) // 2
+    out2 = pack_sequences(docs.repartition(7), budget=100, shards=3, seed=42).collect()
+    assert {tuple(r) for r in out2} == {tuple(r) for r in out}
