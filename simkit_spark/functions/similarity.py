@@ -183,7 +183,7 @@ def ivf_topk(
         assign_fn, "cell int, id long, vec array<double>, is_member boolean"
     )
 
-    def cell_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def cell_fn(key, pdf):
         members = pdf[pdf["is_member"]]
         if not len(members):
             return pd.DataFrame({"src": [], "dst": [], "cos": []})

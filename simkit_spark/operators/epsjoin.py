@@ -182,7 +182,7 @@ def eps_neighbor_pairs(
 
     out_schema = "src long, dst long" + (", dist double" if with_dist else "")
 
-    def cell_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def cell_fn(key, pdf):
         hm = pdf[pdf["is_home"]]
         if not len(hm) or not len(pdf):
             return pd.DataFrame({c: [] for c in ("src", "dst", "dist")[: 3 if with_dist else 2]})

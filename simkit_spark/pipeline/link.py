@@ -368,7 +368,7 @@ def refine_components(
         comp.select(F.col("id").alias("src"), "component"), "src"
     )
 
-    def split_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def split_fn(key, pdf):
         srcs = pdf["src"].to_numpy()
         dsts = pdf["dst"].to_numpy()
         ws = pdf["weight"].to_numpy()
