@@ -29,6 +29,7 @@ EPS = 1.25
 EPS_CC = 1.15
 SIGMA_K = 5
 TOPK = 10
+PAGERANK_ITER = 10
 
 
 # ---------------------------------------------------------------- loaders
@@ -412,6 +413,19 @@ def _events_hourly(spark, sf_dir):
     )
 
 
+def _pagerank_knn(spark, sf_dir):
+    from simkit_spark.operators.graphs import knn_graph_from_points
+    from simkit_spark.operators.pagerank import pagerank_auto
+
+    # entity importance over the similarity graph: 10 power sweeps,
+    # per-sweep 12dp rounding makes the result engine-reproducible
+    # (and the size-dispatched local/distributed paths bit-identical)
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K)
+    return pagerank_auto(edges, n_iter=PAGERANK_ITER).select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
 # ---- non-SQL-expressible (rows-only driver check; numpy-verified in tests/)
 def _spectral_embedding(spark, sf_dir):
     from simkit_spark.operators.eigen import eigensolve_auto
@@ -547,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": _contamination,
         "repetition_features": _repetition,
         "pack_sequences": _pack_sequences,
+        "pagerank_knn": _pagerank_knn,
         # non-SQL-expressible (rows-only):
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
@@ -672,6 +687,48 @@ dd AS (SELECT src, dst, cos FROM half UNION ALL SELECT dst AS src, src AS dst, c
 rk AS (SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank FROM dd)
 SELECT src, dst, round(cos, 6) AS cos, rank FROM rk WHERE rank <= {TOPK}"""
 )
+
+def _pagerank_sql(n_iter: int = PAGERANK_ITER) -> str:
+    """Fixed-iteration PageRank as n_iter unrolled CTEs over the kNN
+    edge list (recursive CTEs disallow the per-sweep aggregation, so
+    the deterministic unroll IS the portable form). Teleport constant
+    is injected at full precision from the same Python float ops the
+    Spark operator uses, and every sweep rounds to 12dp on both
+    engines, so the fixed point is bit-reproducible. Every multiply-
+    referenced CTE is MATERIALIZED: DuckDB inlines plain CTEs, and with
+    each sweep referencing the previous one twice that inlining is
+    exponential (2^n copies of the kNN derivation — the first attempt
+    died on file handles before it died on compute)."""
+    from simkit_spark.operators.pagerank import DAMPING, PR_ITER_DP
+
+    head = (
+        _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+e AS MATERIALIZED (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+pn AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM pn),
+od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT id, round(1.0/(SELECT n FROM nn), {PR_ITER_DP}) AS rank FROM pn)"""
+    )
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+c{i} AS (SELECT e.dst AS id, sum(r.rank / o.outdeg) AS inflow
+  FROM e JOIN r{p} r ON e.src = r.id JOIN od o ON e.src = o.src GROUP BY e.dst),
+d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dmass
+  FROM r{p} r LEFT JOIN od o ON r.id = o.src WHERE o.src IS NULL),
+r{i} AS MATERIALIZED (SELECT p.id, round(
+    (SELECT (1.0::DOUBLE - {DAMPING!r}::DOUBLE)/n FROM nn)
+    + {DAMPING!r}::DOUBLE * (coalesce(c.inflow, 0.0) + (SELECT dmass FROM d{i})/(SELECT n FROM nn)),
+    {PR_ITER_DP}) AS rank
+  FROM pn p LEFT JOIN c{i} c ON p.id = c.id)"""
+        )
+    parts.append(f"\nSELECT id, round(rank, 6) AS rank FROM r{n_iter}")
+    return "".join(parts)
+
 
 _NEAREST_CENTROID_SQL = """
 WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -1082,6 +1139,9 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAM_SQL,
         "repetition_features": _REPETITION_SQL,
         "pack_sequences": _PACK_SQL,
+        # fixed-iteration PageRank: unrolled-CTE power sweeps (per-sweep
+        # 12dp rounding makes the fixed point engine-reproducible)
+        "pagerank_knn": _pagerank_sql(),
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

@@ -52,6 +52,7 @@ HEADLINE = [
     "contamination",
     "repetition_features",
     "pack_sequences",
+    "pagerank_knn",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

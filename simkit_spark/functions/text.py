@@ -148,16 +148,23 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
       * top_bigram_ratio — that count over the doc's bigram total
 
     Boilerplate, keyword stuffing and degenerate generations all show
-    up as a low distinct_ratio or a high top_bigram_ratio. The bigram
-    mode is computed by explode -> two hash aggregations (per-doc-bigram
-    count, then per-doc max) — linear rows, shuffle keyed by doc_id, no
+    up as a low distinct_ratio or a high top_bigram_ratio. One linear
+    pipeline: tokenize ONCE into a materialized array column (indexing
+    an inlined split() expression inside transform() re-runs the regexp
+    per element — O(n^2) splits per doc), explode_outer, then two hash
+    aggregations (per-doc-bigram count, per-doc max) with the per-doc
+    scalars carried through via first() — no second scan, no join, no
     windows; zero-token docs report 0/0.0 rather than disappearing.
     """
-    t = F.col(text_col)
-    toks = tokens(t)
-    n = token_count(t)
-    base = docs.select(
+    tok = docs.select(
         F.col("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+        token_count(F.col(text_col)).alias("n"),
+    )
+    toks = F.col("toks")
+    n = F.col("n")
+    base = tok.select(
+        "doc_id",
         n.alias("n_tokens"),
         F.round(
             F.size(F.array_distinct(toks))
@@ -174,27 +181,36 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("bigrams"),
     )
-    top = (
-        base.select("doc_id", F.explode("bigrams").alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bigram_n"))
+    ex = base.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        F.size("bigrams").alias("nbg"),
+        F.explode_outer("bigrams").alias("bg"),
     )
-    return (
-        base.select("doc_id", "n_tokens", "distinct_ratio", F.size("bigrams").alias("nbg"))
-        .join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            "distinct_ratio",
-            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
-            F.round(
-                F.coalesce("top_bigram_n", F.lit(0))
-                / F.greatest("nbg", F.lit(1)).cast("double"),
-                6,
-            ).alias("top_bigram_ratio"),
-        )
+    per_bigram = ex.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("distinct_ratio").alias("distinct_ratio"),
+        F.first("nbg").alias("nbg"),
+    )
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("distinct_ratio").alias("distinct_ratio"),
+        F.first("nbg").alias("nbg"),
+        F.max(
+            F.when(F.col("bg").isNotNull(), F.col("c")).otherwise(F.lit(0))
+        ).alias("top_bigram_n"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "distinct_ratio",
+        F.col("top_bigram_n").cast("long").alias("top_bigram_n"),
+        F.round(
+            F.col("top_bigram_n") / F.greatest("nbg", F.lit(1)).cast("double"),
+            6,
+        ).alias("top_bigram_ratio"),
     )
 
 

@@ -1,0 +1,82 @@
+"""PageRank operator: numpy-reference parity (incl. dangling mass),
+conservation, and partition invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from simkit_spark.operators.pagerank import pagerank
+
+
+def _np_pagerank(edges, n_iter=10, d=0.85, dp=12):
+    """Reference loop with the operator's exact rounding contract."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    r = np.full(n, round(1.0 / float(n), dp))
+    teleport = (1.0 - d) / float(n)
+    for _ in range(n_iter):
+        inflow = np.zeros(n)
+        for s, t in edges:
+            inflow[idx[t]] += r[idx[s]] / out[idx[s]]
+        dmass = r[out == 0].sum()
+        r = np.array(
+            [round(teleport + d * (inflow[i] + dmass / n), dp) for i in range(n)]
+        )
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.fixture(scope="module")
+def dangling_graph(spark):
+    # 4 -> nothing: a dangling node whose mass must teleport
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    return edges, spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_pagerank_matches_numpy_reference(spark, dangling_graph):
+    edges, df = dangling_graph
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=10).collect()}
+    want = _np_pagerank(edges, n_iter=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+
+
+def test_pagerank_conserves_mass(spark, dangling_graph):
+    _, df = dangling_graph
+    total = sum(r["rank"] for r in pagerank(df, n_iter=10).collect())
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_partition_invariant(spark, dangling_graph):
+    _, df = dangling_graph
+    a = sorted(map(tuple, pagerank(df, n_iter=6).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(7), n_iter=6).collect()))
+    assert a == b
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df, n_iter=3).count() == 0
+
+
+def test_pagerank_auto_paths_bit_identical(spark, dangling_graph):
+    """The 12dp per-sweep rounding contract makes the driver-local
+    numpy path and the distributed path produce the same bits."""
+    from simkit_spark.operators.pagerank import pagerank_auto
+
+    _, df = dangling_graph
+    local = sorted(map(tuple, pagerank_auto(df, n_iter=10, local_threshold=10**6).collect()))
+    dist = sorted(map(tuple, pagerank_auto(df, n_iter=10, local_threshold=0).collect()))
+    assert local == dist
+
+
+def test_pagerank_auto_empty(spark):
+    from simkit_spark.operators.pagerank import pagerank_auto
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_auto(df, n_iter=3).count() == 0
