@@ -367,6 +367,18 @@ def _pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=256, shards=4, seed=42)
 
 
+def _tfidf_topk(spark, sf_dir):
+    from simkit_spark.functions.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+def _corpus_shuffle(spark, sf_dir):
+    from simkit_spark.functions.curation import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir), n_shards=4, seed=42)
+
+
 def _pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -562,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": _repetition,
         "pack_sequences": _pack_sequences,
         "pagerank_knn": _pagerank_knn,
+        "corpus_shuffle": _corpus_shuffle,
+        "tfidf_topk": _tfidf_topk,
         # non-SQL-expressible (rows-only):
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
@@ -881,6 +895,32 @@ SELECT doc_id, shard::BIGINT AS shard, (pre // 256)::BIGINT AS bin_id,
        n::BIGINT AS n_tokens, (pre % 256)::BIGINT AS offset_tokens
 FROM s"""
 
+_TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_LTOKENS}) AS term FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln(((SELECT n FROM nn) + 1) / (df + 1)) + 1.0) AS score
+  FROM tf JOIN dft USING (term)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+       FROM scored)
+SELECT doc_id, term, tf::BIGINT AS tf, round(score, 6) AS score, rank::BIGINT AS rank
+FROM rk WHERE rank <= 3"""
+
+_SHUFFLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, md5(doc_id::VARCHAR || ':42') AS skey FROM documents),
+sh AS (
+  SELECT doc_id, skey,
+         CAST(concat('0x', substring(md5(skey), 1, 8)) AS BIGINT) % 4 AS shard
+  FROM keyed)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)::BIGINT AS pos
+FROM sh"""
+
 # word-5-gram shingles (lowercased, distinct; whole text when <= 5
 # tokens) — the n=5 instance of the _SHINGLES pattern
 _SHINGLES5 = f"""
@@ -1142,6 +1182,8 @@ def oracle_sql() -> dict[str, str]:
         # fixed-iteration PageRank: unrolled-CTE power sweeps (per-sweep
         # 12dp rounding makes the fixed point engine-reproducible)
         "pagerank_knn": _pagerank_sql(),
+        "corpus_shuffle": _SHUFFLE_SQL,
+        "tfidf_topk": _TFIDF_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

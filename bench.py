@@ -53,6 +53,8 @@ HEADLINE = [
     "repetition_features",
     "pack_sequences",
     "pagerank_knn",
+    "corpus_shuffle",
+    "tfidf_topk",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

@@ -142,6 +142,48 @@ def doc_chunks(
     )
 
 
+def global_shuffle(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training export: every
+    doc gets a pseudo-random position that is reproducible across runs,
+    partitionings and engines (md5-derived, like all curation
+    decisions) — the "shuffle the corpus once before training" step,
+    without a nondeterministic rand() that would torpedo resume and
+    lineage.
+
+    shard = md5(skey) mod n_shards (independent of the order key skey's
+    own comparison order), pos = dense 1-based rank of skey within the
+    shard. Reading shards in any interleaving yields a uniformly
+    shuffled corpus; (shard, pos) is a total order.
+
+    Scale: the per-shard rank window serializes one shard per task, so
+    pick n_shards ~ the cluster's task slots x a small factor (the same
+    bound argument as pack_sequences — a single global row_number would
+    push the whole corpus through one task). The write path is then
+    ``df.repartition("shard").sortWithinPartitions("pos")`` — one
+    shuffle, shard-parallel sort.
+
+    Returns (doc_id, shard, pos).
+    """
+    if n_shards < 1:
+        raise ValueError(f"need n_shards >= 1, got {n_shards}")
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _sample_key(F.col(id_col), seed).alias("skey"),
+    )
+    sharded = keyed.withColumn(
+        "shard", F.pmod(_md5_long(F.col("skey")), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return sharded.withColumn("pos", F.row_number().over(w).cast("long")).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def contamination(
     docs: DataFrame,
     ngram: int = 5,

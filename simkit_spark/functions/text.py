@@ -7,7 +7,7 @@ oracle in __spark_entry__.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny per-language stopword sets for the n-gram/stopword heuristic
 STOPWORDS = {
@@ -125,6 +125,51 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum("n_tok").alias("sum_tokens"),
             F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
             F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (keyword extraction for corpus exploration / domain tagging):
+    score = tf * (ln((N+1)/(df+1)) + 1), lowercased whitespace terms.
+
+    Shape at scale: one explode -> per-(doc,term) hash agg (map-side
+    partial), document frequencies from a second hash agg over that
+    SAME table (no re-scan of text), N rides in as a broadcast 1-row
+    aggregate (no driver action), and the top-k cut is a per-doc window
+    — never a global sort. Ties break on term asc, deterministic.
+
+    Returns (doc_id, term, tf, score, rank), rank in [1, k].
+    """
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id", "term", "tf", F.round("score", 6).alias("score"), "rank"
         )
     )
 

@@ -109,6 +109,42 @@ def run_stream_to_table(stream_df: DataFrame, out_path: str, checkpoint: str, on
     return writer.start()
 
 
+def streaming_sessionize(
+    event_stream: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via the BUILT-IN session_window — the
+    declarative twin of the batch 30-min-gap sessionizer
+    (__spark_entry__._events_sessionize): a session is a run of events
+    per user with inter-event gaps < ``gap``; session_window merges
+    windows JVM-side in the streaming state store, so there is no
+    Python in the loop and state per user is O(open sessions), evicted
+    once the event-time watermark passes a session's end.
+
+    Yields (user, session_start, session_end, n_events) where
+    session_end = last event + gap (Spark's session_window convention).
+    Works identically on a batch DataFrame (tested stream == batch).
+    """
+    wm = (
+        event_stream.withWatermark(ts_col, watermark)
+        if event_stream.isStreaming
+        else event_stream
+    )
+    return (
+        wm.groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(
     doc_stream: DataFrame,
     delay: str = "30 minutes",

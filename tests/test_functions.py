@@ -253,3 +253,66 @@ def test_pack_sequences_invariants(spark):
     assert sum(t >= 100 for t in totals.values()) >= len(totals) // 2
     out2 = pack_sequences(docs.repartition(7), budget=100, shards=3, seed=42).collect()
     assert {tuple(r) for r in out2} == {tuple(r) for r in out}
+
+
+def test_global_shuffle_invariants(spark):
+    """Deterministic shuffle: every doc exactly once, dense 1..size pos
+    per shard, shards roughly balanced, invariant under repartitioning,
+    and actually shuffled (not id order)."""
+    from simkit_spark.functions.curation import global_shuffle
+
+    rows = [(f"d{i:03d}",) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id string")
+    out = global_shuffle(docs, n_shards=4, seed=42).collect()
+    assert len(out) == 120 and len({r["doc_id"] for r in out}) == 120
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[0] >= 120 // 4 - 20 and sizes[-1] <= 120 // 4 + 20
+    # not the identity order: within a shard, doc_ids are not sorted
+    ordered = sorted(out, key=lambda r: (r["shard"], r["pos"]))
+    ids_in_pos_order = [r["doc_id"] for r in ordered]
+    assert ids_in_pos_order != sorted(ids_in_pos_order)
+    out2 = global_shuffle(docs.repartition(7), n_shards=4, seed=42).collect()
+    assert {tuple(r) for r in out2} == {tuple(r) for r in out}
+    # a different seed produces a different order
+    out3 = global_shuffle(docs, n_shards=4, seed=7).collect()
+    assert {tuple(r) for r in out3} != {tuple(r) for r in out}
+
+
+def test_tfidf_topk_ranks_discriminative_terms(spark):
+    """A term shared by every doc scores below a doc-unique term with
+    equal tf; ranks dense 1..k; ties break on term asc."""
+    from simkit_spark.functions.text import tfidf_topk
+
+    rows = [
+        ("a", "common zebra zebra common common"),
+        ("b", "common yak yak common common"),
+        ("c", "common common common common apple"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = tfidf_topk(docs, k=2).collect()
+    top = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+    # tf(common)=3 everywhere but df=3 -> idf=1·ln(4/4)+1=1 -> score 3;
+    # zebra/yak: tf=2, df=1 -> score 2*(ln(2)+1) ≈ 3.386 -> wins
+    assert top["a"] == "zebra" and top["b"] == "yak"
+    # in c, apple tf=1 scores 1.693 < common 4.0 -> common wins
+    assert top["c"] == "common"
+    for doc in ("a", "b", "c"):
+        ranks = sorted(r["rank"] for r in out if r["doc_id"] == doc)
+        assert ranks == [1, 2]
+
+
+def test_tfidf_topk_empty_and_partition_invariant(spark):
+    from simkit_spark.functions.text import tfidf_topk
+
+    rows = [("a", "x y z"), ("b", "   "), ("c", "x x q")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = tfidf_topk(docs, k=3).collect()
+    assert not [r for r in out if r["doc_id"] == "b"]  # no tokens, no rows
+    out2 = tfidf_topk(docs.repartition(5), k=3).collect()
+    assert {tuple(r) for r in out2} == {tuple(r) for r in out}
