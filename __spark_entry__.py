@@ -367,6 +367,14 @@ def _pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=256, shards=4, seed=42)
 
 
+def _embedding_stats(spark, sf_dir):
+    from simkit_spark.functions.similarity import embedding_stats
+
+    return embedding_stats(_emb(spark, sf_dir)).select(
+        F.col("dim").cast("long").alias("dim"), "mean", "std", "lo", "hi"
+    )
+
+
 def _tfidf_topk(spark, sf_dir):
     from simkit_spark.functions.text import tfidf_topk
 
@@ -576,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_knn": _pagerank_knn,
         "corpus_shuffle": _corpus_shuffle,
         "tfidf_topk": _tfidf_topk,
+        "embedding_stats": _embedding_stats,
         # non-SQL-expressible (rows-only):
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
@@ -895,6 +904,14 @@ SELECT doc_id, shard::BIGINT AS shard, (pre // 256)::BIGINT AS bin_id,
        n::BIGINT AS n_tokens, (pre % 256)::BIGINT AS offset_tokens
 FROM s"""
 
+_EMB_STATS_SQL = """
+WITH ex AS (
+  SELECT u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
+  FROM embeddings e, unnest(generate_series(1, array_length(e.embedding))) AS u(i))
+SELECT dim::BIGINT AS dim, round(avg(v), 6) AS mean, round(stddev_pop(v), 6) AS std,
+       round(min(v), 6) AS lo, round(max(v), 6) AS hi
+FROM ex GROUP BY dim"""
+
 _TFIDF_SQL = f"""
 WITH terms AS (
   SELECT doc_id, unnest({_LTOKENS}) AS term FROM documents WHERE trim(text) <> ''),
@@ -1184,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_knn": _pagerank_sql(),
         "corpus_shuffle": _SHUFFLE_SQL,
         "tfidf_topk": _TFIDF_SQL,
+        "embedding_stats": _EMB_STATS_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

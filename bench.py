@@ -55,6 +55,7 @@ HEADLINE = [
     "pagerank_knn",
     "corpus_shuffle",
     "tfidf_topk",
+    "embedding_stats",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

@@ -17,6 +17,30 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..operators.kernels import distance_expr, pairwise_distances
 
 
+def embedding_stats(
+    emb: DataFrame, id_col: str = "id", vec_col: str = "vec"
+) -> DataFrame:
+    """Per-dimension corpus statistics over an embedding column —
+    the feature-whitening / QA numbers computed before building an ANN
+    index (dead dims, scale imbalance, outlier ranges).
+
+    Plan at scale: posexplode -> hash agg keyed by dimension. The key
+    space is the vector width, so map-side partial aggregation
+    collapses each task to ~dim rows and the shuffle moves
+    O(dim x tasks) rows no matter how many vectors — the right shape at
+    any corpus size.
+
+    Returns (dim, mean, std, lo, hi); std is population stddev.
+    """
+    ex = emb.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+    return ex.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("mean"),
+        F.round(F.stddev_pop("v"), 6).alias("std"),
+        F.round(F.min("v"), 6).alias("lo"),
+        F.round(F.max("v"), 6).alias("hi"),
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     k: int = 10,

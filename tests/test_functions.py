@@ -316,3 +316,22 @@ def test_tfidf_topk_empty_and_partition_invariant(spark):
     assert not [r for r in out if r["doc_id"] == "b"]  # no tokens, no rows
     out2 = tfidf_topk(docs.repartition(5), k=3).collect()
     assert {tuple(r) for r in out2} == {tuple(r) for r in out}
+
+
+def test_embedding_stats_matches_numpy(spark):
+    import numpy as np
+
+    from simkit_spark.functions.similarity import embedding_stats
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(40, 5)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = {r["dim"]: r for r in embedding_stats(df).collect()}
+    assert set(out) == set(range(5))
+    for d in range(5):
+        col = vecs[:, d]
+        assert out[d]["mean"] == round(float(col.mean()), 6)
+        assert out[d]["std"] == round(float(col.std()), 6)
+        assert out[d]["lo"] == round(float(col.min()), 6)
+        assert out[d]["hi"] == round(float(col.max()), 6)
