@@ -105,3 +105,26 @@ def test_curation_plans(spark):
 
     plan = _plan(e.queries()["doc_chunks"](spark, SF))
     assert "Exchange" not in plan
+
+
+def test_round3_plans(spark):
+    """tfidf_topk: corpus size arrives via BroadcastExchange (never a
+    per-row shuffle) and the top-k cut is a doc-partitioned window (no
+    global Sort feeding a single-partition window); embedding_stats
+    partial-aggregates map-side before its dim-keyed exchange;
+    corpus_shuffle's rank window is shard-partitioned."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tfidf_topk"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the broadcast 1-row corpus
+    # count (a Cross with a broadcast build side — a scalar, not a table)
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert all("Cross" in l and "BuildRight" in l for l in bnlj)
+
+    plan = _plan(e.queries()["embedding_stats"](spark, SF))
+    assert "partial" in plan  # map-side combine before the exchange
+
+    plan = _plan(e.queries()["corpus_shuffle"](spark, SF))
+    assert "hashpartitioning(shard" in plan
