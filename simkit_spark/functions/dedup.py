@@ -52,15 +52,24 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles over lowercased text: 'a b c d' ->
     ['a b c', 'b c d'] (distinct). Docs shorter than n words get their
-    whole text as one shingle."""
-    toks = tokens(F.lower(col))
-    k = F.size(toks)
-    joined = F.array_join(toks, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return F.when(k <= n, F.array(joined)).otherwise(F.array_distinct(grams))
+    whole text as one shingle.
+
+    The token array is bound ONCE as a higher-order lambda variable
+    (transform over a 1-element wrapper array): referencing the split()
+    expression directly inside the per-shingle lambda would inline and
+    re-run the regexp tokenizer for every shingle — O(n^2) splits per
+    doc, measured 6-10x slower on the sf0.1 corpus."""
+
+    def body(toks):
+        k = F.size(toks)
+        joined = F.array_join(toks, " ")
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+        return F.when(k <= n, F.array(joined)).otherwise(F.array_distinct(grams))
+
+    return F.transform(F.array(tokens(F.lower(col))), body)[0]
 
 
 def minhash_signatures(
