@@ -367,6 +367,16 @@ def _pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=256, shards=4, seed=42)
 
 
+def _triangles_knn(spark, sf_dir):
+    from simkit_spark.operators.graphs import knn_graph_from_points
+    from simkit_spark.operators.triangles import triangle_counts
+
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
+    return triangle_counts(edges).select(
+        "id", F.col("degree").cast("long").alias("degree"), "triangles", "coeff"
+    )
+
+
 def _embedding_stats(spark, sf_dir):
     from simkit_spark.functions.similarity import embedding_stats
 
@@ -585,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": _corpus_shuffle,
         "tfidf_topk": _tfidf_topk,
         "embedding_stats": _embedding_stats,
+        "triangles_knn": _triangles_knn,
         # non-SQL-expressible (rows-only):
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
@@ -904,6 +915,29 @@ SELECT doc_id, shard::BIGINT AS shard, (pre // 256)::BIGINT AS bin_id,
        n::BIGINT AS n_tokens, (pre % 256)::BIGINT AS offset_tokens
 FROM s"""
 
+# per-node triangle count = adjacent-neighbor pairs that close (apex
+# form); coefficient forced to DOUBLE (DuckDB decimal division would
+# round differently from Spark's double math)
+_TRIANGLES_SQL = (
+    _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+    + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+kn AS (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM kn WHERE src <> dst),
+und AS MATERIALIZED (SELECT u AS a, v AS b FROM ue UNION ALL SELECT v AS a, u AS b FROM ue),
+deg AS (SELECT a AS id, count(*) AS degree FROM und GROUP BY a),
+tri AS (
+  SELECT e1.a AS x
+  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN ue e3 ON e3.u = e1.b AND e3.v = e2.b),
+t AS (SELECT x AS id, count(*) AS triangles FROM tri GROUP BY x)
+SELECT d.id, d.degree::BIGINT AS degree, coalesce(t.triangles, 0)::BIGINT AS triangles,
+       round(CASE WHEN d.degree >= 2
+             THEN 2.0::DOUBLE * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))
+             ELSE 0.0::DOUBLE END, 6) AS coeff
+FROM deg d LEFT JOIN t USING (id)"""
+)
+
 _EMB_STATS_SQL = """
 WITH ex AS (
   SELECT u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
@@ -1202,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": _SHUFFLE_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "embedding_stats": _EMB_STATS_SQL,
+        "triangles_knn": _TRIANGLES_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

@@ -56,6 +56,7 @@ HEADLINE = [
     "corpus_shuffle",
     "tfidf_topk",
     "embedding_stats",
+    "triangles_knn",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
