@@ -109,6 +109,36 @@ def run_stream_to_table(stream_df: DataFrame, out_path: str, checkpoint: str, on
     return writer.start()
 
 
+def run_streaming_kg(
+    doc_stream: DataFrame, out_dir: str, checkpoint: str, once: bool = True
+):
+    """Incremental KG ingest: per micro-batch, the SAME vectorized
+    extraction operators as the batch pipeline (explode spans -> numpy
+    Title-Case matcher -> SVO triples), landed idempotently.
+
+    foreachBatch is at-least-once on retry, so a plain append sink
+    would duplicate a replayed batch's triples; each batch instead
+    OVERWRITES its own `batch_id=N` directory (retry replaces itself
+    — exactly-once at the table level, the standard idempotent-sink
+    pattern). `spark.read.parquet(out_dir)` reconstructs the full
+    triple table with `batch_id` as a partition column, so downstream
+    linking/canonicalization (pipeline.run) consumes it unchanged.
+    """
+
+    def process(bdf: DataFrame, batch_id: int) -> None:
+        triples = extract_raw_triples(explode_spans(bdf))
+        triples.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    writer = doc_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if once:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        return q
+    return writer.start()
+
+
 def streaming_sessionize(
     event_stream: DataFrame,
     gap: str = "30 minutes",
