@@ -29,7 +29,7 @@ def no_arrow(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["kmeans_clusters", "connected_components_eps", "spectral_embedding", "kg_triples"],
+    ["kmeans_clusters", "connected_components_eps", "spectral_embedding", "kg_triples", "pagerank_knn"],
 )
 def test_local_fast_paths_without_arrow(no_arrow, name):
     df = entry_mod.queries()[name](no_arrow, SF)
