@@ -99,51 +99,73 @@ def run_pipeline(
         if timings is not None:
             timings["auto_dim"] = round(_time.time() - t0, 3)
     fp = {"seed": cfg.seed, "dim": dim, "tau": cfg.tau}
-    raw_triples = staged(
-        "raw_triples",
-        lambda: raw_triples_from_mentions(mentions),
-        inputs={**fp, "stage": "raw_triples", "from": "mentions"},
-        force=force,
-        bucket_by=(doc_buckets, "doc_id"),
-    )
-    surfaces = staged(
-        "surfaces",
-        lambda: embed_distinct_surfaces(mentions, dim),
-        inputs={**fp, "stage": "surfaces"},
-        force=force,
-    )
-    entity_map = staged(
-        "entity_map",
-        lambda: link_entities(surfaces, mentions, dim, cfg.tau, cfg.seed),
-        inputs={**fp, "stage": "entity_map"},
-        force=force,
-    )
-    triples = staged(
-        "triples",
-        lambda: resolve_triples(raw_triples, entity_map, cfg.use_salting, cfg.n_salt),
-        inputs={**fp, "stage": "triples"},
-        force=force,
-        bucket_by=(doc_buckets, "doc_id"),
-    )
-    nodes = staged(
-        "nodes",
-        lambda: build_nodes(entity_map, mentions),
-        inputs={**fp, "stage": "nodes"},
-        force=force,
-    )
-    edges = staged(
-        "edges",
-        lambda: build_edges(triples),
-        inputs={**fp, "stage": "edges"},
-        force=force,
-    )
-    provenance = staged(
-        "provenance",
-        lambda: build_provenance(triples),
-        inputs={**fp, "stage": "provenance"},
-        force=force,
-        bucket_by=(doc_buckets, "doc_id"),
-    )
+    # independent stages run as CONCURRENT Spark jobs (driver threads):
+    # actions submitted from different threads schedule side by side on
+    # the same executors, so sibling output tables don't serialize the
+    # pipeline — raw_triples || surfaces (both read only mentions),
+    # triples || nodes (both need entity_map, not each other), then
+    # edges || provenance (both read triples). Per-stage `timings`
+    # remain true wall per stage; overlapped stages sum to more than
+    # the pipeline wall by design.
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_raw = pool.submit(
+            staged,
+            "raw_triples",
+            lambda: raw_triples_from_mentions(mentions),
+            inputs={**fp, "stage": "raw_triples", "from": "mentions"},
+            force=force,
+            bucket_by=(doc_buckets, "doc_id"),
+        )
+        f_surf = pool.submit(
+            staged,
+            "surfaces",
+            lambda: embed_distinct_surfaces(mentions, dim),
+            inputs={**fp, "stage": "surfaces"},
+            force=force,
+        )
+        raw_triples, surfaces = f_raw.result(), f_surf.result()
+        entity_map = staged(
+            "entity_map",
+            lambda: link_entities(surfaces, mentions, dim, cfg.tau, cfg.seed),
+            inputs={**fp, "stage": "entity_map"},
+            force=force,
+        )
+        f_triples = pool.submit(
+            staged,
+            "triples",
+            lambda: resolve_triples(
+                raw_triples, entity_map, cfg.use_salting, cfg.n_salt
+            ),
+            inputs={**fp, "stage": "triples"},
+            force=force,
+            bucket_by=(doc_buckets, "doc_id"),
+        )
+        f_nodes = pool.submit(
+            staged,
+            "nodes",
+            lambda: build_nodes(entity_map, mentions),
+            inputs={**fp, "stage": "nodes"},
+            force=force,
+        )
+        triples, nodes = f_triples.result(), f_nodes.result()
+        f_edges = pool.submit(
+            staged,
+            "edges",
+            lambda: build_edges(triples),
+            inputs={**fp, "stage": "edges"},
+            force=force,
+        )
+        f_prov = pool.submit(
+            staged,
+            "provenance",
+            lambda: build_provenance(triples),
+            inputs={**fp, "stage": "provenance"},
+            force=force,
+            bucket_by=(doc_buckets, "doc_id"),
+        )
+        edges, provenance = f_edges.result(), f_prov.result()
     return {
         "mentions": mentions,
         "raw_triples": raw_triples,
