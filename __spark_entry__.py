@@ -30,6 +30,7 @@ EPS_CC = 1.15
 SIGMA_K = 5
 TOPK = 10
 PAGERANK_ITER = 10
+LPA_ITER = 5
 
 
 # ---------------------------------------------------------------- loaders
@@ -377,6 +378,14 @@ def _triangles_knn(spark, sf_dir):
     )
 
 
+def _communities_knn(spark, sf_dir):
+    from simkit_spark.operators.graphs import knn_graph_from_points
+    from simkit_spark.operators.labelprop import label_propagation
+
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
+    return label_propagation(edges, n_iter=LPA_ITER)
+
+
 def _embedding_stats(spark, sf_dir):
     from simkit_spark.functions.similarity import embedding_stats
 
@@ -596,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _tfidf_topk,
         "embedding_stats": _embedding_stats,
         "triangles_knn": _triangles_knn,
+        "communities_knn": _communities_knn,
         # non-SQL-expressible (rows-only):
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
@@ -914,6 +924,39 @@ s AS (SELECT *, sum(ct) OVER (PARTITION BY shard ORDER BY skey, doc_id
 SELECT doc_id, shard::BIGINT AS shard, (pre // 256)::BIGINT AS bin_id,
        n::BIGINT AS n_tokens, (pre % 256)::BIGINT AS offset_tokens
 FROM s"""
+
+def _lpa_sql(n_iter: int = LPA_ITER) -> str:
+    """Synchronous label propagation as unrolled MATERIALIZED CTE
+    sweeps over the undirected kNN graph (same inlining rationale as
+    _pagerank_sql). All-integer: most-frequent neighbor label, ties to
+    the smallest label — the window pick here and the
+    min(struct(-count, label)) aggregation in the operator choose the
+    same row, so parity is exact with no rounding contract."""
+    head = (
+        _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+kn AS (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM kn WHERE src <> dst),
+e AS MATERIALIZED (SELECT u AS a, v AS b FROM ue UNION ALL SELECT v AS a, u AS b FROM ue),
+pn AS MATERIALIZED (SELECT DISTINCT a AS id FROM e),
+l0 AS MATERIALIZED (SELECT id, id AS label FROM pn)"""
+    )
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+c{i} AS (SELECT e.a, l.label, count(*) AS c
+  FROM e JOIN l{p} l ON e.b = l.id GROUP BY e.a, l.label),
+w{i} AS (SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY c DESC, label ASC) AS rn FROM c{i}),
+l{i} AS MATERIALIZED (SELECT n.id, coalesce(w.label, prev.label) AS label
+  FROM pn n JOIN l{p} prev ON n.id = prev.id
+  LEFT JOIN (SELECT a, label FROM w{i} WHERE rn = 1) w ON n.id = w.a)"""
+        )
+    parts.append(f"\nSELECT id, label AS community FROM l{n_iter}")
+    return "".join(parts)
+
 
 # per-node triangle count = adjacent-neighbor pairs that close (apex
 # form); coefficient forced to DOUBLE (DuckDB decimal division would
@@ -1237,6 +1280,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _TFIDF_SQL,
         "embedding_stats": _EMB_STATS_SQL,
         "triangles_knn": _TRIANGLES_SQL,
+        # synchronous LPA: unrolled sweeps, all-integer — exact parity
+        "communities_knn": _lpa_sql(),
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

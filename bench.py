@@ -57,6 +57,7 @@ HEADLINE = [
     "tfidf_topk",
     "embedding_stats",
     "triangles_knn",
+    "communities_knn",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

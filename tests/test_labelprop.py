@@ -1,0 +1,42 @@
+"""label_propagation: two-clique separation, tie determinism, fixed
+points, and partition invariance."""
+
+from __future__ import annotations
+
+from simkit_spark.operators.labelprop import label_propagation
+
+
+def _run(spark, edges, n_iter=5):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["id"]: r["community"] for r in label_propagation(df, n_iter).collect()}
+
+
+def test_two_cliques_with_bridge(spark):
+    """Two K4s joined by one bridge edge: each clique converges to its
+    own min label; the bridge doesn't merge them (1 vote vs 3)."""
+    k4a = [(a, b) for a in range(0, 4) for b in range(a + 1, 4)]
+    k4b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    out = _run(spark, k4a + k4b + [(3, 10)])
+    assert {out[i] for i in range(0, 4)} == {0}
+    assert {out[i] for i in range(10, 14)} == {10}
+
+
+def test_tie_breaks_to_smallest_label(spark):
+    # node 2's neighbors {1, 3} each vote once -> tie -> label 1
+    out = _run(spark, [(1, 2), (2, 3)], n_iter=1)
+    assert out[2] == 1
+
+
+def test_clique_is_fixed_point_at_min_label(spark):
+    tri = [(5, 6), (6, 7), (5, 7)]
+    for n in (3, 6):
+        out = _run(spark, tri, n_iter=n)
+        assert out == {5: 5, 6: 5, 7: 5}, n
+
+
+def test_partition_invariant(spark):
+    edges = [(i, (i * 7) % 23) for i in range(23) if i != (i * 7) % 23]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, label_propagation(df, 4).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(9), 4).collect()))
+    assert a == b
