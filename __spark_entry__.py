@@ -378,6 +378,12 @@ def _triangles_knn(spark, sf_dir):
     )
 
 
+def _token_quantiles(spark, sf_dir):
+    from simkit_spark.functions.text import token_quantiles
+
+    return token_quantiles(_docs(spark, sf_dir), qs=(0.5, 0.9))
+
+
 def _communities_knn(spark, sf_dir):
     from simkit_spark.operators.graphs import knn_graph_from_points
     from simkit_spark.operators.labelprop import label_propagation
@@ -606,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": _embedding_stats,
         "triangles_knn": _triangles_knn,
         "communities_knn": _communities_knn,
+        "token_quantiles": _token_quantiles,
         # non-SQL-expressible (rows-only):
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
@@ -981,6 +988,16 @@ SELECT d.id, d.degree::BIGINT AS degree, coalesce(t.triangles, 0)::BIGINT AS tri
 FROM deg d LEFT JOIN t USING (id)"""
 )
 
+# Spark percentile == DuckDB quantile_cont (linear interpolation)
+_TOKEN_QUANTILES_SQL = f"""
+WITH t AS (SELECT lang, {_TOKEN_COUNT_EXPR} AS n_tok FROM documents)
+SELECT lang, q, round(v, 6) AS value
+FROM (
+  SELECT lang,
+         unnest([0.5, 0.9]::DOUBLE[]) AS q,
+         unnest(quantile_cont(n_tok, [0.5, 0.9])) AS v
+  FROM t GROUP BY lang)"""
+
 _EMB_STATS_SQL = """
 WITH ex AS (
   SELECT u.i - 1 AS dim, embedding[u.i]::DOUBLE AS v
@@ -1282,6 +1299,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_knn": _TRIANGLES_SQL,
         # synchronous LPA: unrolled sweeps, all-integer — exact parity
         "communities_knn": _lpa_sql(),
+        "token_quantiles": _TOKEN_QUANTILES_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

@@ -58,6 +58,7 @@ HEADLINE = [
     "embedding_stats",
     "triangles_knn",
     "communities_knn",
+    "token_quantiles",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

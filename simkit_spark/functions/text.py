@@ -174,6 +174,38 @@ def tfidf_topk(
     )
 
 
+def token_quantiles(
+    docs: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-count quantiles — how filter cutoffs (min/max
+    token bands per language) are actually chosen before quality_filter
+    ships. Exact linear-interpolation percentiles (Spark `percentile`
+    == DuckDB `quantile_cont` semantics, so the oracle is exact); the
+    aggregation state is a per-group value-count map, bounded for
+    integer token counts. For unbounded/continuous columns at 100 TB
+    switch to approx_percentile (t-digest, fixed-size state) — same
+    call shape, documented tradeoff.
+
+    Returns (<by>, q, value) — one row per group and quantile.
+    """
+    n = token_count(F.col(text_col))
+    agg = docs.select(F.col(by), n.alias("n_tok")).groupBy(by).agg(
+        F.percentile("n_tok", F.lit(list(qs))).alias("vals")
+    )
+    pairs = F.arrays_zip(
+        F.lit(list(qs)).cast("array<double>").alias("q"),
+        F.col("vals").alias("value"),
+    )
+    return agg.select(by, F.explode(pairs).alias("e")).select(
+        by,
+        F.col("e.q").alias("q"),
+        F.round(F.col("e.value"), 6).alias("value"),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Normalization fingerprint: lowercase, collapse whitespace, md5 —
     the exact-dedup key (rolling-hash document fingerprinting)."""

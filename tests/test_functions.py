@@ -335,3 +335,20 @@ def test_embedding_stats_matches_numpy(spark):
         assert out[d]["std"] == round(float(col.std()), 6)
         assert out[d]["lo"] == round(float(col.min()), 6)
         assert out[d]["hi"] == round(float(col.max()), 6)
+
+
+def test_token_quantiles_matches_numpy(spark):
+    import numpy as np
+
+    from simkit_spark.functions.text import token_quantiles
+
+    rows = [(f"d{i}", "en" if i % 2 else "fr", " ".join(["w"] * (1 + i % 13)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    out = {(r["lang"], r["q"]): r["value"] for r in
+           token_quantiles(docs, qs=(0.5, 0.9)).collect()}
+    for lang in ("en", "fr"):
+        counts = [1 + i % 13 for i in range(40) if ("en" if i % 2 else "fr") == lang]
+        for q in (0.5, 0.9):
+            want = round(float(np.percentile(counts, q * 100, method="linear")), 6)
+            assert out[(lang, q)] == want, (lang, q)
