@@ -24,7 +24,7 @@ from ..util import materialize
 
 
 def label_propagation(
-    edges: DataFrame, n_iter: int = 5, checkpoint_every: int = 3
+    edges: DataFrame, n_iter: int = 5, checkpoint_every: int = 1
 ) -> DataFrame:
     """(src, dst) in any orientation -> (id, community) after
     ``n_iter`` synchronous sweeps. Self-loops dropped; duplicate edges

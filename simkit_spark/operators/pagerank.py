@@ -17,10 +17,12 @@ Scale design (the part that must survive 100 TB):
 - Dangling mass is a 1-row aggregate broadcast into the update
   (crossJoin of a broadcast singleton) — no per-iteration driver
   action, no collect.
-- Lineage is broken every ``checkpoint_every`` sweeps via
-  util.materialize (reliable checkpoint when a checkpoint dir is
-  configured, localCheckpoint in tests) so a 50-iteration run is not
-  one 50-deep plan.
+- Lineage is broken EVERY sweep by default (util.materialize: reliable
+  checkpoint when a checkpoint dir is configured, localCheckpoint in
+  tests): each sweep's rank table feeds three consumers (inflow, the
+  dangling aggregate, the update join), so a lazy multi-sweep segment
+  re-evaluates shared subplans combinatorially — measured 104s -> 30s
+  for 10 sweeps over 1M edges going from checkpoint_every=4 to 1.
 - Every rank is rounded to ``iter_dp`` decimals per sweep. That makes
   the fixed point *bit-reproducible across engines and partitionings*
   (sum-order ulp drift is re-synchronized each sweep), which is what
@@ -42,7 +44,7 @@ def pagerank(
     n_iter: int = 10,
     damping: float = DAMPING,
     iter_dp: int = PR_ITER_DP,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(src, dst) directed edge list -> (id, rank) after ``n_iter``
     power sweeps of rank = (1-d)/N + d*(inflow + dangling/N).
@@ -64,20 +66,31 @@ def pagerank(
         e.unpersist()
         nodes.unpersist()
         return edges.sparkSession.createDataFrame([], "id long, rank double")
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # outdeg is loop-INVARIANT: bake it into the persisted edge layout
+    # once instead of re-joining it every sweep (one fewer shuffle per
+    # iteration; the per-sweep work is then rank-shuffle-in + agg-out)
+    ed = e.join(outdeg, "src").persist()
+    ed.count()  # materialize before the loop reuses it n_iter times
+    # the dangling node SET is loop-invariant too (only its rank mass
+    # changes per sweep)
+    dangling_ids = nodes.join(
+        e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).persist()
+    dangling_ids.count()
+    e.unpersist()
     teleport = (1.0 - damping) / float(n)
 
     ranks = nodes.select("id", F.round(F.lit(1.0) / F.lit(float(n)), iter_dp).alias("rank"))
     for i in range(n_iter):
         src_rank = ranks.select(F.col("id").alias("src"), F.col("rank").alias("srank"))
         inflow = (
-            e.join(src_rank, "src")
-            .join(outdeg, "src")
+            ed.join(src_rank, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("srank") / F.col("outdeg")).alias("inflow"))
         )
         dmass = (
-            ranks.join(outdeg, ranks["id"] == outdeg["src"], "left_anti")
+            ranks.join(dangling_ids, "id", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
         )
         ranks = (
@@ -99,9 +112,9 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = materialize(ranks)
     out = materialize(ranks)
-    e.unpersist()
+    ed.unpersist()
     nodes.unpersist()
-    outdeg.unpersist()
+    dangling_ids.unpersist()
     return out
 
 
