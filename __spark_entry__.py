@@ -310,6 +310,62 @@ def _events_sessionize(spark, sf_dir):
     )
 
 
+def _events_asof(spark, sf_dir):
+    # click -> most recent STRICTLY PRIOR view by the same user
+    # (attribution join); union-trick as-of, one shuffle on user_id
+    from simkit_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+        F.round("value", 6).alias("view_value"),
+    )
+    return asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        payload=["view_event_id", "view_value"],
+        tiebreak="view_event_id",
+        strict=True,
+    ).select("event_id", "user_id", "view_event_id", "view_value")
+
+
+def _events_rollup(spark, sf_dir):
+    # multi-granularity rollup (hypertable-style continuous aggregate):
+    # (type, day) + per-type totals + grand total in ONE partial-agg
+    # pass — grouping sets reuse the map-side combine, no re-scan
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def _link_prediction(spark, sf_dir):
+    from simkit_spark.operators.graphs import knn_graph_from_points
+    from simkit_spark.operators.linkpred import link_prediction
+
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
+    return link_prediction(edges, min_cn=2).select(
+        "u",
+        "w",
+        "cn",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
 def _bpe_tokens(spark, sf_dir):
     from simkit_spark.functions.text import add_bpe_token_count
 
@@ -613,6 +669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_knn": _triangles_knn,
         "communities_knn": _communities_knn,
         "token_quantiles": _token_quantiles,
+        "events_asof": _events_asof,
+        "events_rollup": _events_rollup,
+        "link_prediction_knn": _link_prediction,
         # non-SQL-expressible (rows-only):
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
@@ -1245,6 +1304,50 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
   count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2"""
 
+# nearest-prior-view attribution: the oracle is a correlated LATERAL
+# top-1 — a genuinely different algorithm from the Spark union-trick
+# running max, so agreement checks semantics, not implementation.
+# Tie order (ts DESC, event_id DESC) mirrors asof_join's max-struct
+# (view_ts, view_event_id) tiebreak.
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id, v.view_event_id, v.view_value
+FROM events e LEFT JOIN LATERAL (
+  SELECT event_id AS view_event_id, round(value, 6) AS view_value
+  FROM events v
+  WHERE v.user_id = e.user_id AND v.event_type = 'view' AND v.ts < e.ts
+  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+) v ON true
+WHERE e.event_type = 'click'"""
+
+_ROLLUP_SQL = """
+WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, value FROM events)
+SELECT event_type, day, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM e GROUP BY ROLLUP(event_type, day)"""
+
+_LINKPRED_SQL = (
+    _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+    + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+kn AS (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM kn WHERE src <> dst),
+und AS MATERIALIZED (SELECT u AS a, v AS b FROM ue UNION ALL SELECT v AS a, u AS b FROM ue),
+deg AS MATERIALIZED (SELECT a AS id, count(*) AS degree FROM und GROUP BY a),
+wed AS (
+  SELECT e1.b AS u, e2.b AS w, d.degree AS cdeg
+  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN deg d ON d.id = e1.a),
+sc AS (
+  SELECT u, w, count(*)::BIGINT AS cn, sum(1.0 / ln(cdeg)) AS aa
+  FROM wed GROUP BY u, w),
+cand AS (
+  SELECT s.* FROM sc s LEFT JOIN ue ON ue.u = s.u AND ue.v = s.w WHERE ue.u IS NULL)
+SELECT c.u, c.w, c.cn,
+       round(c.cn / (du.degree + dw.degree - c.cn), 6) AS jaccard,
+       round(c.aa, 6) AS adamic_adar
+FROM cand c JOIN deg du ON du.id = c.u JOIN deg dw ON dw.id = c.w
+WHERE c.cn >= 2"""
+)
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1300,6 +1403,9 @@ def oracle_sql() -> dict[str, str]:
         # synchronous LPA: unrolled sweeps, all-integer — exact parity
         "communities_knn": _lpa_sql(),
         "token_quantiles": _TOKEN_QUANTILES_SQL,
+        "events_asof": _ASOF_SQL,
+        "events_rollup": _ROLLUP_SQL,
+        "link_prediction_knn": _LINKPRED_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,
