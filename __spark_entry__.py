@@ -580,6 +580,14 @@ def _lsh_topk(spark, sf_dir):
     return lsh_topk(_emb(spark, sf_dir), k=TOPK, dim=EMB_DIM)
 
 
+def _pq_topk(spark, sf_dir):
+    # product-quantization ANN (ADC + exact rescore): the memory-bound
+    # scale path — 64-dim float64 -> 16 uint8 codes per vector
+    from simkit_spark.functions.pq import pq_topk
+
+    return pq_topk(_emb(spark, sf_dir), k=TOPK, m=16, n_centroids=256, rescore=8)
+
+
 def _media_features(spark, sf_dir):
     from simkit_spark.corpus import synthesize
     from simkit_spark.functions.multimodal import extract_media_features, fetch_media
@@ -681,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": _dbscan,
         "eigengap": _eigengap,
         "lsh_topk": _lsh_topk,
+        "pq_topk": _pq_topk,
         "media_features": _media_features,
     }
 
@@ -1412,7 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan": _DBSCAN_SQL,
         "neardup_resolve": _NEARDUP_RESOLVE_SQL,
         # spectral_embedding / kmeans_clusters / eigengap / kg_triples /
-        # lsh_topk / media_features: iterative or hash-seeded numerics a
+        # lsh_topk / pq_topk / media_features: iterative or hash-seeded numerics a
         # SQL engine can't reproduce -> rows-only driver check, content
         # hashes committed in ROWSONLY_HASHES.json
     }

@@ -59,6 +59,10 @@ HEADLINE = [
     "triangles_knn",
     "communities_knn",
     "token_quantiles",
+    "events_asof",
+    "events_rollup",
+    "link_prediction_knn",
+    "pq_topk",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

@@ -39,6 +39,7 @@ ROWS_ONLY = [
     "kg_triples",
     "eigengap",
     "lsh_topk",
+    "pq_topk",
     "media_features",
 ]
 
