@@ -32,7 +32,7 @@ from tools.stress_graph_ops import synth_edges  # noqa: E402
 def _xor_hash(df, cols):
     r = df.select(
         F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in cols]).alias("h")
-    ).agg(F.sum("h").alias("s")).collect()[0]
+    ).agg(F.expr("bit_xor(h)").alias("s")).collect()[0]
     return int(r["s"] or 0)
 
 
