@@ -31,6 +31,8 @@ SIGMA_K = 5
 TOPK = 10
 PAGERANK_ITER = 10
 LPA_ITER = 5
+KCORE_K = 3
+KCORE_ITER = 8
 
 
 # ---------------------------------------------------------------- loaders
@@ -527,6 +529,29 @@ def _pagerank_knn(spark, sf_dir):
     )
 
 
+def _kcore_knn(spark, sf_dir):
+    from simkit_spark.operators.graphs import knn_graph_from_points
+    from simkit_spark.operators.kcore import kcore_auto
+
+    # densely-linked entity nucleus of the similarity graph: fixed
+    # KCORE_ITER peeling sweeps at threshold KCORE_K (converged =
+    # exact k-core; all-integer, so oracle parity is exact). Over the
+    # MUTUAL kNN graph — the plain kNN graph's degrees are too uniform
+    # to peel (all-or-nothing at every k, measured at sf0.01); mutual
+    # filtering creates the degree variance that makes the check
+    # discriminating (355/500 survive at k=3)
+    from simkit_spark.operators.graphs import mutual_knn_from_points
+
+    edges = mutual_knn_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
+    return kcore_auto(edges, k=KCORE_K, n_iter=KCORE_ITER)
+
+
+def _lm_score(spark, sf_dir):
+    from simkit_spark.functions.text import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
 # ---- non-SQL-expressible (rows-only driver check; numpy-verified in tests/)
 def _spectral_embedding(spark, sf_dir):
     from simkit_spark.operators.eigen import eigensolve_auto
@@ -680,6 +705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _events_asof,
         "events_rollup": _events_rollup,
         "link_prediction_knn": _link_prediction,
+        "kcore_knn": _kcore_knn,
+        "lm_score": _lm_score,
         # non-SQL-expressible (rows-only):
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
@@ -1031,6 +1058,67 @@ l{i} AS MATERIALIZED (SELECT n.id, coalesce(w.label, prev.label) AS label
         )
     parts.append(f"\nSELECT id, label AS community FROM l{n_iter}")
     return "".join(parts)
+
+
+def _kcore_sql(k: int = KCORE_K, n_iter: int = KCORE_ITER) -> str:
+    """Fixed-sweep k-core peeling as unrolled MATERIALIZED CTE sweeps
+    over the undirected kNN graph (same inlining rationale as
+    _pagerank_sql/_lpa_sql). All-integer: alive_{t+1} = nodes whose
+    degree among alive_t neighbors is >= k; the final row set is
+    alive_{n} with its degree inside alive_{n} (isolated survivors
+    report 0) — exactly the operator's contract, no rounding needed.
+    Over the MUTUAL kNN graph (see _kcore_knn: plain-kNN degrees are
+    too uniform to discriminate)."""
+    head = (
+        _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+kn0 AS (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+kn AS (SELECT a.src, a.dst FROM kn0 a JOIN kn0 b ON a.src = b.dst AND a.dst = b.src),
+ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM kn WHERE src <> dst),
+e AS MATERIALIZED (SELECT u AS a, v AS b FROM ue UNION ALL SELECT v AS a, u AS b FROM ue),
+a0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM e)"""
+    )
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+d{i} AS (SELECT e.a AS id, count(*) AS deg
+  FROM e JOIN a{p} x ON e.a = x.id JOIN a{p} y ON e.b = y.id GROUP BY e.a),
+a{i} AS MATERIALIZED (SELECT id FROM d{i} WHERE deg >= {k})"""
+        )
+    parts.append(
+        f""",
+fd AS (SELECT e.a AS id, count(*) AS deg
+  FROM e JOIN a{n_iter} x ON e.a = x.id JOIN a{n_iter} y ON e.b = y.id GROUP BY e.a)
+SELECT a.id, coalesce(fd.deg, 0)::BIGINT AS core_deg
+FROM a{n_iter} a LEFT JOIN fd USING (id)"""
+    )
+    return "".join(parts)
+
+
+# corpus-trained add-0.5-smoothed bigram LM, mean ln P(w2|w1) per doc
+# (0.5: exactly representable — keeps the float math engine-aligned)
+_LM_SCORE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) ELSE {_LTOKENS} END AS t
+  FROM documents),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM d, LATERAL (SELECT unnest(range(1, len(t)::BIGINT)) AS i) s),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+vv AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM d)),
+sc AS (
+  SELECT big.doc_id,
+         ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * (SELECT v FROM vv))) AS logp
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+pd AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS lm_logprob
+       FROM sc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams, pd.lm_logprob
+FROM d LEFT JOIN pd USING (doc_id)"""
 
 
 # per-node triangle count = adjacent-neighbor pairs that close (apex
@@ -1415,6 +1503,9 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": _ASOF_SQL,
         "events_rollup": _ROLLUP_SQL,
         "link_prediction_knn": _LINKPRED_SQL,
+        # fixed-sweep k-core peeling: unrolled sweeps, all-integer
+        "kcore_knn": _kcore_sql(),
+        "lm_score": _LM_SCORE_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

@@ -174,6 +174,80 @@ def tfidf_topk(
     )
 
 
+def lm_score(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    CCNet/Gopher-style fluency filter: documents whose word sequences
+    are improbable under a language model trained on the corpus itself
+    (boilerplate, shuffled text, lorem-ipsum) score low and get culled
+    before pretraining.
+
+    score(doc) = mean over its bigrams of ln P(w2 | w1), with add-alpha
+    smoothing P(w2|w1) = (C(w1,w2)+a) / (C(w1,.)+a*V); V = distinct
+    unigram vocabulary. alpha defaults to 0.5 (exactly representable in
+    binary — keeps the DuckDB oracle's float math bit-aligned).
+
+    Shape at scale: bigrams come from one zip of two array slices (no
+    self-join, no window over corpus rows); counts are two hash aggs
+    with map-side partials; V and the corpus totals ride in as a
+    broadcast 1-row aggregate; the per-doc mean is one final hash agg.
+    The count tables are vocabulary-sized (<< corpus at 100 TB) and the
+    bigram->count join is a plain equi-join Catalyst can broadcast when
+    the vocabulary fits.
+
+    Returns (doc_id, n_bigrams, lm_logprob); docs with < 2 tokens keep
+    a row with n_bigrams = 0 and NULL score.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(F.col("t"))
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("t"), 1, n - 1),
+            F.slice(F.col("t"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = d.select(F.explode("t").alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c2") + F.lit(alpha))
+                / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("lm_logprob"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm_logprob",
+        )
+    )
+
+
 def token_quantiles(
     docs: DataFrame,
     qs: tuple[float, ...] = (0.5, 0.9),

@@ -146,29 +146,64 @@ def detect_mentions(
                     out[ts_col].append(ts_vals.iloc[i])
         return pd.DataFrame(out)
 
-    def find(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..npmatch import title_case_matches  # noqa: PLC0415
+    def find_arrow(batches) -> "Iterator":
+        # Arrow-native hot path: the batch's text column is matched
+        # ZERO-COPY on its (offsets, data) buffers and every output
+        # column is built as an Arrow array — no pandas object strings,
+        # no join/re-encode of the corpus bytes, no per-row Python.
+        # The old mapInPandas path copied every corpus byte ~4x and
+        # allocated a Python string per row, which saturated memory
+        # bandwidth and made this stage ANTI-scale 8->32 cores.
+        import pyarrow as pa  # noqa: PLC0415
+        import pyarrow.compute as pc  # noqa: PLC0415
 
-        for pdf in batches:
-            pdf = pdf.reset_index(drop=True)
-            if not len(pdf):
-                yield pd.DataFrame({k: [] for k in keys})
+        from ..npmatch import title_case_matches_arrow  # noqa: PLC0415
+
+        out_schema = None
+
+        def _schema(batch: pa.RecordBatch) -> pa.Schema:
+            fields = [
+                pa.field("doc_id", batch.schema.field("doc_id").type),
+                pa.field("span_idx", pa.int32()),
+                pa.field("mention_id", pa.int64()),
+                pa.field("surface", pa.string()),
+                pa.field("start", pa.int32()),
+            ]
+            if with_pred:
+                fields.append(pa.field("pred_prev", pa.string()))
+            if ts_col:
+                fields.append(pa.field(ts_col, batch.schema.field(ts_col).type))
+            return pa.schema(fields)
+
+        for batch in batches:
+            if out_schema is None:
+                out_schema = _schema(batch)
+            if not batch.num_rows:
                 continue
             try:
-                mt = title_case_matches(pdf["text"].fillna("").tolist())
-                doc = pdf["doc_id"].to_numpy()[mt.row]
-                sp = pdf["span_idx"].to_numpy()[mt.row].astype(np.int64)
-                mids = _stable_mention_ids(doc, sp, mt.start)
+                mt = title_case_matches_arrow(batch.column("text"))
             except UnicodeEncodeError:
-                yield find_scalar(pdf)
+                pdf = batch.to_pandas()
+                yield pa.RecordBatch.from_pandas(
+                    find_scalar(pdf), schema=out_schema, preserve_index=False
+                )
                 continue
-            out = {
-                "doc_id": doc,
-                "span_idx": sp,
-                "mention_id": mids,
-                "surface": mt.surface.to_numpy(),
-                "start": mt.start,
-            }
+            if not len(mt.row):
+                continue
+            take = pa.array(mt.row)
+            doc_arr = pc.take(batch.column("doc_id"), take)
+            sp_arr = pc.cast(pc.take(batch.column("span_idx"), take), pa.int32())
+            sp = sp_arr.to_numpy().astype(np.int64)
+            mids = _stable_mention_ids(
+                np.asarray(doc_arr.to_pandas(), dtype=object), sp, mt.start
+            )
+            cols = [
+                doc_arr,
+                sp_arr,
+                pa.array(mids),
+                pc.cast(mt.surface_arrow, pa.string()),
+                pa.array(mt.start.astype(np.int32)),
+            ]
             if with_pred:
                 # between-text gathered from the SAME byte buffer for
                 # every non-first mention of a row, then resolved to a
@@ -183,12 +218,14 @@ def detect_mentions(
                     preds[not_first] = (
                         betw.str.strip().str.lower().map(_PHRASE_TO_PRED).to_numpy()
                     )
-                out["pred_prev"] = preds
+                # from_pandas=True: .map() yields float NaN (not None)
+                # for phrases outside the lexicon — treat it as null
+                cols.append(pa.array(preds, type=pa.string(), from_pandas=True))
             if ts_col:
-                out[ts_col] = pdf[ts_col].to_numpy()[mt.row]
-            yield pd.DataFrame(out)
+                cols.append(pc.take(batch.column(ts_col), take))
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
-    return text_spans.mapInPandas(find, schema)
+    return text_spans.mapInArrow(find_arrow, schema)
 
 
 def raw_triples_from_mentions(mentions: DataFrame) -> DataFrame:

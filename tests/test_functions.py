@@ -352,3 +352,37 @@ def test_token_quantiles_matches_numpy(spark):
         for q in (0.5, 0.9):
             want = round(float(np.percentile(counts, q * 100, method="linear")), 6)
             assert out[(lang, q)] == want, (lang, q)
+
+
+def test_lm_score_hand_computed(spark):
+    """Add-0.5 bigram LM on a 4-doc corpus, checked against the closed
+    form: C(a,b)=2, C(b,a)=1, C(a,.)=2, C(b,.)=1, V=3."""
+    import math
+
+    from simkit_spark.functions.text import lm_score
+
+    docs = spark.createDataFrame(
+        [("d1", "A b  a"), ("d2", "a B"), ("d3", "x"), ("d4", "")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: (r["n_bigrams"], r["lm_logprob"]) for r in lm_score(docs).collect()}
+    p_ba = math.log((2 + 0.5) / (2 + 0.5 * 3))   # P(b|a)
+    p_ab = math.log((1 + 0.5) / (1 + 0.5 * 3))   # P(a|b)
+    assert out["d1"] == (2, round((p_ba + p_ab) / 2, 6))
+    assert out["d2"] == (1, round(p_ba, 6))
+    assert out["d3"] == (0, None)
+    assert out["d4"] == (0, None)
+
+
+def test_lm_score_partition_invariant_and_orders_fluency(spark):
+    """Repeated common phrasing scores higher than a shuffled one-off;
+    result is partitioning-independent."""
+    from simkit_spark.functions.text import lm_score
+
+    rows = [(f"c{i}", "the cat sat on the mat") for i in range(10)]
+    rows += [("odd", "mat the on sat cat the")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r["lm_logprob"] for r in lm_score(docs).collect()}
+    assert out["c0"] > out["odd"]
+    b = {r["doc_id"]: r["lm_logprob"] for r in lm_score(docs.repartition(7)).collect()}
+    assert out == b
