@@ -33,6 +33,8 @@ PAGERANK_ITER = 10
 LPA_ITER = 5
 KCORE_K = 3
 KCORE_ITER = 8
+WALK_LEN = 4
+WALKS_PER_NODE = 2
 
 
 # ---------------------------------------------------------------- loaders
@@ -552,6 +554,17 @@ def _lm_score(spark, sf_dir):
     return lm_score(_docs(spark, sf_dir))
 
 
+def _random_walks_knn(spark, sf_dir):
+    from simkit_spark.operators.graphs import knn_graph_from_points
+    from simkit_spark.operators.walks import random_walks
+
+    # node2vec/DeepWalk-style walk corpus over the similarity graph —
+    # md5-derived next-hop choice, so the walks are engine- and
+    # partitioning-reproducible and the DuckDB twin is exact
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
+    return random_walks(edges, walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE)
+
+
 # ---- non-SQL-expressible (rows-only driver check; numpy-verified in tests/)
 def _spectral_embedding(spark, sf_dir):
     from simkit_spark.operators.eigen import eigensolve_auto
@@ -707,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_knn": _link_prediction,
         "kcore_knn": _kcore_knn,
         "lm_score": _lm_score,
+        "random_walks_knn": _random_walks_knn,
         # non-SQL-expressible (rows-only):
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
@@ -1095,6 +1109,44 @@ fd AS (SELECT e.a AS id, count(*) AS deg
 SELECT a.id, coalesce(fd.deg, 0)::BIGINT AS core_deg
 FROM a{n_iter} a LEFT JOIN fd USING (id)"""
     )
+    return "".join(parts)
+
+
+def _walks_sql(
+    walk_len: int = WALK_LEN, walks_per_node: int = WALKS_PER_NODE, seed: int = 42
+) -> str:
+    """Deterministic random walks as unrolled MATERIALIZED CTE steps
+    over the symmetrized kNN graph: next hop = the neighbor minimizing
+    the md5-derived score (ties to the smallest neighbor id) — the
+    exact pick rule of operators/walks.random_walks, all-integer hash
+    comparisons so parity needs no rounding contract."""
+    head = (
+        _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+kn AS (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM kn WHERE src <> dst),
+e AS MATERIALIZED (SELECT u AS a, v AS b FROM ue UNION ALL SELECT v AS a, u AS b FROM ue),
+f0 AS MATERIALIZED (
+  SELECT id AS start_id, w AS walk, id AS cur
+  FROM (SELECT DISTINCT a AS id FROM e), (SELECT unnest(range(0, {walks_per_node})) AS w))"""
+    )
+    parts = [head]
+    for t in range(1, walk_len + 1):
+        p = t - 1
+        parts.append(
+            f""",
+s{t} AS (SELECT f.start_id, f.walk, e.b,
+  CAST(concat('0x', substring(md5(concat_ws(':', '{seed}', f.start_id, f.walk, '{t}', f.cur, e.b)), 1, 8)) AS BIGINT) AS sc
+  FROM f{p} f JOIN e ON f.cur = e.a),
+r{t} AS (SELECT start_id, walk, b, row_number() OVER (PARTITION BY start_id, walk ORDER BY sc ASC, b ASC) AS rn FROM s{t}),
+f{t} AS MATERIALIZED (SELECT start_id, walk, b AS cur FROM r{t} WHERE rn = 1)"""
+        )
+    selects = [
+        f"SELECT start_id, walk::INT AS walk, {t}::INT AS step, cur AS node_id FROM f{t}"
+        for t in range(walk_len + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
     return "".join(parts)
 
 
@@ -1506,6 +1558,8 @@ def oracle_sql() -> dict[str, str]:
         # fixed-sweep k-core peeling: unrolled sweeps, all-integer
         "kcore_knn": _kcore_sql(),
         "lm_score": _LM_SCORE_SQL,
+        # md5-hash-chosen walks: unrolled steps, all-integer
+        "random_walks_knn": _walks_sql(),
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

@@ -1,0 +1,115 @@
+"""Deterministic random-walk corpus generation over an edge list — the
+node2vec/DeepWalk preprocessing step that turns the constructed KG's
+similarity graph into training sequences for embedding models (walks
+are to graph-embedding training what shuffled documents are to LM
+training; this is the bridge from the KG-construction pipeline to a
+GNN/skip-gram training-data pipeline).
+
+Determinism: the "random" next hop from ``cur`` at step ``t`` of walk
+``w`` is the neighbor minimizing md5("<seed>:<start>:<w>:<t>:<cur>:<b>")
+(first 8 hex chars as a bigint — the repo's portable md5 hash family,
+identical in Spark and DuckDB), ties broken by neighbor id. Every
+engine, partitioning, and re-run reproduces the same walks — the same
+property all curation operators here guarantee — while the hash varies
+per (walk, step, position) so walks diverge like random ones.
+
+Scale design: one symmetric edge table hash-partitioned on its join key
+ONCE and persisted; each step joins the (n·walks_per_node)-row frontier
+into that fixed layout and picks the argmin neighbor with a
+min(struct(score, b)) aggregation — map-side partials, never a per-node
+window sort over the frontier×degree join output. Frontier lineage is
+broken every step (iterative-plan lesson from pagerank/LPA). Walk
+storage is long-format (one row per step) — the downstream
+sequence-packer shapes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..util import materialize
+
+
+def _score(seed: int, step: int, start, w, cur, b) -> F.Column:
+    """md5-derived next-hop score in [0, 2^32) — bit-identical to the
+    DuckDB twin CAST(concat('0x', substring(md5(...), 1, 8)) AS BIGINT)."""
+    key = F.concat_ws(
+        ":",
+        F.lit(str(seed)),
+        start.cast("string"),
+        w.cast("string"),
+        F.lit(str(step)),
+        cur.cast("string"),
+        b.cast("string"),
+    )
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """(src, dst) in any orientation -> (start_id, walk, step, node_id):
+    ``walks_per_node`` walks of ``walk_len`` hops from every non-isolated
+    node over the symmetrized simple graph; step 0 is the start node.
+    A walk that reaches a dead end stops early (cannot happen on a
+    symmetrized graph — every reachable node has the return edge)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .repartition("a")
+        .persist()
+    )
+    frontier = (
+        e.select(F.col("a").alias("start_id"))
+        .distinct()
+        .select(
+            "start_id",
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("walk"),
+        )
+        .select("start_id", "walk", F.col("start_id").alias("cur"))
+    )
+    steps = [
+        frontier.select(
+            "start_id", "walk", F.lit(0).alias("step"), F.col("cur").alias("node_id")
+        )
+    ]
+    for t in range(1, walk_len + 1):
+        nxt = (
+            frontier.join(e, frontier["cur"] == e["a"])
+            .select(
+                "start_id",
+                "walk",
+                F.struct(
+                    _score(
+                        seed, t, F.col("start_id"), F.col("walk"),
+                        F.col("a"), F.col("b"),
+                    ).alias("sc"),
+                    F.col("b").alias("nb"),
+                ).alias("pick"),
+            )
+            .groupBy("start_id", "walk")
+            .agg(F.min("pick").alias("m"))
+            .select("start_id", "walk", F.col("m.nb").alias("cur"))
+        )
+        frontier = materialize(nxt)
+        steps.append(
+            frontier.select(
+                "start_id", "walk", F.lit(t).alias("step"),
+                F.col("cur").alias("node_id"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    e.unpersist()
+    return out
