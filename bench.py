@@ -63,6 +63,9 @@ HEADLINE = [
     "events_rollup",
     "link_prediction_knn",
     "pq_topk",
+    "kcore_knn",
+    "lm_score",
+    "random_walks_knn",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

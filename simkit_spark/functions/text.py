@@ -193,11 +193,19 @@ def lm_score(
 
     Shape at scale: bigrams come from one zip of two array slices (no
     self-join, no window over corpus rows); counts are two hash aggs
-    with map-side partials; V and the corpus totals ride in as a
-    broadcast 1-row aggregate; the per-doc mean is one final hash agg.
-    The count tables are vocabulary-sized (<< corpus at 100 TB) and the
-    bigram->count join is a plain equi-join Catalyst can broadcast when
-    the vocabulary fits.
+    with map-side partials; V rides in as a broadcast 1-row aggregate;
+    the per-doc mean is one final hash agg. The UNIGRAM count table is
+    vocabulary-sized (<< corpus at 100 TB) and its join stays
+    broadcastable, but the BIGRAM table and the per-doc score table are
+    corpus-scale in the worst case (distinct bigrams approach the
+    bigram-instance count on diverse text; per_doc is one row per doc),
+    so those two joins are pinned to shuffle strategies: a size
+    misestimate upstream (Range/synthesized sources report bytes, not
+    post-explode cardinality) otherwise makes Catalyst broadcast-collect
+    the bigram table to the driver — measured at 1M word-salad docs:
+    ~1.4 GB of task results, maxResultSize abort. The bigram join
+    shuffles on the same (w1, w2) keys its aggregation just produced,
+    so the pin costs one exchange reuse, not a new shuffle.
 
     Returns (doc_id, n_bigrams, lm_logprob); docs with < 2 tokens keep
     a row with n_bigrams = 0 and NULL score.
@@ -222,7 +230,7 @@ def lm_score(
         F.count_distinct("w").alias("v")
     )
     scored = (
-        big.join(c2, ["w1", "w2"])
+        big.join(c2.hint("shuffle_hash"), ["w1", "w2"])
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
@@ -239,7 +247,7 @@ def lm_score(
     )
     return (
         d.select("doc_id")
-        .join(per_doc, "doc_id", "left")
+        .join(per_doc.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
