@@ -35,6 +35,7 @@ KCORE_K = 3
 KCORE_ITER = 8
 WALK_LEN = 4
 WALKS_PER_NODE = 2
+SKIPGRAM_WINDOW = 2
 
 
 # ---------------------------------------------------------------- loaders
@@ -565,6 +566,17 @@ def _random_walks_knn(spark, sf_dir):
     return random_walks(edges, walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE)
 
 
+def _skipgram_knn(spark, sf_dir):
+    from simkit_spark.operators.graphs import knn_graph_from_points
+    from simkit_spark.operators.walks import random_walks, skipgram_pairs
+
+    # walk corpus -> weighted SGNS (center, context) pairs: the last hop
+    # of the KG -> graph-embedding training-data bridge
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
+    walks = random_walks(edges, walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE)
+    return skipgram_pairs(walks, window=SKIPGRAM_WINDOW)
+
+
 # ---- non-SQL-expressible (rows-only driver check; numpy-verified in tests/)
 def _spectral_embedding(spark, sf_dir):
     from simkit_spark.operators.eigen import eigensolve_auto
@@ -721,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_knn": _kcore_knn,
         "lm_score": _lm_score,
         "random_walks_knn": _random_walks_knn,
+        "skipgram_pairs_knn": _skipgram_knn,
         # non-SQL-expressible (rows-only):
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
@@ -1150,6 +1163,24 @@ f{t} AS MATERIALIZED (SELECT start_id, walk, b AS cur FROM r{t} WHERE rn = 1)"""
     return "".join(parts)
 
 
+def _skipgram_sql(window: int = SKIPGRAM_WINDOW) -> str:
+    """Weighted skip-gram pairs over the deterministic walk corpus:
+    each walk position pairs with every position within ``window`` steps
+    (excluding itself) inside the same (start_id, walk) — the exact
+    explode-join-count shape of operators/walks.skipgram_pairs, with the
+    walk table embedded as the _walks_sql subquery."""
+    return f"""
+WITH wt AS MATERIALIZED ({_walks_sql()}),
+ctx AS (
+  SELECT w.start_id, w.walk, w.node_id AS center, w.step + d.d AS ctx_step
+  FROM wt w, (SELECT unnest(range(-{window}, {window + 1})) AS d) d
+  WHERE d.d <> 0)
+SELECT c.center, r.node_id AS context, COUNT(*)::BIGINT AS n_pairs
+FROM ctx c
+JOIN wt r ON c.start_id = r.start_id AND c.walk = r.walk AND c.ctx_step = r.step
+GROUP BY 1, 2"""
+
+
 # corpus-trained add-0.5-smoothed bigram LM, mean ln P(w2|w1) per doc
 # (0.5: exactly representable — keeps the float math engine-aligned)
 _LM_SCORE_SQL = f"""
@@ -1560,6 +1591,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _LM_SCORE_SQL,
         # md5-hash-chosen walks: unrolled steps, all-integer
         "random_walks_knn": _walks_sql(),
+        "skipgram_pairs_knn": _skipgram_sql(),
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

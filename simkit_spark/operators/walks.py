@@ -113,3 +113,47 @@ def random_walks(
         out = out.unionByName(s)
     e.unpersist()
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Walk corpus -> weighted skip-gram training pairs: for every walk
+    position, each node within ``window`` steps (either direction,
+    excluding the position itself) is a context; identical (center,
+    context) pairs are counted, which is the scalable representation of
+    the SGNS multiset (the trainer consumes counts as repetition
+    weights). This is the last hop of the KG -> graph-embedding bridge:
+    graph -> walks (``random_walks``) -> (center, context, n_pairs).
+
+    Scale shape: each walk row explodes into at most 2·window candidate
+    (center, ctx_step) rows — out-of-range steps simply find no join
+    partner — then ONE equi-join back to the walk table on the full
+    (start_id, walk, step) key and one hash agg with map-side partials.
+    No window function, no per-walk collect; everything is linear in
+    walk rows x window. Callers pass the output of ``random_walks``,
+    whose per-step frontiers are already lineage-broken, so the self-use
+    of the walk table on both join sides does not recompute the walk.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    ctx = walks.select(
+        "start_id",
+        "walk",
+        F.col("node_id").alias("center"),
+        F.explode(
+            F.filter(
+                F.sequence(F.col("step") - window, F.col("step") + window),
+                lambda s: s != F.col("step"),
+            )
+        ).alias("ctx_step"),
+    )
+    right = walks.select(
+        "start_id",
+        "walk",
+        F.col("step").alias("ctx_step"),
+        F.col("node_id").alias("context"),
+    )
+    return (
+        ctx.join(right, ["start_id", "walk", "ctx_step"])
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

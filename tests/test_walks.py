@@ -4,7 +4,9 @@ walk indices actually diverge."""
 
 from __future__ import annotations
 
-from simkit_spark.operators.walks import random_walks
+import pytest
+
+from simkit_spark.operators.walks import random_walks, skipgram_pairs
 
 
 def _paths(rows):
@@ -57,3 +59,40 @@ def test_isolated_and_selfloop_nodes_excluded(spark):
     assert set(paths) == {(0, 0), (1, 0)}
     # 2-cycle: the only neighbor is the other node — walk must oscillate
     assert paths[(0, 0)] == [0, 1, 0, 1]
+
+
+def _brute_pairs(paths, window):
+    """Reference skip-gram multiset from {(start, walk): [nodes]}."""
+    got = {}
+    for p in paths.values():
+        for i, c in enumerate(p):
+            for j in range(max(0, i - window), min(len(p), i + window + 1)):
+                if j != i:
+                    got[(c, p[j])] = got.get((c, p[j]), 0) + 1
+    return got
+
+
+@pytest.mark.parametrize("window", [1, 2, 10])
+def test_skipgram_matches_bruteforce(spark, window):
+    # window=10 > walk length: every in-walk pair is a context pair
+    edges = [(i, (i + 1) % 10) for i in range(10)] + [(0, 5), (2, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    walks = random_walks(df, walk_len=5, walks_per_node=2)
+    paths = _paths(walks.collect())
+    want = _brute_pairs(paths, window)
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks, window).collect()
+    }
+    assert got == want
+
+
+def test_skipgram_partition_invariant_and_rejects_bad_window(spark):
+    edges = [(i, (i * 3) % 17) for i in range(17) if i != (i * 3) % 17]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    walks = random_walks(df, 4, 2)
+    a = sorted(map(tuple, skipgram_pairs(walks, 2).collect()))
+    b = sorted(map(tuple, skipgram_pairs(walks.repartition(5), 2).collect()))
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError):
+        skipgram_pairs(walks, 0)
