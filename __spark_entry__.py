@@ -549,6 +549,22 @@ def _kcore_knn(spark, sf_dir):
     return kcore_auto(edges, k=KCORE_K, n_iter=KCORE_ITER)
 
 
+def _importance_sample(spark, sf_dir):
+    from simkit_spark.functions.curation import importance_sample
+
+    # DSIR-style quality-weighted downsampling: longer docs (n_chars as
+    # the stand-in quality weight) kept with proportionally higher odds
+    return importance_sample(_docs(spark, sf_dir), "n_chars", rate=0.3)
+
+
+def _vocab_ranks(spark, sf_dir):
+    from simkit_spark.functions.text import word_ranks
+
+    # tokenizer-induction vocabulary table: global frequency rank +
+    # cumulative coverage share, ranked WITHOUT a single-partition window
+    return word_ranks(_docs(spark, sf_dir))
+
+
 def _lm_score(spark, sf_dir):
     from simkit_spark.functions.text import lm_score
 
@@ -732,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction_knn": _link_prediction,
         "kcore_knn": _kcore_knn,
         "lm_score": _lm_score,
+        "importance_sample": _importance_sample,
+        "vocab_ranks": _vocab_ranks,
         "random_walks_knn": _random_walks_knn,
         "skipgram_pairs_knn": _skipgram_knn,
         # non-SQL-expressible (rows-only):
@@ -1181,6 +1199,35 @@ JOIN wt r ON c.start_id = r.start_id AND c.walk = r.walk AND c.ctx_step = r.step
 GROUP BY 1, 2"""
 
 
+# DSIR-style weighted sampling: the coin and the acceptance bound are
+# both pure per-row IEEE-double formulas over exact integers (md5
+# fraction; integer sum_w/n), so the strict < is engine-exact
+_IMPORTANCE_SAMPLE_SQL = """
+WITH k AS (
+  SELECT doc_id, n_chars::BIGINT AS w FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0),
+t AS (SELECT sum(w) AS sum_w, count(*) AS n FROM k)
+SELECT doc_id, w, round(least(0.3 * w * n / sum_w, 1.0), 6) AS p_keep
+FROM k, t
+WHERE CAST(concat('0x', substring(md5(doc_id || ':42'), 1, 8)) AS BIGINT)
+      / 4294967296.0 < 0.3 * w * n / sum_w"""
+
+# global frequency rank + coverage prefix sums; (cnt, word) is a total
+# order so DuckDB's RANGE window frame equals ROWS — no tie ambiguity
+_VOCAB_RANKS_SQL = f"""
+WITH wd AS (
+  SELECT unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE {_LTOKENS} END) AS word
+  FROM documents),
+c AS (SELECT word, count(*)::BIGINT AS cnt FROM wd GROUP BY word),
+t AS (SELECT sum(cnt)::DOUBLE AS total FROM c)
+SELECT word, cnt,
+       row_number() OVER (ORDER BY cnt DESC, word ASC)::BIGINT AS rank,
+       round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ASC) AS DOUBLE)
+             / (SELECT total FROM t), 6) AS cum_share
+FROM c"""
+
+
 # corpus-trained add-0.5-smoothed bigram LM, mean ln P(w2|w1) per doc
 # (0.5: exactly representable — keeps the float math engine-aligned)
 _LM_SCORE_SQL = f"""
@@ -1589,6 +1636,8 @@ def oracle_sql() -> dict[str, str]:
         # fixed-sweep k-core peeling: unrolled sweeps, all-integer
         "kcore_knn": _kcore_sql(),
         "lm_score": _LM_SCORE_SQL,
+        "importance_sample": _IMPORTANCE_SAMPLE_SQL,
+        "vocab_ranks": _VOCAB_RANKS_SQL,
         # md5-hash-chosen walks: unrolled steps, all-integer
         "random_walks_knn": _walks_sql(),
         "skipgram_pairs_knn": _skipgram_sql(),

@@ -285,3 +285,56 @@ def pack_sequences(
         .cast("long")
         .alias("offset_tokens"),
     )
+
+
+def importance_sample(
+    docs: DataFrame,
+    weight_col: str,
+    rate: float,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-weighted deterministic downsampling (the DSIR-style
+    importance-resampling step of a pretraining pipeline): each doc is
+    kept with probability p = min(1, rate * w / mean(w)), so the output
+    is ~rate of the corpus but biased toward high-weight (high-quality /
+    target-domain-scored) documents; a uniform weight degrades to plain
+    Bernoulli(rate) sampling.
+
+    Determinism + cross-engine exactness: the coin is the doc's md5
+    fraction u = h/2^32 (the repo's portable hash family), and mean(w)
+    enters as the exact INTEGER pair (sum_w, n) — integer sums are
+    aggregation-order-independent, so the acceptance expression
+    u < rate * w * n / sum_w is a pure per-row IEEE-double formula over
+    integers that Spark and DuckDB evaluate bit-identically. A
+    double-typed corpus MEAN would hang the boundary on float summation
+    order; this formulation has no such term (weights must be integer-
+    typed for that reason — token counts, char counts, rubric scores).
+
+    Scale shape: one integer aggregate broadcast as a 1-row table, one
+    linear filter pass; no shuffle of the corpus, no window, no UDF.
+    int64 headroom: sum_w overflows only past ~9e18 total weight
+    (10^12 docs x 10^4 chars = 10^16 — fine).
+
+    Returns (doc_id, w, p_keep) for the kept docs; p_keep rounded 6dp.
+    """
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    w = F.col(weight_col).cast("long")
+    keyed = docs.select(F.col(id_col).alias("doc_id"), w.alias("w")).where(
+        F.col("w").isNotNull() & (F.col("w") > 0)
+    )
+    totals = keyed.agg(
+        F.sum("w").alias("sum_w"), F.count(F.lit(1)).alias("n")
+    )
+    u = F.conv(
+        F.substring(_sample_key(F.col("doc_id"), seed), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    p = F.lit(rate) * F.col("w") * F.col("n") / F.col("sum_w")
+    return (
+        keyed.crossJoin(F.broadcast(totals))
+        .where(u < p)
+        .select(
+            "doc_id", "w", F.round(F.least(p, F.lit(1.0)), 6).alias("p_keep")
+        )
+    )

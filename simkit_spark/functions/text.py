@@ -405,3 +405,73 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("n_ip").cast("long").alias("n_ip"),
         F.col("n_phone").cast("long").alias("n_phone"),
     )
+
+
+def word_ranks(docs: DataFrame, text_col: str = "text", n_ranges: int | None = None) -> DataFrame:
+    """Global word-frequency ranking with a cumulative coverage share —
+    the vocabulary-sizing table of a tokenizer-induction pipeline: the
+    rank-R row's cum_share says what fraction of all token instances a
+    top-R vocabulary covers (read the curve to pick a vocab size or
+    an OOV budget).
+
+    Scale shape — a global DENSE ranking without a single-partition
+    window: the vocabulary-sized count table is range-partitioned on
+    (cnt DESC, word ASC), each range computes row_number and a running
+    sum LOCALLY (window partitioned by the range id, never by the whole
+    table), and the per-range (row-count, sum) pairs — one row per
+    partition, driver-sized by construction — become broadcast offsets
+    added back to the local values. Range partition i holds keys that
+    sort before partition i+1's, so prefix offsets are exact. Total
+    token count is an integer sum (order-independent, oracle-exact).
+
+    Returns (word, cnt, rank, cum_share) with cum_share rounded 6dp.
+    """
+    spark = docs.sparkSession
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    b = n_ranges or spark.sparkContext.defaultParallelism
+    ranged = counts.repartitionByRange(b, F.desc("cnt"), F.asc("word")).persist()
+    try:
+        per_part = (
+            ranged.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cnt").alias("s"))
+            .collect()
+        )
+        rows = sorted((r["pid"], r["n_rows"], r["s"]) for r in per_part)
+        total = sum(r[2] for r in rows)
+        off_r, off_s, offsets = 0, 0, []
+        for pid, n_rows, s in rows:
+            offsets.append((pid, off_r, off_s))
+            off_r += n_rows
+            off_s += s
+        odf = spark.createDataFrame(
+            offsets or [(0, 0, 0)], "pid int, off_r long, off_s long"
+        )
+        win = Window.partitionBy("pid").orderBy(F.desc("cnt"), F.asc("word"))
+        out = (
+            ranged.withColumn("pid", F.spark_partition_id())
+            .withColumn("rn", F.row_number().over(win))
+            .withColumn("csum", F.sum("cnt").over(win))
+            .join(F.broadcast(odf), "pid")
+            .select(
+                "word",
+                "cnt",
+                (F.col("rn") + F.col("off_r")).alias("rank"),
+                F.round(
+                    (F.col("csum") + F.col("off_s")).cast("double")
+                    / F.lit(float(total or 1)),
+                    6,
+                ).alias("cum_share"),
+            )
+        )
+        # materialize before unpersisting the range layout the plan
+        # depends on (callers hold an arbitrary lazy reference)
+        from ..util import materialize
+
+        return materialize(out)
+    finally:
+        ranged.unpersist()

@@ -386,3 +386,67 @@ def test_lm_score_partition_invariant_and_orders_fluency(spark):
     assert out["c0"] > out["odd"]
     b = {r["doc_id"]: r["lm_logprob"] for r in lm_score(docs.repartition(7)).collect()}
     assert out == b
+
+
+def test_importance_sample_matches_exact_rule(spark):
+    """Keep iff md5-fraction < rate*w*n/sum_w — replicated in python."""
+    import hashlib
+
+    from simkit_spark.functions.curation import importance_sample
+
+    rows = [(f"d{i}", (i * 7) % 50 + 1) for i in range(200)] + [("z", 0), ("nn", None)]
+    docs = spark.createDataFrame(rows, "doc_id string, n_chars long")
+    rate, seed = 0.3, 42
+    pos = [(d, w) for d, w in rows if w]
+    sum_w, n = sum(w for _, w in pos), len(pos)
+    want = {}
+    for d, w in pos:
+        u = int(hashlib.md5(f"{d}:{seed}".encode()).hexdigest()[:8], 16) / 2**32
+        p = rate * w * n / sum_w
+        if u < p:
+            want[d] = (w, round(min(p, 1.0), 6))
+    got = {
+        r["doc_id"]: (r["w"], r["p_keep"])
+        for r in importance_sample(docs, "n_chars", rate, seed=seed).collect()
+    }
+    assert got == want and 0 < len(got) < len(pos)
+
+
+def test_importance_sample_uniform_weights_and_bad_rate(spark):
+    import pytest
+
+    from simkit_spark.functions.curation import importance_sample
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", 10) for i in range(100)], "doc_id string, w long"
+    )
+    out = importance_sample(docs, "w", 1.0).collect()
+    # uniform weights at rate 1: p = 1 for every doc, all kept
+    assert len(out) == 100 and all(r["p_keep"] == 1.0 for r in out)
+    with pytest.raises(ValueError):
+        importance_sample(docs, "w", 0.0)
+
+
+def test_word_ranks_matches_counter(spark):
+    from collections import Counter
+
+    from simkit_spark.functions.text import word_ranks
+
+    texts = ["the cat sat", "the cat", "the", "", "  ", "dog the cat"]
+    docs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    c = Counter(w for t in texts for w in t.lower().split())
+    total = sum(c.values())
+    order = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum, want = 0, {}
+    for r, (w, cnt) in enumerate(order, 1):
+        cum += cnt
+        want[w] = (cnt, r, round(cum / total, 6))
+    for nr in (1, 3, 16):
+        got = {
+            r["word"]: (r["cnt"], r["rank"], r["cum_share"])
+            for r in word_ranks(docs, n_ranges=nr).collect()
+        }
+        assert got == want, nr
+    assert word_ranks(docs.where("text = 'nope'")).count() == 0
