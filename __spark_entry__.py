@@ -594,6 +594,15 @@ def _skipgram_knn(spark, sf_dir):
 
 
 # ---- non-SQL-expressible (rows-only driver check; numpy-verified in tests/)
+def _semantic_dedup(spark, sf_dir):
+    from simkit_spark.functions.semdedup import semantic_dedup
+
+    # SemDeDup: k-means-partitioned per-cluster exact cosine near-dup
+    # resolution — rows-only (seeded k-means is not SQL-expressible);
+    # exact python-replica parity + content hash in ROWSONLY_HASHES.json
+    return semantic_dedup(_emb(spark, sf_dir), tau=0.92, n_clusters=8)
+
+
 def _spectral_embedding(spark, sf_dir):
     from simkit_spark.operators.eigen import eigensolve_auto
     from simkit_spark.operators.graphs import mutual_knn_from_points, symmetrize
@@ -753,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_knn": _random_walks_knn,
         "skipgram_pairs_knn": _skipgram_knn,
         # non-SQL-expressible (rows-only):
+        "semantic_dedup": _semantic_dedup,
         "neardup_resolve": _neardup_resolve,
         "spectral_embedding": _spectral_embedding,
         "kmeans_clusters": _kmeans_clusters,

@@ -66,6 +66,10 @@ HEADLINE = [
     "kcore_knn",
     "lm_score",
     "random_walks_knn",
+    "skipgram_pairs_knn",
+    "importance_sample",
+    "vocab_ranks",
+    "semantic_dedup",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

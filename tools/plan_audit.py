@@ -77,6 +77,9 @@ AUDITED = {
     "vocab_ranks": "global dense rank WITHOUT a single-partition window: "
     "range-partition the vocab-sized count table, window per range id, add "
     "driver-sized per-range (rows, sum) offsets back as a broadcast join",
+    "semantic_dedup": "k-means quantizer makes near-dup resolution "
+    "embarrassingly parallel: one bounded numpy kernel per (cluster, salt) "
+    "task, oversized clusters md5-salted, clusters never talk to each other",
 }
 
 

@@ -41,6 +41,7 @@ ROWS_ONLY = [
     "lsh_topk",
     "pq_topk",
     "media_features",
+    "semantic_dedup",
 ]
 
 
