@@ -701,6 +701,69 @@ def _kg_triples(spark, sf_dir):
     return t.select("subj", "pred", "obj").distinct()
 
 
+_TPCH_NAMES = ["orders", "lineitem", "customer", "supplier", "part", "nation", "region"]
+
+
+def _kg_rel(spark, sf_dir):
+    """Direct-mapped relational KG (kg.relational_triples) — every
+    downstream kg_* query composes over this triple table."""
+    from simkit_spark.kg import relational_triples
+
+    return relational_triples(
+        {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in _TPCH_NAMES}
+    )
+
+
+def _kg_relational_triples(spark, sf_dir):
+    return _kg_rel(spark, sf_dir)
+
+
+def _kg_predicate_stats(spark, sf_dir):
+    from simkit_spark.kg import predicate_stats
+
+    return predicate_stats(_kg_rel(spark, sf_dir))
+
+
+def _kg_two_hop(spark, sf_dir):
+    # customer <-placed_by- order -contains-> part, top-100 path counts
+    # (total order: n_paths desc, subj, obj — LIMIT is tie-stable)
+    from simkit_spark.kg import meta_path_counts
+
+    mp = meta_path_counts(
+        _kg_rel(spark, sf_dir), [("placed_by", True), ("contains", False)]
+    )
+    return mp.orderBy(F.desc("n_paths"), F.asc("subj"), F.asc("obj")).limit(100)
+
+
+def _kg_khop(spark, sf_dir):
+    from simkit_spark.kg import khop_reachability
+
+    return khop_reachability(_kg_rel(spark, sf_dir), ["region:0"], k=3)
+
+
+def _kg_hubs(spark, sf_dir):
+    from simkit_spark.kg import top_hubs
+
+    return top_hubs(_kg_rel(spark, sf_dir), n=20)
+
+
+def _kg_cooccurrence(spark, sf_dir):
+    # co-contained parts with PMI; max_per_subject=1000 never triggers
+    # on this schema (orders hold <=7 parts) so the SQL oracle omits it
+    from simkit_spark.kg import cooccurrence_edges
+
+    return cooccurrence_edges(_kg_rel(spark, sf_dir), "contains", max_per_subject=1000)
+
+
+def _kg_negative_samples(spark, sf_dir):
+    from simkit_spark.kg import negative_samples
+
+    n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    return negative_samples(
+        _kg_rel(spark, sf_dir), "contains", "part", n_objects=n_parts, n_neg=2, seed=42
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pairwise_euclidean": _pairwise("euclidean"),
@@ -761,6 +824,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_ranks": _vocab_ranks,
         "random_walks_knn": _random_walks_knn,
         "skipgram_pairs_knn": _skipgram_knn,
+        "kg_relational_triples": _kg_relational_triples,
+        "kg_predicate_stats": _kg_predicate_stats,
+        "kg_two_hop": _kg_two_hop,
+        "kg_khop": _kg_khop,
+        "kg_hubs": _kg_hubs,
+        "kg_cooccurrence": _kg_cooccurrence,
+        "kg_negative_samples": _kg_negative_samples,
         # non-SQL-expressible (rows-only):
         "semantic_dedup": _semantic_dedup,
         "neardup_resolve": _neardup_resolve,
@@ -1586,6 +1656,124 @@ WHERE c.cn >= 2"""
 )
 
 
+# ---- relational->KG direct mapping (kg.relational_triples) + the KG
+# consumption operators over it. The triple CTE mirrors the Spark
+# branch-per-table union exactly (DISTINCT only on lineitem branches).
+_KG_T = """
+  SELECT concat_ws(':', 'order', o_orderkey) AS subj, 'placed_by' AS pred,
+         concat_ws(':', 'customer', o_custkey) AS obj FROM orders
+  UNION ALL
+  SELECT DISTINCT concat_ws(':', 'order', l_orderkey), 'contains',
+         concat_ws(':', 'part', l_partkey) FROM lineitem
+  UNION ALL
+  SELECT DISTINCT concat_ws(':', 'part', l_partkey), 'supplied_by',
+         concat_ws(':', 'supplier', l_suppkey) FROM lineitem
+  UNION ALL
+  SELECT concat_ws(':', 'customer', c_custkey), 'located_in',
+         concat_ws(':', 'nation', c_nationkey) FROM customer
+  UNION ALL
+  SELECT concat_ws(':', 'supplier', s_suppkey), 'located_in',
+         concat_ws(':', 'nation', s_nationkey) FROM supplier
+  UNION ALL
+  SELECT concat_ws(':', 'nation', n_nationkey), 'part_of',
+         concat_ws(':', 'region', n_regionkey) FROM nation
+  UNION ALL
+  SELECT concat_ws(':', 'customer', c_custkey), 'in_segment',
+         concat_ws(':', 'segment', c_mktsegment) FROM customer
+  UNION ALL
+  SELECT concat_ws(':', 'part', p_partkey), 'branded',
+         concat_ws(':', 'brand', p_brand) FROM part
+"""
+_KG_CTE = f"WITH triples AS ({_KG_T})"
+
+_KG_TRIPLES_SQL = _KG_CTE + "SELECT subj, pred, obj FROM triples"
+
+_KG_PRED_STATS_SQL = (
+    _KG_CTE
+    + """
+SELECT pred, count(*) AS n_triples,
+       count(DISTINCT subj) AS n_subj, count(DISTINCT obj) AS n_obj,
+       round(count(*)::DOUBLE / count(DISTINCT subj), 6) AS functionality,
+       round(count(*)::DOUBLE / count(DISTINCT obj), 6) AS inv_functionality
+FROM triples GROUP BY pred"""
+)
+
+# customer <-placed_by- order -contains-> part; LIMIT rides a total
+# order (n_paths desc, subj, obj) so the 100-cut is tie-stable
+_KG_TWO_HOP_SQL = (
+    _KG_CTE
+    + """,
+e1 AS (SELECT obj AS src, subj AS dst FROM triples WHERE pred = 'placed_by'),
+e2 AS (SELECT subj AS src, obj AS dst FROM triples WHERE pred = 'contains')
+SELECT e1.src AS subj, e2.dst AS obj, count(*) AS n_paths
+FROM e1 JOIN e2 ON e1.dst = e2.src
+GROUP BY 1, 2
+ORDER BY n_paths DESC, subj ASC, obj ASC
+LIMIT 100"""
+)
+
+# undirected min-hop BFS from region:0, bounded at 3 hops; the
+# recursive UNION dedups (entity, hop) pairs, min(hop) collapses
+# multi-path rows to the BFS distance the Spark loop assigns
+_KG_KHOP_SQL = f"""
+WITH RECURSIVE triples AS ({_KG_T}),
+edges AS (SELECT subj AS src, obj AS dst FROM triples
+          UNION SELECT obj, subj FROM triples),
+reach(entity, hop) AS (
+  SELECT 'region:0' AS entity, 0 AS hop
+  UNION
+  SELECT e.dst, r.hop + 1 FROM reach r JOIN edges e ON e.src = r.entity
+  WHERE r.hop < 3
+)
+SELECT entity, CAST(min(hop) AS INT) AS hop FROM reach GROUP BY entity"""
+
+_KG_HUBS_SQL = (
+    _KG_CTE
+    + """,
+ends AS (SELECT subj AS entity, 1 AS o, 0 AS i FROM triples
+         UNION ALL SELECT obj, 0, 1 FROM triples)
+SELECT entity, sum(o)::BIGINT AS out_deg, sum(i)::BIGINT AS in_deg,
+       (sum(o) + sum(i))::BIGINT AS degree
+FROM ends GROUP BY entity
+ORDER BY degree DESC, entity ASC
+LIMIT 20"""
+)
+
+# PMI arithmetic mirrors the Spark expression order exactly:
+# (n_cooccur * N_double) / (ca * cb), then ln, then 6dp
+_KG_COOC_SQL = (
+    _KG_CTE
+    + """,
+e AS (SELECT DISTINCT subj, obj FROM triples WHERE pred = 'contains'),
+n AS (SELECT count(DISTINCT subj)::DOUBLE AS ns FROM e),
+marg AS (SELECT obj, count(*) AS c FROM e GROUP BY obj),
+pairs AS (
+  SELECT a.obj AS a, b.obj AS b, count(*) AS n_cooccur
+  FROM e a JOIN e b ON a.subj = b.subj AND a.obj < b.obj
+  GROUP BY 1, 2)
+SELECT p.a, p.b, p.n_cooccur,
+       round(ln(p.n_cooccur * (SELECT ns FROM n) / (ma.c * mb.c)), 6) AS pmi
+FROM pairs p JOIN marg ma ON ma.obj = p.a JOIN marg mb ON mb.obj = p.b"""
+)
+
+# filtered TransE corruption: md5(subj:obj:j:seed) mod |parts| — the
+# portable hash family, so samples are engine-identical
+_KG_NEG_SQL = f"""
+WITH base AS (SELECT DISTINCT concat_ws(':', 'order', l_orderkey) AS subj,
+                     concat_ws(':', 'part', l_partkey) AS obj FROM lineitem),
+np AS (SELECT count(*) AS c FROM part),
+drawn AS (
+  SELECT subj, obj, CAST(j AS INT) AS j,
+         concat_ws(':', 'part',
+           {_MD5_LONG.format(arg="concat_ws(':', subj, obj, j, '42')")}
+             % (SELECT c FROM np)) AS obj_neg
+  FROM base CROSS JOIN (SELECT unnest([0, 1]) AS j)
+)
+SELECT d.subj, 'contains' AS pred, d.obj, d.j, d.obj_neg
+FROM drawn d LEFT JOIN base t ON d.subj = t.subj AND d.obj_neg = t.obj
+WHERE t.subj IS NULL"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pairwise_euclidean": _pairwise_sql("euclidean"),
@@ -1651,6 +1839,14 @@ def oracle_sql() -> dict[str, str]:
         # md5-hash-chosen walks: unrolled steps, all-integer
         "random_walks_knn": _walks_sql(),
         "skipgram_pairs_knn": _skipgram_sql(),
+        "kg_relational_triples": _KG_TRIPLES_SQL,
+        "kg_predicate_stats": _KG_PRED_STATS_SQL,
+        "kg_two_hop": _KG_TWO_HOP_SQL,
+        # bounded BFS verified via recursive CTE (min-hop closure)
+        "kg_khop": _KG_KHOP_SQL,
+        "kg_hubs": _KG_HUBS_SQL,
+        "kg_cooccurrence": _KG_COOC_SQL,
+        "kg_negative_samples": _KG_NEG_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

@@ -1,0 +1,363 @@
+"""Knowledge-graph construction from relational tables + KG consumption
+operators over a (subj, pred, obj) triple table.
+
+The north-rule pipeline (pipeline/) builds a KG from unstructured
+interleaved documents; this module covers the other half of real KG
+construction — the R2RML-style *direct mapping* of an existing
+relational star schema into the same triple model (W3C "A Direct
+Mapping of Relational Data to RDF") — plus the query operators a KG
+consumer runs against any triple table regardless of where it came
+from: predicate profiling, meta-path composition, k-hop reachability,
+hub detection, co-occurrence edge inference, and negative sampling for
+KG-embedding training (TransE-style corruption).
+
+Relationship to the reference: simkit stores its graphs as Neo4j
+nodes + typed `link` relationships (global/Neo4jGraphHandler.java:451,489)
+and its procedures consume node/edge lists (definition/EdgeList2.java:5-18).
+Our triple table (subj, pred, obj) is the same labeled-edge model with
+string IRIs; every operator here is a pure DataFrame plan over it.
+
+Scale notes (10^12-triple regime) are inline per operator. Every
+decision that must match the DuckDB oracles is md5-derived (the
+portable hash family from functions/dedup._md5_long), never
+xxhash64/rand().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .functions.dedup import _md5_long
+
+
+def _iri(kind: str, key: Column) -> Column:
+    """'customer:42'-style IRI. String IRIs (not numeric ids) keep the
+    triple table self-describing and joinable across entity types; the
+    downstream operators never parse them."""
+    return F.concat_ws(":", F.lit(kind), key.cast("string"))
+
+
+def relational_triples(tables: dict[str, DataFrame]) -> DataFrame:
+    """Direct-map the TPC-H-ish star schema into (subj, pred, obj).
+
+    Emitted predicates (entity→entity unless noted):
+
+      order      placed_by    customer
+      order      contains     part        (distinct over line numbers)
+      part       supplied_by  supplier    (distinct over lineitems)
+      customer   located_in   nation
+      supplier   located_in   nation
+      nation     part_of      region
+      customer   in_segment   segment:<mktsegment>   (literal-as-node)
+      part       branded      brand:<brand>          (literal-as-node)
+
+    Scale: each branch is a narrow projection of one source table —
+    no joins anywhere. Only the two lineitem-derived branches carry a
+    shuffle (the `.distinct()` that collapses per-line duplicates),
+    and both are keyed by columns the fact table would already be
+    bucketed on (orderkey / partkey), so AQE coalesces them cheaply.
+    The union is plan-level only; Spark scans each parquet source once
+    with column pruning (2-3 columns per branch out of 6-11).
+    """
+    o, li = tables["orders"], tables["lineitem"]
+    c, s = tables["customer"], tables["supplier"]
+    p, n = tables["part"], tables["nation"]
+
+    def t(subj: Column, pred: str, obj: Column) -> list[Column]:
+        return [subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj")]
+
+    branches = [
+        o.select(*t(_iri("order", F.col("o_orderkey")), "placed_by",
+                    _iri("customer", F.col("o_custkey")))),
+        li.select(*t(_iri("order", F.col("l_orderkey")), "contains",
+                     _iri("part", F.col("l_partkey")))).distinct(),
+        li.select(*t(_iri("part", F.col("l_partkey")), "supplied_by",
+                     _iri("supplier", F.col("l_suppkey")))).distinct(),
+        c.select(*t(_iri("customer", F.col("c_custkey")), "located_in",
+                    _iri("nation", F.col("c_nationkey")))),
+        s.select(*t(_iri("supplier", F.col("s_suppkey")), "located_in",
+                    _iri("nation", F.col("s_nationkey")))),
+        n.select(*t(_iri("nation", F.col("n_nationkey")), "part_of",
+                    _iri("region", F.col("n_regionkey")))),
+        c.select(*t(_iri("customer", F.col("c_custkey")), "in_segment",
+                    _iri("segment", F.col("c_mktsegment")))),
+        p.select(*t(_iri("part", F.col("p_partkey")), "branded",
+                    _iri("brand", F.col("p_brand")))),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def predicate_stats(triples: DataFrame) -> DataFrame:
+    """Per-predicate profile: triple count, distinct subjects/objects,
+    functionality (avg objects per subject) and inverse functionality —
+    the standard KG-quality numbers used to pick join directions and
+    spot modeling errors (a 'placed_by' with functionality >> 1 means
+    duplicate orders).
+
+    Scale: one groupBy(pred) with two count-distincts. Predicate
+    cardinality is tiny (tens), so the expand+partial-agg plan Spark
+    generates for multi-distinct reduces almost everything map-side;
+    no row explosion reaches the shuffle.
+    """
+    return (
+        triples.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct("subj").alias("n_subj"),
+            F.countDistinct("obj").alias("n_obj"),
+        )
+        .select(
+            "pred",
+            "n_triples",
+            "n_subj",
+            "n_obj",
+            F.round(F.col("n_triples") / F.col("n_subj"), 6).alias("functionality"),
+            F.round(F.col("n_triples") / F.col("n_obj"), 6).alias("inv_functionality"),
+        )
+    )
+
+
+def meta_path_counts(
+    triples: DataFrame, path: list[tuple[str, bool]]
+) -> DataFrame:
+    """Compose a meta-path (pred, reversed)* into (subj, obj, n_paths).
+
+    E.g. ``[("placed_by", True), ("contains", False)]`` walks
+    customer ←placed_by─ order ─contains→ part and counts the distinct
+    order-mediated paths per (customer, part) — edge inference by path
+    counting, the basic move of KG feature engineering.
+
+    Scale: each step is one equi-join on the shared intermediate
+    entity followed at the end by a single groupBy count. Hot
+    intermediates (a part in millions of orders) make the join skewed
+    — that is exactly the AQE skew-join case (session enables
+    adaptive); for known-pathological hubs compose with
+    operators.skew.salted_join instead. Intermediate columns are
+    pruned before each join so only (src, mid) pairs shuffle.
+    """
+    def step(pred: str, rev: bool) -> DataFrame:
+        e = triples.where(F.col("pred") == pred)
+        src, dst = ("obj", "subj") if rev else ("subj", "obj")
+        return e.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+
+    cur = step(*path[0])
+    for pred, rev in path[1:]:
+        nxt = step(pred, rev)
+        cur = (
+            cur.join(nxt, cur["dst"] == nxt["src"])
+            .select(cur["src"].alias("src"), nxt["dst"].alias("dst"))
+        )
+    return (
+        cur.groupBy(F.col("src").alias("subj"), F.col("dst").alias("obj"))
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
+def khop_reachability(
+    triples: DataFrame,
+    seeds: list[str],
+    k: int,
+    undirected: bool = True,
+) -> DataFrame:
+    """Min-hop BFS from ``seeds`` over the triple graph, bounded at k
+    hops. Returns (entity, hop) with hop = shortest distance (seeds at
+    hop 0). ``undirected`` follows edges both ways (the usual notion of
+    a KG neighborhood).
+
+    Scale: the classic Pregel-lite loop — k is small and fixed (2-4 in
+    practice), so this is k shuffle joins, not an unbounded iteration.
+    The deduplicated edge list is persisted once and reused by every
+    sweep; the frontier is anti-joined against the visited set so work
+    per sweep is proportional to the *new* frontier, and both sides of
+    every join are narrow (one or two string columns). For diameter-
+    scale traversals use operators.components (pointer doubling), not
+    this.
+    """
+    spark = triples.sparkSession
+    edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    if undirected:
+        edges = edges.unionByName(
+            triples.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+        )
+    edges = edges.distinct().persist()
+    try:
+        visited = spark.createDataFrame(
+            [(s, 0) for s in seeds], "entity string, hop int"
+        ).localCheckpoint()
+        frontier = visited
+        for i in range(1, k + 1):
+            nxt = (
+                frontier.join(edges, frontier["entity"] == edges["src"])
+                .select(F.col("dst").alias("entity"))
+                .distinct()
+                .join(visited.select("entity"), on="entity", how="left_anti")
+                .withColumn("hop", F.lit(i))
+            )
+            # localCheckpoint: the frontier feeds two consumers next
+            # sweep (join + anti-join); without a lineage break each
+            # sweep re-evaluates the whole prefix (the PageRank lesson,
+            # operators/pagerank.py).
+            nxt = nxt.localCheckpoint()
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        return visited
+    finally:
+        edges.unpersist()
+
+
+def top_hubs(triples: DataFrame, n: int = 20) -> DataFrame:
+    """Top-n entities by total degree (out + in), ties broken by
+    entity asc — the skew map: these are exactly the keys that need
+    salting/broadcast special-casing in downstream joins.
+
+    Scale: endpoint union → one groupBy → global top-n. The top-n is a
+    TakeOrderedAndProject (per-partition heaps + driver merge of n·P
+    rows), never a global sort.
+    """
+    ends = triples.select(
+        F.col("subj").alias("entity"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    ).unionByName(
+        triples.select(
+            F.col("obj").alias("entity"), F.lit(0).alias("o"), F.lit(1).alias("i")
+        )
+    )
+    deg = ends.groupBy("entity").agg(
+        F.sum("o").alias("out_deg"), F.sum("i").alias("in_deg")
+    )
+    return (
+        deg.withColumn("degree", F.col("out_deg") + F.col("in_deg"))
+        .orderBy(F.desc("degree"), F.asc("entity"))
+        .limit(n)
+    )
+
+
+def cooccurrence_edges(
+    triples: DataFrame,
+    pred: str,
+    max_per_subject: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Infer undirected 'related_to' edges between objects that share a
+    subject under ``pred`` (parts co-contained in an order, entities
+    co-mentioned in a document), scored by co-count and PMI
+    log(c_ab·N / (c_a·c_b)) with N = distinct subjects.
+
+    Returns (a, b, n_cooccur, pmi) with a < b.
+
+    Scale: the self-join per subject is quadratic in subject degree —
+    one hub subject with 10^5 objects would emit 5·10^9 pairs. The
+    ``max_per_subject`` guard drops over-degree subjects *before* the
+    join (degree via one groupBy, the same no-silent-quadratic contract
+    as dedup.candidate_pairs' max_bucket). Marginals c_a/c_b are a
+    second narrow aggregate broadcast back onto the pair stream.
+    """
+    e = triples.where(F.col("pred") == pred).select("subj", "obj").distinct()
+    deg = e.groupBy("subj").agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        e.join(F.broadcast(deg.where(F.col("d") > max_per_subject)), "subj", "left_anti")
+        if max_per_subject
+        else e
+    )
+    e = e.persist()
+    try:
+        n_subj = e.select("subj").distinct().count()
+        marg = e.groupBy("obj").agg(F.count(F.lit(1)).alias("c"))
+        a, b = e.alias("a"), e.alias("b")
+        pairs = (
+            a.join(b, "subj")
+            .where(F.col("a.obj") < F.col("b.obj"))
+            .groupBy(
+                F.col("a.obj").alias("a"), F.col("b.obj").alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_cooccur"))
+            .where(F.col("n_cooccur") >= min_count)
+        )
+        ma = marg.select(F.col("obj").alias("a"), F.col("c").alias("ca"))
+        mb = marg.select(F.col("obj").alias("b"), F.col("c").alias("cb"))
+        return (
+            pairs.join(F.broadcast(ma), "a")
+            .join(F.broadcast(mb), "b")
+            .select(
+                "a",
+                "b",
+                "n_cooccur",
+                F.round(
+                    F.log(
+                        F.col("n_cooccur") * F.lit(float(n_subj))
+                        / (F.col("ca") * F.col("cb"))
+                    ),
+                    6,
+                ).alias("pmi"),
+            )
+        )
+    finally:
+        e.unpersist()
+
+
+def negative_samples(
+    triples: DataFrame,
+    pred: str,
+    obj_kind: str,
+    n_objects: int,
+    n_neg: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """TransE-style corrupted triples for KG-embedding training: for
+    each (subj, pred, obj) emit ``n_neg`` (subj, pred, obj_neg) rows
+    with obj_neg drawn deterministically from the object key space
+    ``obj_kind:0..n_objects-1``, excluding corruptions that happen to
+    be true triples (the standard filtered-negative protocol).
+
+    Determinism: the draw is md5(subj:obj:j:seed) mod n_objects — the
+    portable hash family (dedup._md5_long), so a SQL oracle reproduces
+    the samples bit-identically and re-runs are stable at any
+    partitioning. Requires a contiguous 0-based object key space (true
+    for direct-mapped relational keys); for arbitrary pools rank the
+    pool first (the range-partitioned dense ranking in
+    functions.text.word_ranks scales that without a single-partition
+    window).
+
+    Scale: a per-row map (explode of a j-sequence) plus one left-anti
+    join against the true triple set on (subj, obj_neg) — both sides
+    hash-partition on the same key; no window, no driver state.
+    """
+    base = triples.where(F.col("pred") == pred).select("subj", "obj")
+    drawn = (
+        base.select(
+            "subj",
+            "obj",
+            F.explode(F.sequence(F.lit(0), F.lit(n_neg - 1))).alias("j"),
+        )
+        .withColumn(
+            "obj_neg",
+            _iri(
+                obj_kind,
+                F.pmod(
+                    _md5_long(
+                        F.concat_ws(
+                            ":", F.col("subj"), F.col("obj"), F.col("j"),
+                            F.lit(str(seed)),
+                        )
+                    ),
+                    F.lit(n_objects),
+                ),
+            ),
+        )
+    )
+    true_pairs = base.select(
+        F.col("subj").alias("t_subj"), F.col("obj").alias("t_obj")
+    ).distinct()
+    return (
+        drawn.join(
+            true_pairs,
+            (drawn["subj"] == true_pairs["t_subj"])
+            & (drawn["obj_neg"] == true_pairs["t_obj"]),
+            "left_anti",
+        )
+        .select("subj", F.lit(pred).alias("pred"), "obj", "j", "obj_neg")
+    )

@@ -1,0 +1,158 @@
+"""kg.py: relational->triple direct mapping and the KG consumption
+operators (predicate stats, meta-paths, k-hop BFS, hubs, co-occurrence
+PMI, filtered negative sampling) on hand-built tables with known
+answers."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from simkit_spark.kg import (
+    cooccurrence_edges,
+    khop_reachability,
+    meta_path_counts,
+    negative_samples,
+    predicate_stats,
+    relational_triples,
+    top_hubs,
+)
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    """2 regions, 2 nations, 2 customers, 2 suppliers, 3 parts,
+    3 orders, 5 lineitems — small enough to enumerate by hand."""
+    t = {
+        "region": spark.createDataFrame(
+            [(0, "AMERICA"), (1, "ASIA")], "r_regionkey int, r_name string"
+        ),
+        "nation": spark.createDataFrame(
+            [(0, "US", 0), (1, "JP", 1)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        ),
+        "customer": spark.createDataFrame(
+            [(0, "c0", 0, "BUILDING"), (1, "c1", 1, "AUTO")],
+            "c_custkey long, c_name string, c_nationkey int, c_mktsegment string",
+        ),
+        "supplier": spark.createDataFrame(
+            [(0, "s0", 0), (1, "s1", 1)],
+            "s_suppkey long, s_name string, s_nationkey int",
+        ),
+        "part": spark.createDataFrame(
+            [(0, "BrandA"), (1, "BrandA"), (2, "BrandB")],
+            "p_partkey long, p_brand string",
+        ),
+        "orders": spark.createDataFrame(
+            [(0, 0), (1, 0), (2, 1)], "o_orderkey long, o_custkey long"
+        ),
+        # order 0 holds parts {0,1} (part 0 twice -> distinct collapses),
+        # order 1 holds {0,2}, order 2 holds {1}
+        "lineitem": spark.createDataFrame(
+            [(0, 0, 0), (0, 0, 1), (0, 1, 0), (1, 0, 1), (1, 2, 0), (2, 1, 1)],
+            "l_orderkey long, l_partkey long, l_suppkey long",
+        ),
+    }
+    return relational_triples(t).localCheckpoint()
+
+
+def test_triple_counts_per_predicate(kg):
+    by_pred = {r["pred"]: r["cnt"] for r in kg.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by_pred == {
+        "placed_by": 3,
+        "contains": 5,      # (0,0),(0,1),(1,0),(1,2),(2,1)
+        "supplied_by": 5,   # part0:{s0,s1}, part1:{s0,s1}, part2:{s0}
+        "located_in": 4,    # 2 customers + 2 suppliers
+        "part_of": 2,
+        "in_segment": 2,
+        "branded": 3,
+    }
+
+
+def test_predicate_stats_functionality(kg):
+    stats = {r["pred"]: r for r in predicate_stats(kg).collect()}
+    c = stats["contains"]
+    assert (c["n_triples"], c["n_subj"], c["n_obj"]) == (5, 3, 3)
+    assert c["functionality"] == round(5 / 3, 6)
+    assert stats["placed_by"]["functionality"] == 1.0
+
+
+def test_meta_path_customer_to_part(kg):
+    got = {
+        (r["subj"], r["obj"]): r["n_paths"]
+        for r in meta_path_counts(
+            kg, [("placed_by", True), ("contains", False)]
+        ).collect()
+    }
+    # customer:0 placed orders 0,1 -> parts {0,1} + {0,2}; part 0 via 2 paths
+    assert got == {
+        ("customer:0", "part:0"): 2,
+        ("customer:0", "part:1"): 1,
+        ("customer:0", "part:2"): 1,
+        ("customer:1", "part:1"): 1,
+    }
+
+
+def test_khop_min_hops(kg):
+    got = {
+        r["entity"]: r["hop"]
+        for r in khop_reachability(kg, ["region:0"], k=2).collect()
+    }
+    assert got["region:0"] == 0
+    assert got["nation:0"] == 1
+    # customer:0 and supplier:0 sit in nation:0
+    assert got["customer:0"] == 2 and got["supplier:0"] == 2
+    assert "order:0" not in got  # hop 3, beyond k=2
+
+
+def test_khop_directed_respects_orientation(kg):
+    # directed: nothing points OUT of region:0 (part_of ends there)
+    got = khop_reachability(kg, ["region:0"], k=3, undirected=False).collect()
+    assert {r["entity"] for r in got} == {"region:0"}
+
+
+def test_top_hubs_degree_and_tiebreak(kg):
+    rows = top_hubs(kg, n=3).collect()
+    # parts 0 and 1 tie at degree 5 -> entity-asc tiebreak orders them
+    assert [r["entity"] for r in rows] == ["part:0", "part:1", "customer:0"]
+    top = rows[0]
+    # part:0: subj of supplied_by x2 + branded x1; obj of contains x2
+    assert (top["out_deg"], top["in_deg"], top["degree"]) == (3, 2, 5)
+
+
+def test_cooccurrence_pmi_exact(kg):
+    got = {
+        (r["a"], r["b"]): r for r in cooccurrence_edges(kg, "contains").collect()
+    }
+    # pairs: order0 -> (p0,p1); order1 -> (p0,p2); order2 none
+    assert set(got) == {("part:0", "part:1"), ("part:0", "part:2")}
+    r = got[("part:0", "part:1")]
+    assert r["n_cooccur"] == 1
+    # N=3 subjects, c(p0)=2, c(p1)=2 -> pmi = ln(1*3/(2*2))
+    assert r["pmi"] == round(math.log(1 * 3.0 / 4), 6)
+
+
+def test_cooccurrence_degree_cap_drops_hub_subject(kg):
+    # cap=1: order 0 (2 parts) and order 1 (2 parts) are dropped,
+    # leaving no subject with >=2 objects -> no pairs at all
+    assert cooccurrence_edges(kg, "contains", max_per_subject=1).count() == 0
+
+
+def test_negative_samples_filtered_and_deterministic(kg):
+    a = negative_samples(kg, "contains", "part", n_objects=3, n_neg=2, seed=42)
+    rows = a.collect()
+    # never a true (subj, obj_neg) pair
+    true = {(r["subj"], r["obj"]) for r in kg.where(
+        F.col("pred") == "contains").select("subj", "obj").collect()}
+    assert all((r["subj"], r["obj_neg"]) not in true for r in rows)
+    assert all(r["obj_neg"].startswith("part:") for r in rows)
+    # per-(triple, j) the draw is a pure hash: re-run is identical
+    b = negative_samples(kg, "contains", "part", n_objects=3, n_neg=2, seed=42)
+    key = lambda r: (r["subj"], r["obj"], r["j"], r["obj_neg"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, b.collect()))
+    # different seed draws a different sample set
+    c = negative_samples(kg, "contains", "part", n_objects=3, n_neg=2, seed=7)
+    assert sorted(map(key, c.collect())) != sorted(map(key, rows))
