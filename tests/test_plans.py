@@ -128,3 +128,37 @@ def test_round3_plans(spark):
 
     plan = _plan(e.queries()["corpus_shuffle"](spark, SF))
     assert "hashpartitioning(shard" in plan
+
+
+def test_kg_plans(spark):
+    """kg_relational_triples: branch projections prune the fact-table
+    scan to the 2-3 mapped keys (no wide columns reach any branch);
+    kg_two_hop / kg_hubs: the top-n is a distributed
+    TakeOrderedAndProject, never a global sort into one task;
+    kg_cooccurrence: the self-join is an equi-join on subj and the
+    marginals come back as broadcasts — no nested-loop anywhere;
+    kg_negative_samples: pure explode + hash joins, no Window."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["kg_relational_triples"](spark, SF))
+    # pruning is a physical-plan property: check the FileScan ReadSchema
+    # lines (the logical Relation lines always list every column)
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans and all(
+        "l_extendedprice" not in l and "o_totalprice" not in l for l in scans
+    )
+    assert "CartesianProduct" not in plan
+
+    for name in ("kg_two_hop", "kg_hubs"):
+        plan = _plan(e.queries()[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    plan = _plan(e.queries()["kg_cooccurrence"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(e.queries()["kg_negative_samples"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

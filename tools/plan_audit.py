@@ -80,6 +80,19 @@ AUDITED = {
     "semantic_dedup": "k-means quantizer makes near-dup resolution "
     "embarrassingly parallel: one bounded numpy kernel per (cluster, salt) "
     "task, oversized clusters md5-salted, clusters never talk to each other",
+    "kg_relational_triples": "branch-per-table union, no joins; every "
+    "FileScan ReadSchema is pruned to the 2-3 mapped key columns; the only "
+    "shuffles are the two lineitem-branch DISTINCTs",
+    "kg_two_hop": "one equi-join per meta-path step on the intermediate "
+    "entity + a terminal path-count hash agg; top-100 is a distributed "
+    "TakeOrderedAndProject over a total order (tie-stable LIMIT)",
+    "kg_hubs": "endpoint union -> one hash agg -> TakeOrderedAndProject; "
+    "degree never sorts globally",
+    "kg_cooccurrence": "subject self-join is a plain equi-join with the "
+    "over-degree subjects anti-joined away BEFORE the quadratic step; "
+    "marginals and the degree blacklist return as broadcasts",
+    "kg_negative_samples": "sequence-explode + md5 draw per row, one "
+    "hash anti-join against the true triple set; no Window, no driver state",
 }
 
 
