@@ -70,6 +70,10 @@ HEADLINE = [
     "importance_sample",
     "vocab_ranks",
     "semantic_dedup",
+    "kg_two_hop",
+    "kg_cooccurrence",
+    "kg_khop",
+    "kg_negative_samples",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

@@ -161,6 +161,7 @@ def khop_reachability(
     seeds: list[str],
     k: int,
     undirected: bool = True,
+    dedup_edges: bool = False,
 ) -> DataFrame:
     """Min-hop BFS from ``seeds`` over the triple graph, bounded at k
     hops. Returns (entity, hop) with hop = shortest distance (seeds at
@@ -169,43 +170,63 @@ def khop_reachability(
 
     Scale: the classic Pregel-lite loop — k is small and fixed (2-4 in
     practice), so this is k shuffle joins, not an unbounded iteration.
-    The deduplicated edge list is persisted once and reused by every
-    sweep; the frontier is anti-joined against the visited set so work
-    per sweep is proportional to the *new* frontier, and both sides of
-    every join are narrow (one or two string columns). For diameter-
-    scale traversals use operators.components (pointer doubling), not
-    this.
+    The edge list is shuffled into a fixed ``src`` partitioning ONCE
+    and persisted (the walks.py/pagerank.py layout), so each sweep
+    shuffles only the frontier into it; the frontier is anti-joined
+    against the union of prior frontiers (each a small checkpointed
+    table — the cumulative visited set is never re-materialized per
+    sweep) so work per sweep is proportional to the *new* frontier.
+    A global edge ``distinct`` is NOT needed for correctness (the
+    per-sweep frontier distinct absorbs multiplicity) and is the
+    single most expensive shuffle of the whole traversal, so it is
+    opt-in: set ``dedup_edges=True`` only when many subject-object
+    pairs repeat across predicates (parallel edges inflate the join
+    fan-out each sweep). For diameter-scale traversals use
+    operators.components (pointer doubling), not this.
     """
     spark = triples.sparkSession
-    edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
     if undirected:
-        edges = edges.unionByName(
-            triples.select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+        # both orientations from ONE pass over the triple subtree — a
+        # union of triples + triples.reversed would instantiate the
+        # (possibly expensive) upstream plan twice
+        both = F.explode(
+            F.array(
+                F.struct(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+                F.struct(F.col("obj").alias("src"), F.col("subj").alias("dst")),
+            )
         )
-    edges = edges.distinct().persist()
+        edges = triples.select(both.alias("e")).select("e.src", "e.dst")
+    else:
+        edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    if dedup_edges:
+        edges = edges.distinct()
+    edges = edges.repartition("src").persist()
     try:
-        visited = spark.createDataFrame(
+        frontier = spark.createDataFrame(
             [(s, 0) for s in seeds], "entity string, hop int"
         ).localCheckpoint()
-        frontier = visited
+        layers = [frontier]
         for i in range(1, k + 1):
             nxt = (
                 frontier.join(edges, frontier["entity"] == edges["src"])
                 .select(F.col("dst").alias("entity"))
                 .distinct()
-                .join(visited.select("entity"), on="entity", how="left_anti")
-                .withColumn("hop", F.lit(i))
             )
-            # localCheckpoint: the frontier feeds two consumers next
-            # sweep (join + anti-join); without a lineage break each
-            # sweep re-evaluates the whole prefix (the PageRank lesson,
-            # operators/pagerank.py).
-            nxt = nxt.localCheckpoint()
+            for prev in layers:
+                nxt = nxt.join(prev.select("entity"), on="entity", how="left_anti")
+            # localCheckpoint: the frontier feeds k-i+1 consumers in
+            # later sweeps (join + anti-joins); without a lineage break
+            # each sweep re-evaluates the whole prefix (the PageRank
+            # lesson, operators/pagerank.py).
+            nxt = nxt.withColumn("hop", F.lit(i)).localCheckpoint()
             if nxt.isEmpty():
                 break
-            visited = visited.unionByName(nxt).localCheckpoint()
+            layers.append(nxt)
             frontier = nxt
-        return visited
+        out = layers[0]
+        for layer in layers[1:]:
+            out = out.unionByName(layer)
+        return out
     finally:
         edges.unpersist()
 
