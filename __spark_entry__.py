@@ -764,6 +764,30 @@ def _kg_negative_samples(spark, sf_dir):
     )
 
 
+def _kg_bgp(spark, sf_dir):
+    # 5-template basic graph pattern: customers in region:0's nations,
+    # their orders, the parts those orders contain, and each part's
+    # brand — one binding row per (c, n, o, p, b)
+    from simkit_spark.kg import bgp_match
+
+    return bgp_match(
+        _kg_rel(spark, sf_dir),
+        [
+            ("?c", "located_in", "?n"),
+            ("?n", "part_of", "region:0"),
+            ("?o", "placed_by", "?c"),
+            ("?o", "contains", "?p"),
+            ("?p", "branded", "?b"),
+        ],
+    )
+
+
+def _kg_entity_cards(spark, sf_dir):
+    from simkit_spark.kg import entity_cards
+
+    return entity_cards(_kg_rel(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pairwise_euclidean": _pairwise("euclidean"),
@@ -831,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hubs": _kg_hubs,
         "kg_cooccurrence": _kg_cooccurrence,
         "kg_negative_samples": _kg_negative_samples,
+        "kg_bgp": _kg_bgp,
+        "kg_entity_cards": _kg_entity_cards,
         # non-SQL-expressible (rows-only):
         "semantic_dedup": _semantic_dedup,
         "neardup_resolve": _neardup_resolve,
@@ -1774,6 +1800,39 @@ FROM drawn d LEFT JOIN base t ON d.subj = t.subj AND d.obj_neg = t.obj
 WHERE t.subj IS NULL"""
 
 
+# SPARQL-style BGP: each template is a constant-filtered projection,
+# folded into USING-joins on the shared variables — the SQL twin makes
+# the join graph explicit
+_KG_BGP_SQL = (
+    _KG_CTE
+    + """,
+t1 AS (SELECT subj AS c, obj AS n FROM triples WHERE pred = 'located_in'),
+t2 AS (SELECT subj AS n FROM triples WHERE pred = 'part_of' AND obj = 'region:0'),
+t3 AS (SELECT subj AS o, obj AS c FROM triples WHERE pred = 'placed_by'),
+t4 AS (SELECT subj AS o, obj AS p FROM triples WHERE pred = 'contains'),
+t5 AS (SELECT subj AS p, obj AS b FROM triples WHERE pred = 'branded')
+SELECT t1.c, t1.n, t3.o, t4.p, t5.b
+FROM t1 JOIN t2 USING (n) JOIN t3 USING (c) JOIN t4 USING (o) JOIN t5 USING (p)"""
+)
+
+# deterministic KG→text verbalization: facts sorted lexicographically
+# (ASCII corpus, binary collation in both engines)
+_KG_CARDS_SQL = (
+    _KG_CTE
+    + """,
+rows AS (
+  SELECT subj AS entity, concat_ws(' ', pred, obj) AS fact FROM triples
+  UNION ALL
+  SELECT obj, concat_ws(' ', '^' || pred, subj) FROM triples),
+deg AS (SELECT entity, count(*) AS d FROM rows GROUP BY entity),
+keep AS (SELECT r.entity, r.fact FROM rows r JOIN deg USING (entity)
+         WHERE deg.d <= 10000)
+SELECT entity, count(*) AS n_facts,
+       concat_ws(' | ', entity, string_agg(fact, '; ' ORDER BY fact)) AS card
+FROM keep GROUP BY entity"""
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pairwise_euclidean": _pairwise_sql("euclidean"),
@@ -1847,6 +1906,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_hubs": _KG_HUBS_SQL,
         "kg_cooccurrence": _KG_COOC_SQL,
         "kg_negative_samples": _KG_NEG_SQL,
+        "kg_bgp": _KG_BGP_SQL,
+        "kg_entity_cards": _KG_CARDS_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

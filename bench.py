@@ -74,6 +74,8 @@ HEADLINE = [
     "kg_cooccurrence",
     "kg_khop",
     "kg_negative_samples",
+    "kg_bgp",
+    "kg_entity_cards",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

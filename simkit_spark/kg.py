@@ -320,6 +320,132 @@ def cooccurrence_edges(
         e.unpersist()
 
 
+def bgp_match(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """SPARQL-style basic-graph-pattern matching: each pattern is a
+    (subj, pred, obj) template whose ``?name`` terms are variables and
+    whose other terms are constants; the result has one column per
+    variable, one row per binding that satisfies every pattern
+    simultaneously.
+
+    E.g. customers in region:0 and the brands they bought::
+
+        bgp_match(t, [("?c", "located_in", "?n"),
+                      ("?n", "part_of", "region:0"),
+                      ("?o", "placed_by", "?c"),
+                      ("?o", "contains", "?p"),
+                      ("?p", "branded", "?b")])
+
+    Scale: each template compiles to a constant-filtered projection of
+    the triple table (predicate constants prune the union branches all
+    the way into the parquet scans), and templates fold left into
+    equi-joins on their shared variables — exactly the shape Catalyst
+    + AQE optimize (broadcast for selective templates, skew-split for
+    hot join keys). Order templates selective-first; a template sharing
+    NO variable with the accumulated prefix is a cartesian product and
+    raises unless ``allow_cartesian`` (the SPARQL cross-join footgun
+    made explicit).
+    """
+    def compile_one(p: tuple[str, str, str]) -> DataFrame:
+        df = triples
+        cols: dict[str, Column] = {}
+        for pos, term in zip(("subj", "pred", "obj"), p):
+            if term.startswith("?"):
+                var = term[1:]
+                if var in cols:  # repeated var inside one template
+                    df = df.where(F.col(pos) == cols[var])
+                else:
+                    cols[var] = F.col(pos)
+            else:
+                df = df.where(F.col(pos) == term)
+        return df.select(*[c.alias(v) for v, c in cols.items()])
+
+    out = compile_one(patterns[0])
+    for p in patterns[1:]:
+        nxt = compile_one(p)
+        shared = sorted(set(out.columns) & set(nxt.columns))
+        if not shared and not allow_cartesian:
+            raise ValueError(
+                f"pattern {p} shares no variable with the prefix "
+                f"{sorted(out.columns)}; pass allow_cartesian=True if the "
+                "cross product is intended"
+            )
+        out = out.join(nxt, on=shared) if shared else out.crossJoin(nxt)
+    return out
+
+
+def entity_cards(
+    triples: DataFrame,
+    max_degree: int = 10_000,
+    include_reverse: bool = True,
+) -> DataFrame:
+    """Verbalize each entity's neighborhood into one deterministic text
+    line — the KG→text bridge for LM pretraining corpora (and for
+    embedding models that encode entities from natural-language cards).
+
+    Returns (entity, n_facts, card) where card =
+    ``entity | fact; fact; ...`` with facts ``pred obj`` (outgoing) and
+    ``^pred subj`` (incoming, when ``include_reverse``), sorted
+    lexicographically so the serialization is partition- and
+    engine-independent.
+
+    Scale: one explode pass emits (entity, fact) rows for both
+    orientations (no double subtree), one groupBy collects per-entity
+    facts. collect_list on a hub entity (a segment node with 10^9
+    members) is the OOM path, so over-degree entities are dropped
+    BEFORE the collect via a degree pre-aggregate — same
+    no-silent-quadratic contract as cooccurrence_edges; lower
+    ``max_degree`` to match executor memory at scale.
+    """
+    both = [
+        F.struct(
+            F.col("subj").alias("entity"),
+            F.concat_ws(" ", F.col("pred"), F.col("obj")).alias("fact"),
+        )
+    ]
+    if include_reverse:
+        both.append(
+            F.struct(
+                F.col("obj").alias("entity"),
+                F.concat_ws(" ", F.concat(F.lit("^"), F.col("pred")),
+                            F.col("subj")).alias("fact"),
+            )
+        )
+    rows = triples.select(F.explode(F.array(*both)).alias("e")).select(
+        "e.entity", "e.fact"
+    )
+    # degree from an ids-only projection: the pre-aggregate must not pay
+    # for fact-string construction (that subtree is evaluated separately
+    # from `rows`); the over-cap set is tiny by definition -> broadcast
+    # anti-join, so `rows` itself never shuffles for the guard
+    ends = F.array(F.col("subj"), F.col("obj")) if include_reverse else F.array(
+        F.col("subj")
+    )
+    deg = (
+        triples.select(F.explode(ends).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    rows = rows.join(
+        F.broadcast(deg.where(F.col("d") > max_degree)), "entity", "left_anti"
+    )
+    return (
+        rows.groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            F.concat_ws("; ", F.sort_array(F.collect_list("fact"))).alias("facts"),
+        )
+        .select(
+            "entity",
+            "n_facts",
+            F.concat_ws(" | ", F.col("entity"), F.col("facts")).alias("card"),
+        )
+    )
+
+
 def negative_samples(
     triples: DataFrame,
     pred: str,

@@ -156,3 +156,83 @@ def test_negative_samples_filtered_and_deterministic(kg):
     # different seed draws a different sample set
     c = negative_samples(kg, "contains", "part", n_objects=3, n_neg=2, seed=7)
     assert sorted(map(key, c.collect())) != sorted(map(key, rows))
+
+
+def test_bgp_match_bindings(kg):
+    from simkit_spark.kg import bgp_match
+
+    # orders by customers in region:0, and the parts they contain
+    got = {
+        (r["c"], r["o"], r["p"])
+        for r in bgp_match(
+            kg,
+            [
+                ("?c", "located_in", "?n"),
+                ("?n", "part_of", "region:0"),
+                ("?o", "placed_by", "?c"),
+                ("?o", "contains", "?p"),
+            ],
+        ).collect()
+    }
+    # customer:0 is in nation:0/region:0; orders 0 (parts 0,1) and 1 (0,2)
+    assert got == {
+        ("customer:0", "order:0", "part:0"),
+        ("customer:0", "order:0", "part:1"),
+        ("customer:0", "order:1", "part:0"),
+        ("customer:0", "order:1", "part:2"),
+    }
+
+
+def test_bgp_repeated_variable_in_one_template(spark):
+    from simkit_spark.kg import bgp_match
+
+    tri = spark.createDataFrame(
+        [("a", "self", "a"), ("a", "self", "b")],
+        "subj string, pred string, obj string",
+    )
+    rows = bgp_match(tri, [("?x", "self", "?x")]).collect()
+    assert [r["x"] for r in rows] == ["a"]
+
+
+def test_bgp_disconnected_raises(kg):
+    from simkit_spark.kg import bgp_match
+
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_match(kg, [("?a", "part_of", "?b"), ("?c", "branded", "?d")])
+
+
+def test_bgp_variable_predicate(kg):
+    from simkit_spark.kg import bgp_match
+
+    got = {
+        (r["p"], r["x"])
+        for r in bgp_match(kg, [("customer:1", "?p", "?x")]).collect()
+    }
+    assert got == {("located_in", "nation:1"), ("in_segment", "segment:AUTO")}
+
+
+def test_entity_cards_exact_serialization(kg):
+    from simkit_spark.kg import entity_cards
+
+    cards = {r["entity"]: r for r in entity_cards(kg).collect()}
+    n1 = cards["nation:1"]
+    # nation:1: outgoing part_of region:1; incoming located_in from
+    # customer:1 and supplier:1 — facts sorted lexicographically
+    assert n1["n_facts"] == 3
+    assert n1["card"] == (
+        "nation:1 | ^located_in customer:1; ^located_in supplier:1; "
+        "part_of region:1"
+    )
+    fwd = {r["entity"]: r for r in entity_cards(kg, include_reverse=False).collect()}
+    assert fwd["nation:1"]["card"] == "nation:1 | part_of region:1"
+    assert "nation:1" not in {None} and fwd["nation:1"]["n_facts"] == 1
+
+
+def test_entity_cards_degree_cap_drops_hub(kg):
+    from simkit_spark.kg import entity_cards
+
+    capped = entity_cards(kg, max_degree=4)
+    # part:0 and part:1 have degree 5 -> dropped; nation:1 (deg 3) kept
+    ents = {r["entity"] for r in capped.collect()}
+    assert "part:0" not in ents and "part:1" not in ents
+    assert "nation:1" in ents
