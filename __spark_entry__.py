@@ -453,6 +453,20 @@ def _communities_knn(spark, sf_dir):
     return label_propagation(edges, n_iter=LPA_ITER)
 
 
+def _modularity_knn(spark, sf_dir):
+    # partition quality of the LPA communities on the kNN graph —
+    # per-community rows so every value is integer-derived (exact)
+    from simkit_spark.operators.graphs import knn_graph_from_points
+    from simkit_spark.operators.labelprop import (
+        community_modularity,
+        label_propagation,
+    )
+
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
+    labels = label_propagation(edges, n_iter=LPA_ITER)
+    return community_modularity(edges, labels)
+
+
 def _embedding_stats(spark, sf_dir):
     from simkit_spark.functions.similarity import embedding_stats
 
@@ -838,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": _embedding_stats,
         "triangles_knn": _triangles_knn,
         "communities_knn": _communities_knn,
+        "modularity_knn": _modularity_knn,
         "token_quantiles": _token_quantiles,
         "events_asof": _events_asof,
         "events_rollup": _events_rollup,
@@ -1209,6 +1224,31 @@ l{i} AS MATERIALIZED (SELECT n.id, coalesce(w.label, prev.label) AS label
         )
     parts.append(f"\nSELECT id, label AS community FROM l{n_iter}")
     return "".join(parts)
+
+
+def _modularity_sql(n_iter: int = LPA_ITER) -> str:
+    """Per-community Newman modularity over the LPA labels: reuses the
+    unrolled _lpa_sql sweeps (drop its final SELECT) and adds the
+    integer aggregates; q_c mirrors the Spark expression order exactly
+    (coalesce(ic,0)/m − (deg/(2m))·(deg/(2m)), then 6dp)."""
+    head, _ = _lpa_sql(n_iter).rsplit("\nSELECT", 1)
+    return (
+        head
+        + f""",
+lab AS (SELECT id, label AS community FROM l{n_iter}),
+mm AS (SELECT count(*)::DOUBLE AS md FROM ue),
+inner_e AS (SELECT la.community, count(*) AS ic
+  FROM ue JOIN lab la ON la.id = ue.u JOIN lab lo ON lo.id = ue.v
+  WHERE la.community = lo.community GROUP BY la.community),
+degs AS (SELECT a AS id, count(*) AS d FROM e GROUP BY a),
+pc AS (SELECT la.community, count(*) AS n_nodes, sum(d)::BIGINT AS deg_sum
+  FROM degs JOIN lab la USING (id) GROUP BY la.community)
+SELECT pc.community, pc.n_nodes, coalesce(ic, 0) AS inner_edges, pc.deg_sum,
+  round(coalesce(ic, 0) / (SELECT md FROM mm)
+        - (pc.deg_sum / (2 * (SELECT md FROM mm)))
+        * (pc.deg_sum / (2 * (SELECT md FROM mm))), 6) AS q_c
+FROM pc LEFT JOIN inner_e USING (community)"""
+    )
 
 
 def _kcore_sql(k: int = KCORE_K, n_iter: int = KCORE_ITER) -> str:
@@ -1886,6 +1926,9 @@ def oracle_sql() -> dict[str, str]:
         "triangles_knn": _TRIANGLES_SQL,
         # synchronous LPA: unrolled sweeps, all-integer — exact parity
         "communities_knn": _lpa_sql(),
+        # modularity of those communities: same unrolled sweeps + exact
+        # integer-derived per-community formula
+        "modularity_knn": _modularity_sql(),
         "token_quantiles": _TOKEN_QUANTILES_SQL,
         "events_asof": _ASOF_SQL,
         "events_rollup": _ROLLUP_SQL,

@@ -40,3 +40,24 @@ def test_partition_invariant(spark):
     a = sorted(map(tuple, label_propagation(df, 4).collect()))
     b = sorted(map(tuple, label_propagation(df.repartition(9), 4).collect()))
     assert a == b
+
+
+def test_modularity_two_triangles_exact(spark):
+    """Two triangles joined by one bridge, labeled by triangle:
+    q_c = 3/7 - (7/14)^2 for each side (Newman & Girvan closed form);
+    the single-community partition must score exactly 0."""
+    from simkit_spark.operators.labelprop import community_modularity
+
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    edges = spark.createDataFrame(tri, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, community long"
+    )
+    rows = {r["community"]: r for r in community_modularity(edges, labels).collect()}
+    for c in (0, 1):
+        assert (rows[c]["n_nodes"], rows[c]["inner_edges"], rows[c]["deg_sum"]) == (3, 3, 7)
+        assert rows[c]["q_c"] == round(3 / 7 - (7 / 14) ** 2, 6)
+
+    one = spark.createDataFrame([(i, 9) for i in range(6)], "id long, community long")
+    q = community_modularity(edges, one).collect()
+    assert len(q) == 1 and q[0]["q_c"] == 0.0 and q[0]["inner_edges"] == 7
