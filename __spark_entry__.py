@@ -453,6 +453,23 @@ def _communities_knn(spark, sf_dir):
     return label_propagation(edges, n_iter=LPA_ITER)
 
 
+SSSP_K = 6
+
+
+def _sssp_knn(spark, sf_dir):
+    # weighted shortest distances from node 0 over the directed kNN
+    # graph (euclidean weights rounded 6dp -> engine-identical inputs),
+    # bounded at SSSP_K Bellman-Ford sweeps
+    from simkit_spark.operators.kernels import pairwise_topk
+    from simkit_spark.operators.sssp import bounded_sssp
+
+    e = pairwise_topk(_emb(spark, sf_dir), KNN_K).select(
+        "src", "dst", F.round("dist", 6).alias("weight")
+    )
+    d = bounded_sssp(e, [0], k=SSSP_K)
+    return d.select("id", F.round("dist", 6).alias("dist"))
+
+
 def _modularity_knn(spark, sf_dir):
     # partition quality of the LPA communities on the kNN graph —
     # per-community rows so every value is integer-derived (exact)
@@ -853,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_knn": _triangles_knn,
         "communities_knn": _communities_knn,
         "modularity_knn": _modularity_knn,
+        "sssp_knn": _sssp_knn,
         "token_quantiles": _token_quantiles,
         "events_asof": _events_asof,
         "events_rollup": _events_rollup,
@@ -1249,6 +1267,32 @@ SELECT pc.community, pc.n_nodes, coalesce(ic, 0) AS inner_edges, pc.deg_sum,
         * (pc.deg_sum / (2 * (SELECT md FROM mm))), 6) AS q_c
 FROM pc LEFT JOIN inner_e USING (community)"""
     )
+
+
+def _sssp_sql(k: int = SSSP_K) -> str:
+    """Bounded Bellman-Ford as unrolled sweeps (same MATERIALIZED
+    rationale as _pagerank_sql). Exact parity: weights enter at 6dp,
+    every relaxed candidate rounds to 12dp, and min() is
+    order-independent — no float-sum-order hazard anywhere."""
+    head = (
+        _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        + f""",
+rk AS (SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+e AS MATERIALIZED (SELECT src, dst, round(dist, 6) AS w FROM rk WHERE rank <= {KNN_K}),
+d0 AS MATERIALIZED (SELECT 0::BIGINT AS id, 0.0::DOUBLE AS dist)"""
+    )
+    parts = [head]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f""",
+c{i} AS (SELECT e.dst AS id, round(d.dist + e.w, 12) AS dist
+  FROM e JOIN d{p} d ON e.src = d.id),
+d{i} AS MATERIALIZED (SELECT id, min(dist) AS dist FROM
+  (SELECT id, dist FROM d{p} UNION ALL SELECT id, dist FROM c{i}) GROUP BY id)"""
+        )
+    parts.append(f"\nSELECT id, round(dist, 6) AS dist FROM d{k}")
+    return "".join(parts)
 
 
 def _kcore_sql(k: int = KCORE_K, n_iter: int = KCORE_ITER) -> str:
@@ -1929,6 +1973,8 @@ def oracle_sql() -> dict[str, str]:
         # modularity of those communities: same unrolled sweeps + exact
         # integer-derived per-community formula
         "modularity_knn": _modularity_sql(),
+        # bounded Bellman-Ford: unrolled min-relaxation sweeps, 12dp
+        "sssp_knn": _sssp_sql(),
         "token_quantiles": _TOKEN_QUANTILES_SQL,
         "events_asof": _ASOF_SQL,
         "events_rollup": _ROLLUP_SQL,
