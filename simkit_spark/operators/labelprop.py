@@ -86,54 +86,54 @@ def community_modularity(
     community — no windows, no driver-side loops; community
     cardinality is output-sized.
     """
+    # localCheckpoint (not persist+unpersist): the returned lazy plan
+    # reads und for the inner-edge count AND both degree unions at the
+    # caller's action, after this function has returned
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    try:
-        m = und.count()
-        la = labels.select(F.col("id").alias("u"), F.col(label_col).alias("cu"))
-        lb = labels.select(F.col("id").alias("v"), F.col(label_col).alias("cv"))
-        inner = (
-            und.join(la, "u")
-            .join(lb, "v")
-            .where(F.col("cu") == F.col("cv"))
-            .groupBy(F.col("cu").alias("community"))
-            .agg(F.count(F.lit(1)).alias("inner_edges"))
+    m = und.count()
+    la = labels.select(F.col("id").alias("u"), F.col(label_col).alias("cu"))
+    lb = labels.select(F.col("id").alias("v"), F.col(label_col).alias("cv"))
+    inner = (
+        und.join(la, "u")
+        .join(lb, "v")
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("inner_edges"))
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    per_comm = (
+        deg.join(labels.select("id", F.col(label_col).alias("community")), "id")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").alias("deg_sum"),
         )
-        deg = (
-            und.select(F.col("u").alias("id"))
-            .unionByName(und.select(F.col("v").alias("id")))
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("d"))
+    )
+    md = float(m)
+    return (
+        per_comm.join(inner, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("inner_edges"), F.lit(0)).alias("inner_edges"),
+            "deg_sum",
+            F.round(
+                F.coalesce(F.col("inner_edges"), F.lit(0)) / F.lit(md)
+                - (F.col("deg_sum") / F.lit(2.0 * md))
+                * (F.col("deg_sum") / F.lit(2.0 * md)),
+                6,
+            ).alias("q_c"),
         )
-        per_comm = (
-            deg.join(labels.select("id", F.col(label_col).alias("community")), "id")
-            .groupBy("community")
-            .agg(
-                F.count(F.lit(1)).alias("n_nodes"),
-                F.sum("d").alias("deg_sum"),
-            )
-        )
-        md = float(m)
-        return (
-            per_comm.join(inner, "community", "left")
-            .select(
-                "community",
-                "n_nodes",
-                F.coalesce(F.col("inner_edges"), F.lit(0)).alias("inner_edges"),
-                "deg_sum",
-                F.round(
-                    F.coalesce(F.col("inner_edges"), F.lit(0)) / F.lit(md)
-                    - (F.col("deg_sum") / F.lit(2.0 * md))
-                    * (F.col("deg_sum") / F.lit(2.0 * md)),
-                    6,
-                ).alias("q_c"),
-            )
-        )
-    finally:
-        und.unpersist()
+    )
