@@ -795,6 +795,12 @@ def _kg_negative_samples(spark, sf_dir):
     )
 
 
+def _kg_degree_profile(spark, sf_dir):
+    from simkit_spark.kg import degree_profile
+
+    return degree_profile(_kg_rel(spark, sf_dir))
+
+
 def _kg_bgp(spark, sf_dir):
     # 5-template basic graph pattern: customers in region:0's nations,
     # their orders, the parts those orders contain, and each part's
@@ -890,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": _kg_negative_samples,
         "kg_bgp": _kg_bgp,
         "kg_entity_cards": _kg_entity_cards,
+        "kg_degree_profile": _kg_degree_profile,
         # non-SQL-expressible (rows-only):
         "semantic_dedup": _semantic_dedup,
         "neardup_resolve": _neardup_resolve,
@@ -1917,6 +1924,23 @@ FROM keep GROUP BY entity"""
 )
 
 
+# degree distribution per entity kind/side; exact percentiles (Spark
+# percentile == DuckDB quantile_cont, the token_quantiles convention)
+_KG_DEGREE_SQL = (
+    _KG_CTE
+    + """,
+ends AS (SELECT subj AS entity, 'out' AS side FROM triples
+         UNION ALL SELECT obj, 'in' FROM triples),
+deg AS (SELECT entity, side, count(*) AS d FROM ends GROUP BY entity, side)
+SELECT split_part(entity, ':', 1) AS kind, side, count(*) AS n_entities,
+       min(d) AS deg_min,
+       round(quantile_cont(d, 0.5), 6) AS deg_p50,
+       round(quantile_cont(d, 0.9), 6) AS deg_p90,
+       max(d) AS deg_max, sum(d)::BIGINT AS deg_total
+FROM deg GROUP BY 1, 2"""
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pairwise_euclidean": _pairwise_sql("euclidean"),
@@ -1997,6 +2021,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": _KG_NEG_SQL,
         "kg_bgp": _KG_BGP_SQL,
         "kg_entity_cards": _KG_CARDS_SQL,
+        "kg_degree_profile": _KG_DEGREE_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

@@ -344,9 +344,49 @@ def cooccurrence_edges(
     )
 
 
+def degree_profile(triples: DataFrame) -> DataFrame:
+    """Degree distribution per entity kind (the IRI's ``kind:`` prefix)
+    and side — the first thing to look at before joining against a new
+    KG: it is the skew map (p90 vs max gap = hub risk) and the
+    join-direction guide (functionality at the distribution level).
+
+    Returns (kind, side, n_entities, deg_min, deg_p50, deg_p90,
+    deg_max, deg_total); side 'out' counts subject occurrences, 'in'
+    object occurrences. Exact linear-interpolation percentiles (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` — the token_quantiles
+    convention), legitimate because the grouped values are per-entity
+    DEGREES (entity-count-sized, one narrow shuffle), not raw rows; at
+    10^12 triples switch to approx_percentile (t-digest) per the same
+    trade documented in functions.text.token_quantiles.
+    """
+    ends = triples.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("subj").alias("entity"), F.lit("out").alias("side")),
+                F.struct(F.col("obj").alias("entity"), F.lit("in").alias("side")),
+            )
+        ).alias("e")
+    ).select("e.entity", "e.side")
+    deg = ends.groupBy("entity", "side").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        deg.groupBy(
+            F.split(F.col("entity"), ":").getItem(0).alias("kind"), "side"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.min("d").alias("deg_min"),
+            F.round(F.percentile("d", F.lit(0.5)), 6).alias("deg_p50"),
+            F.round(F.percentile("d", F.lit(0.9)), 6).alias("deg_p90"),
+            F.max("d").alias("deg_max"),
+            F.sum("d").alias("deg_total"),
+        )
+    )
+
+
 def bgp_match(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]] | None = None,
     allow_cartesian: bool = False,
 ) -> DataFrame:
     """SPARQL-style basic-graph-pattern matching: each pattern is a
@@ -362,6 +402,11 @@ def bgp_match(
                       ("?o", "placed_by", "?c"),
                       ("?o", "contains", "?p"),
                       ("?p", "branded", "?b")])
+
+    ``optional`` templates implement SPARQL OPTIONAL: they extend
+    bindings via a LEFT join (their fresh variables come back null when
+    no extension exists) and never eliminate rows. Each must share at
+    least one variable with the required prefix.
 
     Scale: each template compiles to a constant-filtered projection of
     the triple table (predicate constants prune the union branches all
@@ -398,6 +443,15 @@ def bgp_match(
                 "cross product is intended"
             )
         out = out.join(nxt, on=shared) if shared else out.crossJoin(nxt)
+    for p in optional or []:
+        nxt = compile_one(p)
+        shared = sorted(set(out.columns) & set(nxt.columns))
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL pattern {p} shares no variable with the required "
+                f"prefix {sorted(out.columns)}"
+            )
+        out = out.join(nxt, on=shared, how="left")
     return out
 
 

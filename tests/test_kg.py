@@ -236,3 +236,40 @@ def test_entity_cards_degree_cap_drops_hub(kg):
     ents = {r["entity"] for r in capped.collect()}
     assert "part:0" not in ents and "part:1" not in ents
     assert "nation:1" in ents
+
+
+def test_bgp_optional_extends_without_eliminating(kg):
+    from simkit_spark.kg import bgp_match
+
+    # required: every order + its customer; optional: the customer's
+    # nation exists for all, but a second optional on a pred customers
+    # lack (branded) must null out, not drop rows
+    rows = bgp_match(
+        kg,
+        [("?o", "placed_by", "?c")],
+        optional=[("?c", "located_in", "?n"), ("?c", "branded", "?x")],
+    ).collect()
+    assert len(rows) == 3
+    assert all(r["n"] is not None for r in rows)
+    assert all(r["x"] is None for r in rows)
+
+
+def test_bgp_optional_disconnected_raises(kg):
+    from simkit_spark.kg import bgp_match
+
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        bgp_match(kg, [("?o", "placed_by", "?c")],
+                  optional=[("?a", "part_of", "?b")])
+
+
+def test_degree_profile_counts(kg):
+    from simkit_spark.kg import degree_profile
+
+    prof = {(r["kind"], r["side"]): r for r in degree_profile(kg).collect()}
+    o = prof[("order", "out")]
+    # orders 0/1/2 have out-degree 3/3/2 (placed_by + contains rows)
+    assert (o["n_entities"], o["deg_min"], o["deg_max"], o["deg_total"]) == (3, 2, 3, 8)
+    assert o["deg_p50"] == 3.0
+    # regions only appear as objects
+    assert ("region", "out") not in prof
+    assert prof[("region", "in")]["n_entities"] == 2
