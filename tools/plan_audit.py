@@ -93,6 +93,17 @@ AUDITED = {
     "marginals and the degree blacklist return as broadcasts",
     "kg_negative_samples": "sequence-explode + md5 draw per row, one "
     "hash anti-join against the true triple set; no Window, no driver state",
+    "kg_bgp": "each template a constant-filtered projection (pred "
+    "constants prune union branches into the scans); folds into "
+    "equi-joins on shared variables — Catalyst/AQE pick build sides",
+    "kg_degree_profile": "one explode -> entity-keyed hash agg -> "
+    "kind-keyed percentile agg over the entity-SIZED degree table; "
+    "raw triples never sort",
+    "sssp_knn": "k frontier joins + hash-agg min merges; candidates "
+    "rounded per sweep (12dp contract), min is order-independent",
+    "modularity_knn": "label equi-joins onto the canonical edge list + "
+    "two hash aggs keyed by community; q_c is a per-row formula over "
+    "exact integers",
 }
 
 
