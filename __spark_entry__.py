@@ -795,6 +795,23 @@ def _kg_negative_samples(spark, sf_dir):
     )
 
 
+PPR_SEEDS = ["customer:0"]
+PPR_ITER = 8
+
+
+def _kg_ppr(spark, sf_dir):
+    # random-walk-with-restart relevance to customer:0 over the
+    # directed KG (subj -> obj); size-dispatched PPR (numpy under one
+    # Arrow collect at sf0.01, distributed loop past 500k edges)
+    from simkit_spark.operators.pagerank import personalized_pagerank
+
+    edges = _kg_rel(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    r = personalized_pagerank(edges, PPR_SEEDS, n_iter=PPR_ITER)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
 def _kg_degree_profile(spark, sf_dir):
     from simkit_spark.kg import degree_profile
 
@@ -897,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp": _kg_bgp,
         "kg_entity_cards": _kg_entity_cards,
         "kg_degree_profile": _kg_degree_profile,
+        "kg_ppr": _kg_ppr,
         # non-SQL-expressible (rows-only):
         "semantic_dedup": _semantic_dedup,
         "neardup_resolve": _neardup_resolve,
@@ -1941,6 +1959,44 @@ FROM deg GROUP BY 1, 2"""
 )
 
 
+def _kg_ppr_sql(n_iter: int = PPR_ITER) -> str:
+    """Personalized PageRank over the KG edge list as unrolled
+    MATERIALIZED sweeps (the _pagerank_sql pattern) with the teleport
+    vector concentrated on the seeds; constants injected at full
+    precision from the same Python floats the operator uses."""
+    from simkit_spark.operators.pagerank import DAMPING, PR_ITER_DP
+
+    ts = 1.0 / float(len(PPR_SEEDS))
+    seeds = ", ".join(f"'{s}'" for s in PPR_SEEDS)
+    head = (
+        f"WITH triples AS ({_KG_T}),"
+        + f"""
+e AS MATERIALIZED (SELECT subj AS src, obj AS dst FROM triples),
+pn AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+tv AS MATERIALIZED (SELECT id,
+  CASE WHEN id IN ({seeds}) THEN {ts!r}::DOUBLE ELSE 0.0::DOUBLE END AS t FROM pn),
+r0 AS MATERIALIZED (SELECT id, round(t, {PR_ITER_DP}) AS rank FROM tv)"""
+    )
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+c{i} AS (SELECT e.dst AS id, sum(r.rank / o.outdeg) AS inflow
+  FROM e JOIN r{p} r ON e.src = r.id JOIN od o ON e.src = o.src GROUP BY e.dst),
+d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dmass
+  FROM r{p} r LEFT JOIN od o ON r.id = o.src WHERE o.src IS NULL),
+r{i} AS MATERIALIZED (SELECT tv.id, round(
+    {(1.0 - DAMPING)!r}::DOUBLE * tv.t
+    + {DAMPING!r}::DOUBLE * (coalesce(c.inflow, 0.0) + (SELECT dmass FROM d{i}) * tv.t),
+    {PR_ITER_DP}) AS rank
+  FROM tv LEFT JOIN c{i} c ON tv.id = c.id)"""
+        )
+    parts.append(f"\nSELECT id, round(rank, 6) AS rank FROM r{n_iter}")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pairwise_euclidean": _pairwise_sql("euclidean"),
@@ -2022,6 +2078,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp": _KG_BGP_SQL,
         "kg_entity_cards": _KG_CARDS_SQL,
         "kg_degree_profile": _KG_DEGREE_SQL,
+        # personalized PageRank: unrolled seed-teleport power sweeps
+        "kg_ppr": _kg_ppr_sql(),
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

@@ -161,3 +161,126 @@ def pagerank_auto(
         r = np.round(teleport + damping * (inflow + dmass / n), iter_dp)
     res = pd.DataFrame({"id": ids.tolist(), "rank": r.tolist()})
     return spark.createDataFrame(res, schema="id long, rank double")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    n_iter: int = 10,
+    damping: float = DAMPING,
+    iter_dp: int = PR_ITER_DP,
+    local_threshold: int = 500_000,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Personalized PageRank (random-walk-with-restart): teleport mass
+    goes to ``seeds`` (1/|S| each) instead of uniformly to all nodes,
+    so rank(v) measures v's relevance TO the seed set — the standard
+    KG ranking for "entities related to X" (recommendation, query
+    expansion, local community detection).
+
+    rank_{t+1}(v) = (1-d)·t(v) + d·(inflow(v) + dangling_mass·t(v)),
+    t(v) = 1/|S| for seeds, else 0; rank_0 = t. Same determinism
+    contract as pagerank (fixed sweeps, per-sweep ``iter_dp``
+    rounding), same size dispatch (numpy under one Arrow collect below
+    ``local_threshold`` edges — string KG IRIs sort fine there — else
+    the distributed loop with the same fixed-src edge layout).
+    Unreachable nodes legitimately hold rank 0.0 and are kept.
+    """
+    e = edges.select("src", "dst")
+    n_edges = e.count()
+    ts = 1.0 / float(len(seeds))
+    seed_set = list(seeds)
+
+    if n_edges <= local_threshold:
+        import numpy as np
+        import pandas as pd
+
+        pdf = e.toPandas()
+        spark = edges.sparkSession
+        if not len(pdf):
+            return spark.createDataFrame([], "id string, rank double")
+        ids = np.unique(np.concatenate([pdf["src"].values, pdf["dst"].values]))
+        n = len(ids)
+        src = np.searchsorted(ids, pdf["src"].values)
+        dst = np.searchsorted(ids, pdf["dst"].values)
+        out = np.bincount(src, minlength=n)
+        dangling = out == 0
+        safe_out = np.where(dangling, 1, out)
+        t = np.zeros(n)
+        pos = np.searchsorted(ids, np.array(seed_set))
+        ok = (pos < n) & (ids[np.minimum(pos, n - 1)] == np.array(seed_set))
+        if not ok.all():
+            missing = [s for s, o in zip(seed_set, ok) if not o]
+            raise KeyError(f"seeds not present in the edge list: {missing}")
+        t[pos] = ts
+        r = np.round(t, iter_dp)
+        for _ in range(n_iter):
+            contrib = r / safe_out
+            inflow = np.bincount(dst, weights=contrib[src], minlength=n)
+            dmass = float(r[dangling].sum())
+            r = np.round(
+                (1.0 - damping) * t + damping * (inflow + dmass * t), iter_dp
+            )
+        res = pd.DataFrame({"id": ids.tolist(), "rank": r.tolist()})
+        id_t = e.schema["src"].dataType.simpleString()
+        return spark.createDataFrame(res, schema=f"id {id_t}, rank double")
+
+    ep = e.repartition("src").persist()
+    nodes = (
+        ep.select(F.col("src").alias("id"))
+        .union(ep.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = ep.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = ep.join(outdeg, "src").persist()
+    ed.count()
+    # teleport vector baked into the persisted node table (loop-invariant)
+    tv = nodes.select(
+        "id",
+        F.when(F.col("id").isin(seed_set), F.lit(ts)).otherwise(F.lit(0.0)).alias("t"),
+    ).persist()
+    n_seeds_found = tv.where(F.col("t") > 0).count()
+    if n_seeds_found != len(seed_set):
+        ed.unpersist(); ep.unpersist(); tv.unpersist()
+        raise KeyError("some seeds are not present in the edge list")
+    dangling_ids = tv.select("id").join(
+        ep.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).persist()
+    dangling_ids.count()
+    ep.unpersist()
+
+    ranks = tv.select("id", F.round(F.col("t"), iter_dp).alias("rank"))
+    for i in range(n_iter):
+        src_rank = ranks.select(F.col("id").alias("src"), F.col("rank").alias("srank"))
+        inflow = (
+            ed.join(src_rank, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("srank") / F.col("outdeg")).alias("inflow"))
+        )
+        dmass = (
+            ranks.join(dangling_ids, "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        ranks = (
+            tv.join(inflow, "id", "left")
+            .crossJoin(F.broadcast(dmass))
+            .select(
+                "id",
+                F.round(
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dmass") * F.col("t")
+                    ),
+                    iter_dp,
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = materialize(ranks)
+    out = materialize(ranks)
+    ed.unpersist()
+    tv.unpersist()
+    dangling_ids.unpersist()
+    return out
