@@ -812,6 +812,22 @@ def _kg_ppr(spark, sf_dir):
     return r.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _kg_snapshot(spark, sf_dir):
+    # temporal KG current view: each customer's most recently ordered
+    # part (ties -> largest part IRI), one max-struct hash agg
+    from simkit_spark.kg import latest_snapshot
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    temporal = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat_ws(":", F.lit("customer"), F.col("o_custkey")).alias("subj"),
+        F.lit("last_ordered").alias("pred"),
+        F.concat_ws(":", F.lit("part"), F.col("l_partkey")).alias("obj"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return latest_snapshot(temporal)
+
+
 def _kg_degree_profile(spark, sf_dir):
     from simkit_spark.kg import degree_profile
 
@@ -915,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cards": _kg_entity_cards,
         "kg_degree_profile": _kg_degree_profile,
         "kg_ppr": _kg_ppr,
+        "kg_snapshot": _kg_snapshot,
         # non-SQL-expressible (rows-only):
         "semantic_dedup": _semantic_dedup,
         "neardup_resolve": _neardup_resolve,
@@ -1959,6 +1976,21 @@ FROM deg GROUP BY 1, 2"""
 )
 
 
+# temporal current view: the window twin picks the same row the
+# max-struct agg picks ((ts, obj) lexicographic max)
+_KG_SNAPSHOT_SQL = """
+WITH temporal AS (
+  SELECT concat_ws(':', 'customer', o_custkey) AS subj,
+         'last_ordered' AS pred,
+         concat_ws(':', 'part', l_partkey) AS obj,
+         o_orderdate AS ts
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+rk AS (SELECT subj, pred, obj, ts,
+       row_number() OVER (PARTITION BY subj, pred ORDER BY ts DESC, obj DESC) AS rn
+       FROM temporal)
+SELECT subj, pred, obj, ts FROM rk WHERE rn = 1"""
+
+
 def _kg_ppr_sql(n_iter: int = PPR_ITER) -> str:
     """Personalized PageRank over the KG edge list as unrolled
     MATERIALIZED sweeps (the _pagerank_sql pattern) with the teleport
@@ -2080,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_profile": _KG_DEGREE_SQL,
         # personalized PageRank: unrolled seed-teleport power sweeps
         "kg_ppr": _kg_ppr_sql(),
+        "kg_snapshot": _KG_SNAPSHOT_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

@@ -344,6 +344,32 @@ def cooccurrence_edges(
     )
 
 
+def latest_snapshot(
+    triples: DataFrame, ts_col: str = "ts", as_of=None
+) -> DataFrame:
+    """Temporal-KG current view: given timestamped assertions
+    (subj, pred, obj, ts), return the LATEST obj per (subj, pred) —
+    optionally as of a cutoff — i.e. the SCD-style snapshot a consumer
+    joins against when predicates are functional over time ("current
+    address", "last ordered part").
+
+    Deterministic tiebreak: equal timestamps resolve to the largest
+    obj (string order), via one max-of-struct hash aggregation — the
+    asof.py union-trick convention: NO per-key window sort, map-side
+    partial max, one shuffle keyed by (subj, pred).
+    """
+    t = triples if as_of is None else triples.where(F.col(ts_col) <= as_of)
+    return (
+        t.groupBy("subj", "pred")
+        .agg(
+            F.max(
+                F.struct(F.col(ts_col).alias("ts"), F.col("obj").alias("obj"))
+            ).alias("m")
+        )
+        .select("subj", "pred", F.col("m.obj").alias("obj"), F.col("m.ts").alias("ts"))
+    )
+
+
 def degree_profile(triples: DataFrame) -> DataFrame:
     """Degree distribution per entity kind (the IRI's ``kind:`` prefix)
     and side — the first thing to look at before joining against a new

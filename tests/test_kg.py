@@ -273,3 +273,43 @@ def test_degree_profile_counts(kg):
     # regions only appear as objects
     assert ("region", "out") not in prof
     assert prof[("region", "in")]["n_entities"] == 2
+
+
+def test_latest_snapshot_picks_latest_and_breaks_ties(spark):
+    from datetime import datetime
+
+    from simkit_spark.kg import latest_snapshot
+
+    rows = [
+        ("c:1", "p", "x:1", datetime(2024, 1, 1)),
+        ("c:1", "p", "x:2", datetime(2024, 3, 1)),   # latest
+        ("c:1", "p", "x:9", datetime(2024, 2, 1)),
+        ("c:2", "p", "a:1", datetime(2024, 5, 1)),   # tie on ts ->
+        ("c:2", "p", "a:2", datetime(2024, 5, 1)),   # largest obj wins
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, ts timestamp")
+    got = {r["subj"]: r["obj"] for r in latest_snapshot(df).collect()}
+    assert got == {"c:1": "x:2", "c:2": "a:2"}
+    # as_of cutoff excludes the march assertion
+    cut = {r["subj"]: r["obj"] for r in latest_snapshot(
+        df, as_of=datetime(2024, 2, 15)).collect()}
+    assert cut["c:1"] == "x:9"
+
+
+def test_kg_ops_partition_invariance(kg):
+    """Repartitioning the triple table must not change any operator's
+    result (the repo-wide determinism contract)."""
+    from simkit_spark.kg import cooccurrence_edges, negative_samples, top_hubs
+
+    shuffled = kg.repartition(7)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(top_hubs(kg, 5)) == rows(top_hubs(shuffled, 5))
+    assert rows(cooccurrence_edges(kg, "contains")) == rows(
+        cooccurrence_edges(shuffled, "contains")
+    )
+    a = negative_samples(kg, "contains", "part", 3, n_neg=2)
+    b = negative_samples(shuffled, "contains", "part", 3, n_neg=2)
+    assert rows(a) == rows(b)
