@@ -812,6 +812,41 @@ def _kg_ppr(spark, sf_dir):
     return r.select("id", F.round("rank", 6).alias("rank"))
 
 
+_KG_RULES = [
+    ("placed_by", "order", "customer"),
+    ("contains", "order", "part"),
+    ("supplied_by", "part", "supplier"),
+    ("part_of", "nation", "region"),
+    ("in_segment", "customer", "segment"),
+    ("branded", "part", "brand"),
+]
+
+
+def _kg_validate(spark, sf_dir):
+    # SHACL-lite QA gate: md5-corrupt ~2% of 'contains' objects (the
+    # deterministic fault injection both engines reproduce), then
+    # validate domain/range rules + a contains<=5 cardinality cap
+    from simkit_spark.kg import validate_constraints
+
+    tri = _kg_rel(spark, sf_dir)
+    coin = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", "subj", "obj", F.lit("corrupt"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(50),
+    )
+    corrupted = tri.withColumn(
+        "obj",
+        F.when(
+            (F.col("pred") == "contains") & (coin == 0),
+            F.concat(F.lit("broken:"), F.col("obj")),
+        ).otherwise(F.col("obj")),
+    )
+    return validate_constraints(corrupted, _KG_RULES, {"contains": 5})
+
+
 def _kg_snapshot(spark, sf_dir):
     # temporal KG current view: each customer's most recently ordered
     # part (ties -> largest part IRI), one max-struct hash agg
@@ -932,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_profile": _kg_degree_profile,
         "kg_ppr": _kg_ppr,
         "kg_snapshot": _kg_snapshot,
+        "kg_validate": _kg_validate,
         # non-SQL-expressible (rows-only):
         "semantic_dedup": _semantic_dedup,
         "neardup_resolve": _neardup_resolve,
@@ -1976,6 +2012,39 @@ FROM deg GROUP BY 1, 2"""
 )
 
 
+# SHACL-lite validation over the md5-corrupted KG: rules as a VALUES
+# CTE, domain/range as prefix comparisons, cardinality via HAVING
+_KG_VALIDATE_SQL = (
+    _KG_CTE
+    + f""",
+corrupted AS (
+  SELECT subj, pred,
+    CASE WHEN pred = 'contains'
+          AND {_MD5_LONG.format(arg="concat_ws(':', subj, obj, 'corrupt')")} % 50 = 0
+         THEN 'broken:' || obj ELSE obj END AS obj
+  FROM triples),
+rules(pred, subj_kind, obj_kind) AS (VALUES
+  ('placed_by', 'order', 'customer'),
+  ('contains', 'order', 'part'),
+  ('supplied_by', 'part', 'supplier'),
+  ('part_of', 'nation', 'region'),
+  ('in_segment', 'customer', 'segment'),
+  ('branded', 'part', 'brand')),
+checked AS (SELECT c.*, r.subj_kind, r.obj_kind
+            FROM corrupted c JOIN rules r USING (pred)),
+over_card AS (
+  SELECT subj, pred FROM corrupted WHERE pred = 'contains'
+  GROUP BY subj, pred HAVING count(*) > 5)
+SELECT subj, pred, obj, 'domain' AS violation FROM checked
+WHERE split_part(subj, ':', 1) <> subj_kind
+UNION ALL
+SELECT subj, pred, obj, 'range' FROM checked
+WHERE split_part(obj, ':', 1) <> obj_kind
+UNION ALL
+SELECT c.subj, c.pred, c.obj, 'cardinality'
+FROM corrupted c JOIN over_card o ON c.subj = o.subj AND c.pred = o.pred"""
+)
+
 # temporal current view: the window twin picks the same row the
 # max-struct agg picks ((ts, obj) lexicographic max)
 _KG_SNAPSHOT_SQL = """
@@ -2113,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
         # personalized PageRank: unrolled seed-teleport power sweeps
         "kg_ppr": _kg_ppr_sql(),
         "kg_snapshot": _KG_SNAPSHOT_SQL,
+        "kg_validate": _KG_VALIDATE_SQL,
         # iterative graph clustering, verified via recursive-CTE
         # transitive closure (small enough at the driver's sf0.01)
         "connected_components_eps": _CC_EPS_SQL,

@@ -344,6 +344,78 @@ def cooccurrence_edges(
     )
 
 
+def validate_constraints(
+    triples: DataFrame,
+    kind_constraints: list[tuple[str, str, str]],
+    max_out: dict[str, int] | None = None,
+) -> DataFrame:
+    """SHACL-lite KG validation — the QA gate a construction pipeline
+    runs before publishing a snapshot. Two constraint families:
+
+    * ``kind_constraints``: (pred, subj_kind, obj_kind) domain/range
+      rules — a triple whose subject/object IRI prefix differs from the
+      declared kind is a violation (kind 'domain' / 'range').
+    * ``max_out``: pred -> max objects per subject (cardinality;
+      ``{'placed_by': 1}`` = functional). Violating subjects emit one
+      row per offending triple (kind 'cardinality').
+
+    Returns (subj, pred, obj, violation). Predicates without declared
+    rules pass silently (open-world).
+
+    Scale: the rule table is rows-per-predicate tiny — a broadcast
+    join against the triple stream, evaluated as pure column
+    expressions (split on ':' + comparisons, codegen); the cardinality
+    check is one groupBy(subj, pred) count filtered by the broadcast
+    limits — no windows, no second scan of violating rows (the count
+    rides back on a broadcast semi-structure only when a limit exists).
+    """
+    spark = triples.sparkSession
+    out = []
+    if kind_constraints:
+        rules = F.broadcast(
+            spark.createDataFrame(
+                kind_constraints, "pred string, subj_kind string, obj_kind string"
+            )
+        )
+        checked = triples.join(rules, "pred")
+        skind = F.split(F.col("subj"), ":").getItem(0)
+        okind = F.split(F.col("obj"), ":").getItem(0)
+        out.append(
+            checked.where(skind != F.col("subj_kind")).select(
+                "subj", "pred", "obj", F.lit("domain").alias("violation")
+            )
+        )
+        out.append(
+            checked.where(okind != F.col("obj_kind")).select(
+                "subj", "pred", "obj", F.lit("range").alias("violation")
+            )
+        )
+    if max_out:
+        limits = F.broadcast(
+            spark.createDataFrame(
+                list(max_out.items()), "pred string, max_out int"
+            )
+        )
+        over = (
+            triples.join(limits, "pred")
+            .groupBy("subj", "pred", "max_out")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > F.col("max_out"))
+            .select("subj", "pred")
+        )
+        out.append(
+            triples.join(over, ["subj", "pred"], "left_semi").select(
+                "subj", "pred", "obj", F.lit("cardinality").alias("violation")
+            )
+        )
+    if not out:
+        raise ValueError("no constraints given")
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def latest_snapshot(
     triples: DataFrame, ts_col: str = "ts", as_of=None
 ) -> DataFrame:

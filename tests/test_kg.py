@@ -313,3 +313,47 @@ def test_kg_ops_partition_invariance(kg):
     a = negative_samples(kg, "contains", "part", 3, n_neg=2)
     b = negative_samples(shuffled, "contains", "part", 3, n_neg=2)
     assert rows(a) == rows(b)
+
+
+def test_validate_constraints_each_family(spark):
+    from simkit_spark.kg import validate_constraints
+
+    tri = spark.createDataFrame(
+        [
+            ("order:1", "contains", "part:1"),    # clean
+            ("order:1", "contains", "part:2"),
+            ("order:1", "contains", "part:3"),    # order:1 exceeds max 2
+            ("order:2", "contains", "broken:9"),  # range violation
+            ("part:9", "contains", "part:1"),     # domain violation
+            ("x:1", "undeclared", "y:1"),         # open-world: passes
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = validate_constraints(
+        tri, [("contains", "order", "part")], {"contains": 2}
+    ).collect()
+    kinds = {(r["subj"], r["violation"]) for r in got}
+    assert ("part:9", "domain") in kinds
+    assert ("order:2", "range") in kinds
+    # order:1 holds 3 parts -> every one of its rows flagged
+    card = [r for r in got if r["violation"] == "cardinality"]
+    assert {r["subj"] for r in card} == {"order:1"} and len(card) == 3
+    assert not any(r["pred"] == "undeclared" for r in got)
+
+
+def test_validate_constraints_clean_graph_is_silent(kg):
+    from simkit_spark.kg import validate_constraints
+
+    v = validate_constraints(
+        kg,
+        [("placed_by", "order", "customer"), ("contains", "order", "part")],
+        {"placed_by": 1},
+    )
+    assert v.count() == 0
+
+
+def test_validate_constraints_requires_rules(kg):
+    from simkit_spark.kg import validate_constraints
+
+    with pytest.raises(ValueError, match="no constraints"):
+        validate_constraints(kg, [], None)
