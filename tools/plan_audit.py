@@ -104,6 +104,10 @@ AUDITED = {
     "modularity_knn": "label equi-joins onto the canonical edge list + "
     "two hash aggs keyed by community; q_c is a per-row formula over "
     "exact integers",
+    "kg_snapshot": "temporal current view as ONE max-of-struct hash agg "
+    "(map-side partials) — no per-key window sort over the fact join",
+    "kg_validate": "broadcast rule table + codegen prefix comparisons; "
+    "cardinality = one count agg + broadcast semi-join back",
 }
 
 
