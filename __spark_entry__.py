@@ -447,10 +447,10 @@ def _token_quantiles(spark, sf_dir):
 
 def _communities_knn(spark, sf_dir):
     from simkit_spark.operators.graphs import knn_graph_from_points
-    from simkit_spark.operators.labelprop import label_propagation
+    from simkit_spark.operators.labelprop import label_propagation_auto
 
     edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
-    return label_propagation(edges, n_iter=LPA_ITER)
+    return label_propagation_auto(edges, n_iter=LPA_ITER)
 
 
 SSSP_K = 6
@@ -476,11 +476,11 @@ def _modularity_knn(spark, sf_dir):
     from simkit_spark.operators.graphs import knn_graph_from_points
     from simkit_spark.operators.labelprop import (
         community_modularity,
-        label_propagation,
+        label_propagation_auto,
     )
 
     edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
-    labels = label_propagation(edges, n_iter=LPA_ITER)
+    labels = label_propagation_auto(edges, n_iter=LPA_ITER)
     return community_modularity(edges, labels)
 
 

@@ -137,3 +137,54 @@ def community_modularity(
             ).alias("q_c"),
         )
     )
+
+
+def label_propagation_auto(
+    edges: DataFrame, n_iter: int = 5, local_threshold: int = 500_000
+) -> DataFrame:
+    """Size-dispatched LPA (the repo's *_auto contract): below
+    ``local_threshold`` edges the graph is driver-sized and the
+    synchronous sweeps run as vectorized numpy over one Arrow collect
+    (all-integer arithmetic — the local twin is EXACTLY the operator's
+    fixed point, no rounding contract needed); above it, the
+    distributed loop runs. The input plan is materialized once so the
+    dispatch count and the collect don't each re-run an expensive
+    upstream (e.g. the kNN kernel)."""
+    e0 = edges.select("src", "dst").localCheckpoint()
+    if e0.count() > local_threshold:
+        return label_propagation(e0, n_iter)
+
+    import numpy as np
+    import pandas as pd
+
+    spark = edges.sparkSession
+    pdf = e0.toPandas()
+    id_t = e0.schema["src"].dataType.simpleString()
+    if not len(pdf):
+        return spark.createDataFrame([], f"id {id_t}, community {id_t}")
+    u = np.minimum(pdf["src"].values, pdf["dst"].values)
+    v = np.maximum(pdf["src"].values, pdf["dst"].values)
+    keep = u != v
+    und = np.unique(np.stack([u[keep], v[keep]], axis=1), axis=0)
+    ids = np.unique(und)
+    n = len(ids)
+    ui = np.searchsorted(ids, und[:, 0])
+    vi = np.searchsorted(ids, und[:, 1])
+    a = np.concatenate([ui, vi])  # both orientations: a's neighbor is b
+    b = np.concatenate([vi, ui])
+    # labels as indices into the SORTED id array: index order == value
+    # order, so "smallest label" tiebreaks agree with the operator
+    lab = np.arange(n)
+    for _ in range(n_iter):
+        key = a.astype(np.int64) * n + lab[b]
+        uk, counts = np.unique(key, return_counts=True)
+        ka, klab = uk // n, uk % n
+        order = np.lexsort((klab, -counts, ka))
+        firsts = np.unique(ka[order], return_index=True)[1]
+        new = lab.copy()
+        new[ka[order][firsts]] = klab[order][firsts]
+        lab = new
+    res = pd.DataFrame(
+        {"id": ids.tolist(), "community": ids[lab].tolist()}
+    )
+    return spark.createDataFrame(res, schema=f"id {id_t}, community {id_t}")

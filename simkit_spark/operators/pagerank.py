@@ -132,8 +132,11 @@ def pagerank_auto(
     by orders of magnitude; above it, the distributed operator runs.
     The per-sweep ``iter_dp`` rounding contract makes both paths
     bit-identical (parity-tested), so the dispatch is invisible."""
-    e = edges.select("src", "dst")
-    # one cheap partial-agg probe; the exact count is needed anyway
+    # materialize ONCE: the dispatch needs a count AND (locally) a
+    # collect — two actions that would otherwise each re-run an
+    # arbitrarily expensive upstream plan (the kNN kernel costs more
+    # than the whole PageRank loop at bench scale)
+    e = edges.select("src", "dst").localCheckpoint()
     n_edges = e.count()
     if n_edges > local_threshold:
         return pagerank(e, n_iter, damping, iter_dp)
@@ -186,7 +189,8 @@ def personalized_pagerank(
     the distributed loop with the same fixed-src edge layout).
     Unreachable nodes legitimately hold rank 0.0 and are kept.
     """
-    e = edges.select("src", "dst")
+    # single evaluation of the upstream plan (see pagerank_auto)
+    e = edges.select("src", "dst").localCheckpoint()
     n_edges = e.count()
     ts = 1.0 / float(len(seeds))
     seed_set = list(seeds)

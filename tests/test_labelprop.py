@@ -61,3 +61,23 @@ def test_modularity_two_triangles_exact(spark):
     one = spark.createDataFrame([(i, 9) for i in range(6)], "id long, community long")
     q = community_modularity(edges, one).collect()
     assert len(q) == 1 and q[0]["q_c"] == 0.0 and q[0]["inner_edges"] == 7
+
+
+def test_lpa_auto_local_distributed_parity(spark):
+    """All-integer sweeps: the numpy twin must equal the distributed
+    loop exactly, including tiebreaks, on a graph with hubs + chains."""
+    import random
+
+    from simkit_spark.operators.labelprop import (
+        label_propagation,
+        label_propagation_auto,
+    )
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    edges += [(i, i + 1) for i in range(40, 55)]
+    df = spark.createDataFrame(edges, "src long, dst long").where("src <> dst")
+    for it in (1, 3, 5):
+        a = {r["id"]: r["community"] for r in label_propagation(df, n_iter=it).collect()}
+        b = {r["id"]: r["community"] for r in label_propagation_auto(df, n_iter=it).collect()}
+        assert a == b, it
