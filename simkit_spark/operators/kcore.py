@@ -104,7 +104,9 @@ def kcore_auto(
     beats ~3 shuffle stages per sweep; above it, the distributed
     operator runs. All-integer arithmetic, so the two paths are exactly
     identical (parity-tested)."""
-    e = edges.select("src", "dst")
+    # one evaluation of the upstream plan: count + toPandas would each
+    # re-run it otherwise (the pagerank_auto lesson)
+    e = edges.select("src", "dst").localCheckpoint()
     n_edges = e.count()
     if n_edges > local_threshold:
         return kcore(e, k, n_iter)
