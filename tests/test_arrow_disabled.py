@@ -29,7 +29,20 @@ def no_arrow(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["kmeans_clusters", "connected_components_eps", "spectral_embedding", "kg_triples", "pagerank_knn"],
+    [
+        "kmeans_clusters",
+        "connected_components_eps",
+        "spectral_embedding",
+        "kg_triples",
+        "pagerank_knn",
+        # round-3c local createDataFrame paths: PPR numpy twin, LPA
+        # numpy twin (via communities/modularity), BFS seed frame
+        "kg_ppr",
+        "communities_knn",
+        "modularity_knn",
+        "kg_khop",
+        "sssp_knn",
+    ],
 )
 def test_local_fast_paths_without_arrow(no_arrow, name):
     df = entry_mod.queries()[name](no_arrow, SF)
