@@ -554,13 +554,12 @@ def _pagerank_knn(spark, sf_dir):
     from simkit_spark.operators.graphs import knn_graph_from_points
     from simkit_spark.operators.pagerank import pagerank_auto
 
-    # entity importance over the similarity graph: 10 power sweeps,
-    # per-sweep 12dp rounding makes the result engine-reproducible
-    # (and the size-dispatched local/distributed paths bit-identical)
+    # entity importance over the similarity graph: 10 power sweeps over
+    # exact-integer rank numerators (scale 1e12) — bit-reproducible
+    # across engines and across the size-dispatched local/distributed
+    # paths with no decimal re-rounding (see operators/pagerank.py)
     edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K)
-    return pagerank_auto(edges, n_iter=PAGERANK_ITER).select(
-        "id", F.round("rank", 6).alias("rank")
-    )
+    return pagerank_auto(edges, n_iter=PAGERANK_ITER)
 
 
 def _kcore_knn(spark, sf_dir):
@@ -790,8 +789,11 @@ def _kg_negative_samples(spark, sf_dir):
     from simkit_spark.kg import negative_samples
 
     n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    # key_base=1: TPC-H partkeys are 1-based — a 0-based draw emits
+    # phantom part:0 negatives and never samples the max key
     return negative_samples(
-        _kg_rel(spark, sf_dir), "contains", "part", n_objects=n_parts, n_neg=2, seed=42
+        _kg_rel(spark, sf_dir), "contains", "part", n_objects=n_parts, n_neg=2,
+        seed=42, key_base=1,
     )
 
 
@@ -808,8 +810,7 @@ def _kg_ppr(spark, sf_dir):
     edges = _kg_rel(spark, sf_dir).select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
-    r = personalized_pagerank(edges, PPR_SEEDS, n_iter=PPR_ITER)
-    return r.select("id", F.round("rank", 6).alias("rank"))
+    return personalized_pagerank(edges, PPR_SEEDS, n_iter=PPR_ITER)
 
 
 _KG_RULES = [
@@ -1099,16 +1100,20 @@ SELECT src, dst, round(cos, 6) AS cos, rank FROM rk WHERE rank <= {TOPK}"""
 def _pagerank_sql(n_iter: int = PAGERANK_ITER) -> str:
     """Fixed-iteration PageRank as n_iter unrolled CTEs over the kNN
     edge list (recursive CTEs disallow the per-sweep aggregation, so
-    the deterministic unroll IS the portable form). Teleport constant
-    is injected at full precision from the same Python float ops the
-    Spark operator uses, and every sweep rounds to 12dp on both
-    engines, so the fixed point is bit-reproducible. Every multiply-
-    referenced CTE is MATERIALIZED: DuckDB inlines plain CTEs, and with
-    each sweep referencing the previous one twice that inlining is
-    exponential (2^n copies of the kNN derivation — the first attempt
-    died on file handles before it died on compute)."""
+    the deterministic unroll IS the portable form). Mirrors the
+    operator's exact-integer contract (operators/pagerank.py): int64
+    rank numerators at scale 1e12, integer floor-division
+    contributions, exact integer sums, and a float update with the
+    IDENTICAL operation order — so DuckDB computes bit-identical
+    doubles and the comparison needs no decimal re-rounding. Every
+    multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain
+    CTEs, and with each sweep referencing the previous one twice that
+    inlining is exponential (2^n copies of the kNN derivation — the
+    first attempt died on file handles before it died on compute)."""
     from simkit_spark.operators.pagerank import DAMPING, PR_ITER_DP
 
+    scale = float(10**PR_ITER_DP)
+    inv = 1.0 / scale
     head = (
         _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
         + f""",
@@ -1116,25 +1121,29 @@ rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, d
 e AS MATERIALIZED (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
 pn AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
 nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM pn),
-od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-r0 AS MATERIALIZED (SELECT id, round(1.0/(SELECT n FROM nn), {PR_ITER_DP}) AS rank FROM pn)"""
+od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT id,
+  floor((1.0/(SELECT n FROM nn)) * {scale!r} + 0.5)::BIGINT AS rank_i FROM pn)"""
     )
     parts = [head]
     for i in range(1, n_iter + 1):
         p = i - 1
         parts.append(
             f""",
-c{i} AS (SELECT e.dst AS id, sum(r.rank / o.outdeg) AS inflow
+c{i} AS (SELECT e.dst AS id, sum(r.rank_i // o.outdeg)::BIGINT AS inflow_i
   FROM e JOIN r{p} r ON e.src = r.id JOIN od o ON e.src = o.src GROUP BY e.dst),
-d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dmass
+d{i} AS (SELECT coalesce(sum(r.rank_i), 0)::BIGINT AS dmass_i
   FROM r{p} r LEFT JOIN od o ON r.id = o.src WHERE o.src IS NULL),
-r{i} AS MATERIALIZED (SELECT p.id, round(
-    (SELECT (1.0::DOUBLE - {DAMPING!r}::DOUBLE)/n FROM nn)
-    + {DAMPING!r}::DOUBLE * (coalesce(c.inflow, 0.0) + (SELECT dmass FROM d{i})/(SELECT n FROM nn)),
-    {PR_ITER_DP}) AS rank
+r{i} AS MATERIALIZED (SELECT p.id, floor((
+    (SELECT {(1.0 - DAMPING)!r}::DOUBLE/n FROM nn)
+    + {DAMPING!r}::DOUBLE * (coalesce(c.inflow_i, 0)::DOUBLE * {inv!r}
+        + (SELECT dmass_i FROM d{i})::DOUBLE * {inv!r} / (SELECT n FROM nn))
+  ) * {scale!r} + 0.5)::BIGINT AS rank_i
   FROM pn p LEFT JOIN c{i} c ON p.id = c.id)"""
         )
-    parts.append(f"\nSELECT id, round(rank, 6) AS rank FROM r{n_iter}")
+    parts.append(
+        f"\nSELECT id, rank_i::DOUBLE * {inv!r} AS rank FROM r{n_iter}"
+    )
     return "".join(parts)
 
 
@@ -1953,8 +1962,8 @@ np AS (SELECT count(*) AS c FROM part),
 drawn AS (
   SELECT subj, obj, CAST(j AS INT) AS j,
          concat_ws(':', 'part',
-           {_MD5_LONG.format(arg="concat_ws(':', subj, obj, j, '42')")}
-             % (SELECT c FROM np)) AS obj_neg
+           ({_MD5_LONG.format(arg="concat_ws(':', subj, obj, j, '42')")}
+             % (SELECT c FROM np)) + 1) AS obj_neg
   FROM base CROSS JOIN (SELECT unnest([0, 1]) AS j)
 )
 SELECT d.subj, 'contains' AS pred, d.obj, d.j, d.obj_neg
@@ -2063,38 +2072,46 @@ SELECT subj, pred, obj, ts FROM rk WHERE rn = 1"""
 def _kg_ppr_sql(n_iter: int = PPR_ITER) -> str:
     """Personalized PageRank over the KG edge list as unrolled
     MATERIALIZED sweeps (the _pagerank_sql pattern) with the teleport
-    vector concentrated on the seeds; constants injected at full
-    precision from the same Python floats the operator uses."""
+    vector concentrated on the seeds. Mirrors the operator's
+    exact-integer contract (int64 rank numerators at scale 1e12,
+    integer floor-division contributions, identical float-update
+    operation order) so the doubles are bit-identical — no decimal
+    re-rounding in the comparison."""
     from simkit_spark.operators.pagerank import DAMPING, PR_ITER_DP
 
-    ts = 1.0 / float(len(PPR_SEEDS))
-    seeds = ", ".join(f"'{s}'" for s in PPR_SEEDS)
+    scale = float(10**PR_ITER_DP)
+    inv = 1.0 / scale
+    ts = 1.0 / float(len(sorted(set(PPR_SEEDS))))
+    seeds = ", ".join(f"'{s}'" for s in sorted(set(PPR_SEEDS)))
     head = (
         f"WITH triples AS ({_KG_T}),"
         + f"""
 e AS MATERIALIZED (SELECT subj AS src, obj AS dst FROM triples),
 pn AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
-od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+od AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
 tv AS MATERIALIZED (SELECT id,
   CASE WHEN id IN ({seeds}) THEN {ts!r}::DOUBLE ELSE 0.0::DOUBLE END AS t FROM pn),
-r0 AS MATERIALIZED (SELECT id, round(t, {PR_ITER_DP}) AS rank FROM tv)"""
+r0 AS MATERIALIZED (SELECT id, floor(t * {scale!r} + 0.5)::BIGINT AS rank_i FROM tv)"""
     )
     parts = [head]
     for i in range(1, n_iter + 1):
         p = i - 1
         parts.append(
             f""",
-c{i} AS (SELECT e.dst AS id, sum(r.rank / o.outdeg) AS inflow
+c{i} AS (SELECT e.dst AS id, sum(r.rank_i // o.outdeg)::BIGINT AS inflow_i
   FROM e JOIN r{p} r ON e.src = r.id JOIN od o ON e.src = o.src GROUP BY e.dst),
-d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dmass
+d{i} AS (SELECT coalesce(sum(r.rank_i), 0)::BIGINT AS dmass_i
   FROM r{p} r LEFT JOIN od o ON r.id = o.src WHERE o.src IS NULL),
-r{i} AS MATERIALIZED (SELECT tv.id, round(
+r{i} AS MATERIALIZED (SELECT tv.id, floor((
     {(1.0 - DAMPING)!r}::DOUBLE * tv.t
-    + {DAMPING!r}::DOUBLE * (coalesce(c.inflow, 0.0) + (SELECT dmass FROM d{i}) * tv.t),
-    {PR_ITER_DP}) AS rank
+    + {DAMPING!r}::DOUBLE * (coalesce(c.inflow_i, 0)::DOUBLE * {inv!r}
+        + (SELECT dmass_i FROM d{i})::DOUBLE * {inv!r} * tv.t)
+  ) * {scale!r} + 0.5)::BIGINT AS rank_i
   FROM tv LEFT JOIN c{i} c ON tv.id = c.id)"""
         )
-    parts.append(f"\nSELECT id, round(rank, 6) AS rank FROM r{n_iter}")
+    parts.append(
+        f"\nSELECT id, rank_i::DOUBLE * {inv!r} AS rank FROM r{n_iter}"
+    )
     return "".join(parts)
 
 

@@ -629,19 +629,23 @@ def negative_samples(
     n_objects: int,
     n_neg: int = 1,
     seed: int = 42,
+    key_base: int = 0,
 ) -> DataFrame:
     """TransE-style corrupted triples for KG-embedding training: for
     each (subj, pred, obj) emit ``n_neg`` (subj, pred, obj_neg) rows
     with obj_neg drawn deterministically from the object key space
-    ``obj_kind:0..n_objects-1``, excluding corruptions that happen to
-    be true triples (the standard filtered-negative protocol).
+    ``obj_kind:key_base..key_base+n_objects-1``, excluding corruptions
+    that happen to be true triples (the standard filtered-negative
+    protocol).
 
-    Determinism: the draw is md5(subj:obj:j:seed) mod n_objects — the
-    portable hash family (dedup._md5_long), so a SQL oracle reproduces
-    the samples bit-identically and re-runs are stable at any
-    partitioning. Requires a contiguous 0-based object key space (true
-    for direct-mapped relational keys); for arbitrary pools rank the
-    pool first (the range-partitioned dense ranking in
+    Determinism: the draw is key_base + md5(subj:obj:j:seed) mod
+    n_objects — the portable hash family (dedup._md5_long), so a SQL
+    oracle reproduces the samples bit-identically and re-runs are
+    stable at any partitioning. Requires a contiguous key space
+    starting at ``key_base`` (TPC-H direct-mapped relational keys are
+    1-based, so pass key_base=1 there — a 0-based draw would emit
+    phantom entities like part:0 and never sample the max key); for
+    arbitrary pools rank the pool first (the range-partitioned dense ranking in
     functions.text.word_ranks scales that without a single-partition
     window).
 
@@ -668,7 +672,8 @@ def negative_samples(
                         )
                     ),
                     F.lit(n_objects),
-                ),
+                )
+                + F.lit(key_base),
             ),
         )
     )

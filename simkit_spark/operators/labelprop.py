@@ -165,11 +165,18 @@ def label_propagation_auto(
     u = np.minimum(pdf["src"].values, pdf["dst"].values)
     v = np.maximum(pdf["src"].values, pdf["dst"].values)
     keep = u != v
-    und = np.unique(np.stack([u[keep], v[keep]], axis=1), axis=0)
-    ids = np.unique(und)
+    # Encode endpoints to integer indices BEFORE deduplicating:
+    # np.unique(..., axis=0) rejects object dtype, so string ids (KG
+    # IRIs like "part:17") must never reach it. Index order == sorted
+    # value order, so tiebreaks below still agree with the operator.
+    ids = np.unique(np.concatenate([u[keep], v[keep]]))
     n = len(ids)
-    ui = np.searchsorted(ids, und[:, 0])
-    vi = np.searchsorted(ids, und[:, 1])
+    if n == 0:  # all edges were self-loops
+        return spark.createDataFrame([], f"id {id_t}, community {id_t}")
+    ue = np.searchsorted(ids, u[keep]).astype(np.int64)
+    ve = np.searchsorted(ids, v[keep]).astype(np.int64)
+    enc = np.unique(ue * n + ve)
+    ui, vi = enc // n, enc % n
     a = np.concatenate([ui, vi])  # both orientations: a's neighbor is b
     b = np.concatenate([vi, ui])
     # labels as indices into the SORTED id array: index order == value

@@ -23,13 +23,32 @@ Scale design (the part that must survive 100 TB):
   dangling aggregate, the update join), so a lazy multi-sweep segment
   re-evaluates shared subplans combinatorially — measured 104s -> 30s
   for 10 sweeps over 1M edges going from checkpoint_every=4 to 1.
-- Every rank is rounded to ``iter_dp`` decimals per sweep. That makes
-  the fixed point *bit-reproducible across engines and partitionings*
-  (sum-order ulp drift is re-synchronized each sweep), which is what
-  lets the DuckDB oracle reproduce the Spark result exactly.
+
+Determinism contract (exact-integer fixed point):
+- Ranks are carried as int64 numerators ``rank_i`` at scale
+  10**iter_dp (rank = rank_i * 10**-iter_dp). Per-sweep:
+  contrib_i = rank_i div outdeg (integer floor division), inflow_i =
+  SUM(contrib_i) and dangling mass dmass_i = SUM(rank_i) are EXACT
+  integer sums — order-independent, so no partitioning / engine
+  summation-order ulp drift can exist (an earlier 12dp-double contract
+  re-synchronized each sweep but a sum landing on a rounding boundary
+  could still flip the last digit across engines — the latent
+  flakiness round-3 ADVICE flagged). The float update
+  floor((teleport + d*(inflow_i*inv + dmass-term)) * scale + 0.5)
+  consumes only exact integers and fixed scalar constants through a
+  fixed operation order, so every engine (Spark, numpy, DuckDB)
+  computes bit-identical doubles and therefore identical rank_i.
+  Floor division leaks < outdeg * 10**-iter_dp of mass per source —
+  ~1e-12-scale, identical on every engine.
+- Output rank = rank_i * 10**-iter_dp: one exact int->double convert
+  and one correctly-rounded multiply — bit-identical everywhere, no
+  final decimal re-rounding needed (decimal round() tie behavior
+  differs across engines; we never invoke it).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -37,6 +56,11 @@ from ..util import materialize
 
 DAMPING = 0.85
 PR_ITER_DP = 12
+
+
+def _rank_expr(update: "F.Column", scale: int) -> "F.Column":
+    """floor(update * scale + 0.5) — the shared int64 re-quantization."""
+    return F.floor(update * F.lit(float(scale)) + F.lit(0.5))
 
 
 def pagerank(
@@ -51,9 +75,10 @@ def pagerank(
 
     Unweighted edges: each src splits its rank evenly across out-edges.
     Nodes with no out-edges (dangling) teleport their whole rank.
-    Deterministic: fixed iteration count, per-sweep rounding to
-    ``iter_dp`` decimals (see module docstring).
+    Deterministic: fixed iteration count, exact-integer rank numerators
+    at scale 10**iter_dp (see module docstring).
     """
+    id_t = edges.schema["src"].dataType.simpleString()
     e = edges.select("src", "dst").repartition("src").persist()
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -65,7 +90,7 @@ def pagerank(
     if n == 0:
         e.unpersist()
         nodes.unpersist()
-        return edges.sparkSession.createDataFrame([], "id long, rank double")
+        return edges.sparkSession.createDataFrame([], f"id {id_t}, rank double")
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # outdeg is loop-INVARIANT: bake it into the persisted edge layout
     # once instead of re-joining it every sweep (one fewer shuffle per
@@ -79,39 +104,49 @@ def pagerank(
     ).persist()
     dangling_ids.count()
     e.unpersist()
+    scale = 10**iter_dp
+    inv = 1.0 / float(scale)
     teleport = (1.0 - damping) / float(n)
 
-    ranks = nodes.select("id", F.round(F.lit(1.0) / F.lit(float(n)), iter_dp).alias("rank"))
+    r0 = math.floor((1.0 / float(n)) * float(scale) + 0.5)
+    ranks = nodes.select("id", F.lit(r0).cast("long").alias("rank_i"))
     for i in range(n_iter):
-        src_rank = ranks.select(F.col("id").alias("src"), F.col("rank").alias("srank"))
+        src_rank = ranks.select(
+            F.col("id").alias("src"), F.col("rank_i").alias("srank_i")
+        )
         inflow = (
             ed.join(src_rank, "src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("srank") / F.col("outdeg")).alias("inflow"))
+            .agg(F.sum(F.expr("srank_i div outdeg")).alias("inflow_i"))
         )
         dmass = (
             ranks.join(dangling_ids, "id", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            .agg(F.coalesce(F.sum("rank_i"), F.lit(0)).cast("long").alias("dmass_i"))
         )
         ranks = (
             nodes.join(inflow, "id", "left")
             .crossJoin(F.broadcast(dmass))
             .select(
                 "id",
-                F.round(
+                _rank_expr(
                     F.lit(teleport)
                     + F.lit(damping)
                     * (
-                        F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.col("dmass") / F.lit(float(n))
+                        F.coalesce(F.col("inflow_i"), F.lit(0)).cast("double")
+                        * F.lit(inv)
+                        + F.col("dmass_i").cast("double")
+                        * F.lit(inv)
+                        / F.lit(float(n))
                     ),
-                    iter_dp,
-                ).alias("rank"),
+                    scale,
+                ).alias("rank_i"),
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = materialize(ranks)
-    out = materialize(ranks)
+    out = materialize(
+        ranks.select("id", (F.col("rank_i").cast("double") * F.lit(inv)).alias("rank"))
+    )
     ed.unpersist()
     nodes.unpersist()
     dangling_ids.unpersist()
@@ -130,8 +165,8 @@ def pagerank_auto(
     ``local_threshold`` edges the graph is driver-sized, so one Arrow
     collect + a vectorized numpy loop beats ~3 shuffle stages per sweep
     by orders of magnitude; above it, the distributed operator runs.
-    The per-sweep ``iter_dp`` rounding contract makes both paths
-    bit-identical (parity-tested), so the dispatch is invisible."""
+    The exact-integer rank contract makes both paths bit-identical
+    (parity-tested), so the dispatch is invisible."""
     # materialize ONCE: the dispatch needs a count AND (locally) a
     # collect — two actions that would otherwise each re-run an
     # arbitrarily expensive upstream plan (the kNN kernel costs more
@@ -146,24 +181,38 @@ def pagerank_auto(
 
     pdf = e.toPandas()
     spark = edges.sparkSession
+    id_t = e.schema["src"].dataType.simpleString()
     if not len(pdf):
-        return spark.createDataFrame([], "id long, rank double")
+        return spark.createDataFrame([], f"id {id_t}, rank double")
     ids = np.unique(np.concatenate([pdf["src"].values, pdf["dst"].values]))
     n = len(ids)
     src = np.searchsorted(ids, pdf["src"].values)
     dst = np.searchsorted(ids, pdf["dst"].values)
     out = np.bincount(src, minlength=n)
     dangling = out == 0
-    safe_out = np.where(dangling, 1, out)
+    safe_out = np.where(dangling, 1, out).astype(np.int64)
+    scale = 10**iter_dp
+    inv = 1.0 / float(scale)
     teleport = (1.0 - damping) / float(n)
-    r = np.full(n, round(1.0 / float(n), iter_dp))
+    r_i = np.full(n, math.floor((1.0 / float(n)) * float(scale) + 0.5), dtype=np.int64)
     for _ in range(n_iter):
-        contrib = r / safe_out
-        inflow = np.bincount(dst, weights=contrib[src], minlength=n)
-        dmass = float(r[dangling].sum())
-        r = np.round(teleport + damping * (inflow + dmass / n), iter_dp)
-    res = pd.DataFrame({"id": ids.tolist(), "rank": r.tolist()})
-    return spark.createDataFrame(res, schema="id long, rank double")
+        contrib_i = r_i // safe_out  # exact int64; dangling never appear as src
+        # integer-valued float64 sums are exact below 2^53 (total rank
+        # mass <= scale = 1e12), hence order-independent
+        inflow_i = np.bincount(
+            dst, weights=contrib_i[src].astype(np.float64), minlength=n
+        )
+        dmass_i = int(r_i[dangling].sum())
+        r_i = np.floor(
+            (
+                teleport
+                + damping * (inflow_i * inv + (float(dmass_i) * inv) / float(n))
+            )
+            * float(scale)
+            + 0.5
+        ).astype(np.int64)
+    res = pd.DataFrame({"id": ids.tolist(), "rank": (r_i * inv).tolist()})
+    return spark.createDataFrame(res, schema=f"id {id_t}, rank double")
 
 
 def personalized_pagerank(
@@ -183,17 +232,27 @@ def personalized_pagerank(
 
     rank_{t+1}(v) = (1-d)·t(v) + d·(inflow(v) + dangling_mass·t(v)),
     t(v) = 1/|S| for seeds, else 0; rank_0 = t. Same determinism
-    contract as pagerank (fixed sweeps, per-sweep ``iter_dp``
-    rounding), same size dispatch (numpy under one Arrow collect below
-    ``local_threshold`` edges — string KG IRIs sort fine there — else
-    the distributed loop with the same fixed-src edge layout).
-    Unreachable nodes legitimately hold rank 0.0 and are kept.
+    contract as pagerank (fixed sweeps, exact-integer rank numerators
+    at scale 10**iter_dp), same size dispatch (numpy under one Arrow
+    collect below ``local_threshold`` edges — string KG IRIs sort fine
+    there — else the distributed loop with the same fixed-src edge
+    layout). Unreachable nodes legitimately hold rank 0.0 and are
+    kept. Duplicate seeds are deduplicated at entry (teleport mass
+    must sum to 1); seeds absent from the edge list raise KeyError on
+    BOTH paths, including the empty-edge-list case.
     """
+    if not seeds:
+        raise ValueError("personalized_pagerank requires at least one seed")
+    # dedup ONCE so both paths agree and teleport mass sums to exactly
+    # 1 (duplicate seeds previously tripped the distributed existence
+    # check and left sum(t) < 1 on the numpy path)
+    seed_set = sorted(set(seeds))
+    ts = 1.0 / float(len(seed_set))
     # single evaluation of the upstream plan (see pagerank_auto)
     e = edges.select("src", "dst").localCheckpoint()
     n_edges = e.count()
-    ts = 1.0 / float(len(seeds))
-    seed_set = list(seeds)
+    scale = 10**iter_dp
+    inv = 1.0 / float(scale)
 
     if n_edges <= local_threshold:
         import numpy as np
@@ -202,14 +261,16 @@ def personalized_pagerank(
         pdf = e.toPandas()
         spark = edges.sparkSession
         if not len(pdf):
-            return spark.createDataFrame([], "id string, rank double")
+            # same contract as the non-empty branches: seeds cannot be
+            # present in an empty edge list
+            raise KeyError(f"seeds not present in the edge list: {seed_set}")
         ids = np.unique(np.concatenate([pdf["src"].values, pdf["dst"].values]))
         n = len(ids)
         src = np.searchsorted(ids, pdf["src"].values)
         dst = np.searchsorted(ids, pdf["dst"].values)
         out = np.bincount(src, minlength=n)
         dangling = out == 0
-        safe_out = np.where(dangling, 1, out)
+        safe_out = np.where(dangling, 1, out).astype(np.int64)
         t = np.zeros(n)
         pos = np.searchsorted(ids, np.array(seed_set))
         ok = (pos < n) & (ids[np.minimum(pos, n - 1)] == np.array(seed_set))
@@ -217,15 +278,22 @@ def personalized_pagerank(
             missing = [s for s, o in zip(seed_set, ok) if not o]
             raise KeyError(f"seeds not present in the edge list: {missing}")
         t[pos] = ts
-        r = np.round(t, iter_dp)
+        r_i = np.floor(t * float(scale) + 0.5).astype(np.int64)
         for _ in range(n_iter):
-            contrib = r / safe_out
-            inflow = np.bincount(dst, weights=contrib[src], minlength=n)
-            dmass = float(r[dangling].sum())
-            r = np.round(
-                (1.0 - damping) * t + damping * (inflow + dmass * t), iter_dp
+            contrib_i = r_i // safe_out
+            inflow_i = np.bincount(
+                dst, weights=contrib_i[src].astype(np.float64), minlength=n
             )
-        res = pd.DataFrame({"id": ids.tolist(), "rank": r.tolist()})
+            dmass_i = int(r_i[dangling].sum())
+            r_i = np.floor(
+                (
+                    (1.0 - damping) * t
+                    + damping * (inflow_i * inv + (float(dmass_i) * inv) * t)
+                )
+                * float(scale)
+                + 0.5
+            ).astype(np.int64)
+        res = pd.DataFrame({"id": ids.tolist(), "rank": (r_i * inv).tolist()})
         id_t = e.schema["src"].dataType.simpleString()
         return spark.createDataFrame(res, schema=f"id {id_t}, rank double")
 
@@ -253,37 +321,44 @@ def personalized_pagerank(
     dangling_ids.count()
     ep.unpersist()
 
-    ranks = tv.select("id", F.round(F.col("t"), iter_dp).alias("rank"))
+    ranks = tv.select(
+        "id", _rank_expr(F.col("t"), scale).alias("rank_i")
+    )
     for i in range(n_iter):
-        src_rank = ranks.select(F.col("id").alias("src"), F.col("rank").alias("srank"))
+        src_rank = ranks.select(
+            F.col("id").alias("src"), F.col("rank_i").alias("srank_i")
+        )
         inflow = (
             ed.join(src_rank, "src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("srank") / F.col("outdeg")).alias("inflow"))
+            .agg(F.sum(F.expr("srank_i div outdeg")).alias("inflow_i"))
         )
         dmass = (
             ranks.join(dangling_ids, "id", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+            .agg(F.coalesce(F.sum("rank_i"), F.lit(0)).cast("long").alias("dmass_i"))
         )
         ranks = (
             tv.join(inflow, "id", "left")
             .crossJoin(F.broadcast(dmass))
             .select(
                 "id",
-                F.round(
+                _rank_expr(
                     F.lit(1.0 - damping) * F.col("t")
                     + F.lit(damping)
                     * (
-                        F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.col("dmass") * F.col("t")
+                        F.coalesce(F.col("inflow_i"), F.lit(0)).cast("double")
+                        * F.lit(inv)
+                        + F.col("dmass_i").cast("double") * F.lit(inv) * F.col("t")
                     ),
-                    iter_dp,
-                ).alias("rank"),
+                    scale,
+                ).alias("rank_i"),
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = materialize(ranks)
-    out = materialize(ranks)
+    out = materialize(
+        ranks.select("id", (F.col("rank_i").cast("double") * F.lit(inv)).alias("rank"))
+    )
     ed.unpersist()
     tv.unpersist()
     dangling_ids.unpersist()

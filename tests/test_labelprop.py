@@ -81,3 +81,35 @@ def test_lpa_auto_local_distributed_parity(spark):
         a = {r["id"]: r["community"] for r in label_propagation(df, n_iter=it).collect()}
         b = {r["id"]: r["community"] for r in label_propagation_auto(df, n_iter=it).collect()}
         assert a == b, it
+
+
+def test_lpa_auto_string_id_parity(spark):
+    """String ids (KG IRIs) through the numpy twin: the old twin fed an
+    object array to np.unique(axis=0), which raises TypeError — the
+    dispatch must be invisible for the module's advertised KG use."""
+    import random
+
+    from simkit_spark.operators.labelprop import (
+        label_propagation,
+        label_propagation_auto,
+    )
+
+    rng = random.Random(7)
+    edges = [
+        ("part:%d" % rng.randrange(30), "supplier:%d" % rng.randrange(30))
+        for _ in range(90)
+    ] + [("chain:%d" % i, "chain:%d" % (i + 1)) for i in range(12)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for it in (1, 4):
+        a = {r["id"]: r["community"] for r in label_propagation(df, n_iter=it).collect()}
+        b = {r["id"]: r["community"] for r in label_propagation_auto(df, n_iter=it).collect()}
+        assert a == b, it
+    out = label_propagation_auto(df, n_iter=2)
+    assert out.schema["id"].dataType.simpleString() == "string"
+
+
+def test_lpa_auto_all_self_loops(spark):
+    from simkit_spark.operators.labelprop import label_propagation_auto
+
+    df = spark.createDataFrame([("a", "a"), ("b", "b")], "src string, dst string")
+    assert label_propagation_auto(df, n_iter=2).count() == 0

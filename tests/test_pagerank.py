@@ -1,7 +1,10 @@
-"""PageRank operator: numpy-reference parity (incl. dangling mass),
-conservation, and partition invariance."""
+"""PageRank operator: exact-integer-contract parity against slow
+dict/loop reference twins (incl. dangling mass), conservation,
+partition invariance, and the seed-handling contract."""
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pytest
@@ -10,24 +13,45 @@ from simkit_spark.operators.pagerank import pagerank
 
 
 def _np_pagerank(edges, n_iter=10, d=0.85, dp=12):
-    """Reference loop with the operator's exact rounding contract."""
+    """Slow loop twin of the operator's exact-integer contract: int
+    rank numerators at scale 10**dp, integer floor-division
+    contributions, exact integer sums — order-independent, so this
+    dict/loop twin is EXACTLY the operator's fixed point (the earlier
+    float-rounding contract could drift an ulp with summation order)."""
     nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
-    out = np.zeros(n)
+    scale = 10**dp
+    inv = 1.0 / float(scale)
+    out = np.zeros(n, dtype=np.int64)
     for s, _ in edges:
         out[idx[s]] += 1
-    r = np.full(n, round(1.0 / float(n), dp))
+    r = np.full(n, math.floor((1.0 / float(n)) * float(scale) + 0.5), dtype=np.int64)
     teleport = (1.0 - d) / float(n)
     for _ in range(n_iter):
-        inflow = np.zeros(n)
+        inflow = np.zeros(n, dtype=np.int64)
         for s, t in edges:
-            inflow[idx[t]] += r[idx[s]] / out[idx[s]]
-        dmass = r[out == 0].sum()
+            inflow[idx[t]] += int(r[idx[s]]) // int(out[idx[s]])
+        dmass = int(r[out == 0].sum())
         r = np.array(
-            [round(teleport + d * (inflow[i] + dmass / n), dp) for i in range(n)]
+            [
+                math.floor(
+                    (
+                        teleport
+                        + d
+                        * (
+                            float(inflow[i]) * inv
+                            + (float(dmass) * inv) / float(n)
+                        )
+                    )
+                    * float(scale)
+                    + 0.5
+                )
+                for i in range(n)
+            ],
+            dtype=np.int64,
         )
-    return {v: r[idx[v]] for v in nodes}
+    return {v: float(r[idx[v]]) * inv for v in nodes}
 
 
 @pytest.fixture(scope="module")
@@ -43,12 +67,14 @@ def test_pagerank_matches_numpy_reference(spark, dangling_graph):
     want = _np_pagerank(edges, n_iter=10)
     assert set(got) == set(want)
     for v in want:
-        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+        # exact-integer contract: bit equality, not approx
+        assert got[v] == want[v], v
 
 
 def test_pagerank_conserves_mass(spark, dangling_graph):
     _, df = dangling_graph
     total = sum(r["rank"] for r in pagerank(df, n_iter=10).collect())
+    # floor division leaks < outdeg ulps of 1e-12 per source per sweep
     assert total == pytest.approx(1.0, abs=1e-9)
 
 
@@ -61,12 +87,17 @@ def test_pagerank_partition_invariant(spark, dangling_graph):
 
 def test_pagerank_empty_edges(spark):
     df = spark.createDataFrame([], "src long, dst long")
-    assert pagerank(df, n_iter=3).count() == 0
+    out = pagerank(df, n_iter=3)
+    assert out.count() == 0
+    # schema follows the input id type
+    assert out.schema["id"].dataType.simpleString() == "bigint"
+    df_s = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(df_s, n_iter=3).schema["id"].dataType.simpleString() == "string"
 
 
 def test_pagerank_auto_paths_bit_identical(spark, dangling_graph):
-    """The 12dp per-sweep rounding contract makes the driver-local
-    numpy path and the distributed path produce the same bits."""
+    """The exact-integer contract makes the driver-local numpy path
+    and the distributed path produce the same bits."""
     from simkit_spark.operators.pagerank import pagerank_auto
 
     _, df = dangling_graph
@@ -83,24 +114,34 @@ def test_pagerank_auto_empty(spark):
 
 
 def _ppr_reference(edges, seeds, n_iter=10, d=0.85, dp=12):
-    """Textbook seed-teleport power iteration (dict arithmetic)."""
+    """Textbook seed-teleport power iteration, dict arithmetic, on the
+    operator's exact-integer contract (order-independent -> exact)."""
     nodes = sorted({x for e in edges for x in e})
-    ts = 1.0 / len(seeds)
+    scale = 10**dp
+    inv = 1.0 / float(scale)
+    ts = 1.0 / len(set(seeds))
     t = {v: (ts if v in seeds else 0.0) for v in nodes}
     out = {}
     for s, _ in edges:
         out[s] = out.get(s, 0) + 1
-    r = {v: round(t[v], dp) for v in nodes}
+    r = {v: math.floor(t[v] * float(scale) + 0.5) for v in nodes}
     for _ in range(n_iter):
-        inflow = {v: 0.0 for v in nodes}
+        inflow = {v: 0 for v in nodes}
         for s, o in edges:
-            inflow[o] += r[s] / out[s]
+            inflow[o] += r[s] // out[s]
         dmass = sum(r[v] for v in nodes if v not in out)
         r = {
-            v: round((1 - d) * t[v] + d * (inflow[v] + dmass * t[v]), dp)
+            v: math.floor(
+                (
+                    (1 - d) * t[v]
+                    + d * (float(inflow[v]) * inv + (float(dmass) * inv) * t[v])
+                )
+                * float(scale)
+                + 0.5
+            )
             for v in nodes
         }
-    return r
+    return {v: float(r[v]) * inv for v in nodes}
 
 
 def test_ppr_matches_reference_and_concentrates_on_seed(spark):
@@ -110,11 +151,9 @@ def test_ppr_matches_reference_and_concentrates_on_seed(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["id"]: r["rank"] for r in personalized_pagerank(df, ["a"], n_iter=10).collect()}
     ref = _ppr_reference(edges, {"a"})
-    # inflow summation order (bincount vs loop) drifts the last ulp of
-    # the 12dp contract; the engine-parity guarantees are the 12dp
-    # local/distributed and 6dp oracle comparisons, not dict-loop order
     assert set(got) == set(ref)
-    assert all(abs(got[v] - ref[v]) < 1e-9 for v in ref)
+    # exact-integer contract: the slow dict twin is bit-identical
+    assert all(got[v] == ref[v] for v in ref)
     # relevance decays with distance from the seed
     assert got["a"] > got["e"] > 0.0
 
@@ -132,7 +171,6 @@ def test_ppr_local_distributed_bit_parity(spark):
 
 
 def test_ppr_missing_seed_raises(spark):
-    import pytest
     from simkit_spark.operators.pagerank import personalized_pagerank
 
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
@@ -140,3 +178,41 @@ def test_ppr_missing_seed_raises(spark):
         personalized_pagerank(df, ["zz"], n_iter=2)
     with pytest.raises(KeyError):
         personalized_pagerank(df, ["zz"], n_iter=2, local_threshold=0)
+
+
+def test_ppr_empty_edges_raises_keyerror(spark):
+    """Seeds cannot be present in an empty edge list -> KeyError on
+    the local path too (previously returned a silently-empty frame
+    with a hardcoded schema)."""
+    from simkit_spark.operators.pagerank import personalized_pagerank
+
+    df = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(KeyError):
+        personalized_pagerank(df, ["a"], n_iter=2)
+
+
+def test_ppr_duplicate_seeds_dedup(spark):
+    """Duplicate seeds are deduplicated at entry: both paths accept
+    them, agree bit-for-bit with the unique-seed run, and teleport
+    mass sums to 1 (previously the distributed path raised a spurious
+    KeyError and the numpy path under-teleported)."""
+    from simkit_spark.operators.pagerank import personalized_pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    uniq = {r["id"]: r["rank"] for r in personalized_pagerank(df, ["a", "c"], n_iter=5).collect()}
+    dup_loc = {r["id"]: r["rank"] for r in personalized_pagerank(df, ["a", "c", "a"], n_iter=5).collect()}
+    dup_dist = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(df, ["a", "c", "a"], n_iter=5, local_threshold=0).collect()
+    }
+    assert dup_loc == uniq == dup_dist
+    assert sum(uniq.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ppr_no_seeds_raises(spark):
+    from simkit_spark.operators.pagerank import personalized_pagerank
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, [], n_iter=2)
