@@ -88,6 +88,9 @@ def time_query(fn, *args) -> float:
     return time.time() - t0
 
 
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+
 def kg_pipeline_secs(spark, n_docs: int) -> float:
     from simkit_spark.catalog import TableStore
     from simkit_spark.corpus import synthesize
@@ -124,14 +127,33 @@ def main():
         "noop"
     ).mode("overwrite").save()
 
+    # materialize the shared relational-triple table ONCE and report
+    # its build cost as its own line: 13 kg_* queries consume it, and
+    # before this amortization each of them silently re-paid the
+    # 8-branch-union rebuild (~8-17 s at sf0.1), hiding per-operator
+    # cost (r3 verdict: kg_cooccurrence 51.5 s of which most was
+    # upstream rebuild). In the real pipeline this is a materialized
+    # stage table.
+    t0 = time.time()
+    entry_mod._kg_rel(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    kg_rel_build = round(time.time() - t0, 3)
+
+    # each query is timed N_RUNS times (best-of is the headline number,
+    # the raw pairs ride along in "query_runs"): this box swings up to
+    # 12x run-to-run, so single-run numbers made r2->r3 deltas
+    # un-adjudicable (three phantom "regressions" were box noise)
     qs = entry_mod.queries()
     results: dict[str, float] = {}
+    query_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         try:
-            results[name] = round(time_query(qs[name], spark, sf_dir), 3)
+            runs = [round(time_query(qs[name], spark, sf_dir), 3) for _ in range(N_RUNS)]
+            query_runs[name] = runs
+            results[name] = min(runs)
         except Exception as e:  # noqa: BLE001
             results[name] = -1.0
             print(f"# bench {name} failed: {e}", file=sys.stderr)
+    results["kg_triples_build"] = kg_rel_build
 
     # headline metric: best of 2 — this sandbox shares its box and
     # identical runs swing up to 3x wall (BENCH/BASELINE.md documents
@@ -155,6 +177,7 @@ def main():
                 # both raw runs, so round-over-round deltas are
                 # variance-separable from plan changes
                 "kg_runs": kg_runs,
+                "query_runs": query_runs,
             }
         )
     )

@@ -17,14 +17,14 @@ replacement.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from ..util import materialize
+from ..util import local_dispatch_rows, materialize
 
 
 def connected_components_auto(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 50,
-    local_threshold: int = 300_000,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Size-dispatched CC: graphs whose edge list fits the driver
     comfortably collect (via Arrow, as numpy arrays — never Row
@@ -47,6 +47,8 @@ def connected_components_auto(
             .distinct()
         )
     nodes = materialize(nodes)
+    if local_threshold is None:  # byte-budgeted, not a bare row count
+        local_threshold = local_dispatch_rows(edges.schema, default_rows=300_000)
     n_edges = edges.count()
     if n_edges > local_threshold:
         return connected_components(edges, nodes, max_iter)

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..util import materialize
+from ..util import local_dispatch_rows, materialize
 
 
 def kcore(
@@ -96,7 +96,7 @@ def kcore(
 
 
 def kcore_auto(
-    edges: DataFrame, k: int, n_iter: int = 10, local_threshold: int = 500_000
+    edges: DataFrame, k: int, n_iter: int = 10, local_threshold: int | None = None
 ) -> DataFrame:
     """Size-dispatched k-core (the repo's *_auto contract — see
     pagerank_auto): below ``local_threshold`` edges the graph is
@@ -107,6 +107,8 @@ def kcore_auto(
     # one evaluation of the upstream plan: count + toPandas would each
     # re-run it otherwise (the pagerank_auto lesson)
     e = edges.select("src", "dst").localCheckpoint()
+    if local_threshold is None:  # byte-budgeted, not a bare row count
+        local_threshold = local_dispatch_rows(e.schema)
     n_edges = e.count()
     if n_edges > local_threshold:
         return kcore(e, k, n_iter)

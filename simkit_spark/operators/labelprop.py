@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..util import materialize
+from ..util import local_dispatch_rows, materialize
 
 
 def label_propagation(
@@ -140,7 +140,7 @@ def community_modularity(
 
 
 def label_propagation_auto(
-    edges: DataFrame, n_iter: int = 5, local_threshold: int = 500_000
+    edges: DataFrame, n_iter: int = 5, local_threshold: int | None = None
 ) -> DataFrame:
     """Size-dispatched LPA (the repo's *_auto contract): below
     ``local_threshold`` edges the graph is driver-sized and the
@@ -151,6 +151,8 @@ def label_propagation_auto(
     dispatch count and the collect don't each re-run an expensive
     upstream (e.g. the kNN kernel)."""
     e0 = edges.select("src", "dst").localCheckpoint()
+    if local_threshold is None:  # byte-budgeted, not a bare row count
+        local_threshold = local_dispatch_rows(e0.schema)
     if e0.count() > local_threshold:
         return label_propagation(e0, n_iter)
 

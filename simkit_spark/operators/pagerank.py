@@ -52,7 +52,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..util import materialize
+from ..util import local_dispatch_rows, materialize
 
 DAMPING = 0.85
 PR_ITER_DP = 12
@@ -158,7 +158,7 @@ def pagerank_auto(
     n_iter: int = 10,
     damping: float = DAMPING,
     iter_dp: int = PR_ITER_DP,
-    local_threshold: int = 500_000,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Size-dispatched PageRank (the repo's *_auto contract — see
     connected_components_auto / kmeans_auto / eigensolve_auto): below
@@ -172,6 +172,8 @@ def pagerank_auto(
     # arbitrarily expensive upstream plan (the kNN kernel costs more
     # than the whole PageRank loop at bench scale)
     e = edges.select("src", "dst").localCheckpoint()
+    if local_threshold is None:  # byte-budgeted, not a bare row count
+        local_threshold = local_dispatch_rows(e.schema)
     n_edges = e.count()
     if n_edges > local_threshold:
         return pagerank(e, n_iter, damping, iter_dp)
@@ -221,7 +223,7 @@ def personalized_pagerank(
     n_iter: int = 10,
     damping: float = DAMPING,
     iter_dp: int = PR_ITER_DP,
-    local_threshold: int = 500_000,
+    local_threshold: int | None = None,
     checkpoint_every: int = 1,
 ) -> DataFrame:
     """Personalized PageRank (random-walk-with-restart): teleport mass
@@ -250,6 +252,8 @@ def personalized_pagerank(
     ts = 1.0 / float(len(seed_set))
     # single evaluation of the upstream plan (see pagerank_auto)
     e = edges.select("src", "dst").localCheckpoint()
+    if local_threshold is None:
+        local_threshold = local_dispatch_rows(e.schema)
     n_edges = e.count()
     scale = 10**iter_dp
     inv = 1.0 / float(scale)

@@ -22,3 +22,60 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     if has_dir:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+# --- local-twin dispatch sizing -------------------------------------
+# The *_auto operators (pagerank/kcore/labelprop/components) collect
+# driver-sized graphs via ONE Arrow pull and run a vectorized numpy
+# twin. "Driver-sized" must be a BYTE budget, not a row count: 500k
+# (src,dst) int64 edges is ~8 MB, but the same row count of wide rows
+# (string IRIs, vec-weighted edges) could be hundreds of MB. The
+# helper converts a byte budget into a row threshold using a static
+# per-type width estimate — no sampling action, so dispatch stays one
+# count() cheap.
+
+LOCAL_DISPATCH_BYTE_BUDGET = 64 << 20  # 64 MiB of Arrow-collected columns
+
+_STRING_BYTES = 48  # conservative for KG IRIs ("customer:12345" ~ 15)
+_ARRAY_ELEMS = 16  # assumed elements when the length is unknowable
+
+
+def _est_width(dt) -> int:
+    """Static per-value byte estimate for a Spark DataType."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.LongType, T.DoubleType, T.TimestampType)):
+        return 8
+    if isinstance(dt, (T.IntegerType, T.FloatType, T.DateType)):
+        return 4
+    if isinstance(dt, (T.ShortType,)):
+        return 2
+    if isinstance(dt, (T.ByteType, T.BooleanType)):
+        return 1
+    if isinstance(dt, T.StringType):
+        return _STRING_BYTES
+    if isinstance(dt, T.BinaryType):
+        return 256
+    if isinstance(dt, T.ArrayType):
+        return 16 + _ARRAY_ELEMS * _est_width(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return 16 + sum(_est_width(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.MapType):
+        return 16 + _ARRAY_ELEMS * (
+            _est_width(dt.keyType) + _est_width(dt.valueType)
+        )
+    return 16  # decimal & friends
+
+
+def local_dispatch_rows(
+    schema,
+    default_rows: int = 500_000,
+    byte_budget: int = LOCAL_DISPATCH_BYTE_BUDGET,
+) -> int:
+    """Row threshold under which a *_auto operator collects locally:
+    min(default_rows, rows-of-this-schema that fit byte_budget). For
+    narrow (long,long) edge lists this returns default_rows unchanged
+    (they fit 4M+ rows in the budget); wide rows shrink it so the
+    driver collect is bounded in BYTES regardless of schema."""
+    bytes_per_row = max(1, sum(_est_width(f.dataType) for f in schema.fields))
+    return max(1_000, min(default_rows, byte_budget // bytes_per_row))

@@ -65,3 +65,33 @@ def test_sql_impl_matches_numpy_impl(spark):
         }
         assert a.keys() == b.keys(), kernel
         assert all(abs(a[k] - b[k]) < 1e-9 for k in a), kernel
+
+
+def test_local_dispatch_rows_byte_budget():
+    """*_auto dispatch must be byte-budgeted: narrow (long,long) edges
+    keep the 500k default, adversarially wide rows (string IRIs +
+    embedded vectors) shrink the threshold so the Arrow collect stays
+    bounded in bytes."""
+    from pyspark.sql import types as T
+
+    from simkit_spark.util import LOCAL_DISPATCH_BYTE_BUDGET, local_dispatch_rows
+
+    narrow = T.StructType(
+        [T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]
+    )
+    assert local_dispatch_rows(narrow) == 500_000
+    wide = T.StructType(
+        [
+            T.StructField("src", T.StringType()),
+            T.StructField("dst", T.StringType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    thr = local_dispatch_rows(wide)
+    assert thr < 500_000
+    # the implied collect stays within ~the budget at the estimate
+    est = (48 * 2) + (16 + 16 * 8) + 256
+    assert thr * est <= LOCAL_DISPATCH_BYTE_BUDGET
+    # floors at a sane minimum and honors a custom budget
+    assert local_dispatch_rows(wide, byte_budget=1) == 1_000
