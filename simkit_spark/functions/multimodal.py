@@ -2,15 +2,22 @@
 columns + typed metadata, with decode / feature-extract / frame-sample
 as Arrow-batched pandas UDFs over mapInPandas.
 
-The decode step is STUBBED (this container ships no image/audio codecs
-— see decode_media) behind a deterministic fake so the Spark-side
-plumbing (schema, partitioning, UDF signature, batch shape) is real and
-tested; swap `_decode_bytes` for a PIL/torchaudio call in production.
+The decode step is REAL for the container formats that need no codec
+library: 24-bit uncompressed BMP (raw BGR pixel rows) and PCM16 WAV
+(RIFF) decode in pure numpy; video rides a trivial length-prefixed
+concatenation of BMP frames (``VID0`` — a stand-in for a real
+container, but every frame decode is a genuine BMP parse). fetch_media
+synthesizes VALID payloads in those formats (in production it is the
+object-store fetch), so the whole pipeline — fetch -> parse header ->
+decode pixel/sample data -> feature extraction — exercises real bytes
+end to end. Compressed formats (JPEG/MP3/H.264) would slot into
+``_decode_bytes`` via PIL/torchaudio/pyav; none ship in this
+container, which is why the synthetic corpus emits BMP/WAV.
 """
 
 from __future__ import annotations
 
-import hashlib
+import struct
 import zlib
 from typing import Iterator
 
@@ -23,13 +30,131 @@ MEDIA_SCHEMA = (
 )
 FEATURE_DIM = 32
 
+# synthesized media shapes (decoded): image HWC, audio samples, video THWC
+IMG_H, IMG_W = 16, 16
+AUDIO_N = 1024
+VIDEO_T = 4
+
+
+# --------------------------------------------------------------- codecs
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """float HWC RGB in [0,1] -> 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding)."""
+    h, w, c = pixels.shape
+    assert c == 3, "24-bit BMP wants 3 channels"
+    row = w * 3
+    pad = (-row) % 4
+    img_size = (row + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    u8 = np.clip(np.round(pixels * 255.0), 0, 255).astype(np.uint8)
+    bgr = u8[::-1, :, ::-1].reshape(h, row)  # bottom-up rows, BGR order
+    if pad:
+        bgr = np.concatenate([bgr, np.zeros((h, pad), np.uint8)], axis=1)
+    return header + info + bgr.tobytes()
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> float HWC RGB in [0,1]."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    w, h = struct.unpack_from("<ii", b, 18)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    raw = np.frombuffer(b, np.uint8, count=stride * h, offset=data_off)
+    bgr = raw.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].astype(np.float64) / 255.0
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """float mono samples in [-1,1] -> PCM16 RIFF/WAVE."""
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav(b: bytes) -> np.ndarray:
+    """PCM16 RIFF/WAVE (mono) -> float samples in [-1,1]."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    off = 12
+    fmt_code = None
+    while off + 8 <= len(b):
+        cid, size = struct.unpack_from("<4sI", b, off)
+        off += 8
+        if cid == b"fmt ":
+            fmt_code, channels = struct.unpack_from("<HH", b, off)
+            if fmt_code != 1 or channels != 1:
+                raise ValueError(f"unsupported WAV: fmt={fmt_code} ch={channels}")
+        elif cid == b"data":
+            pcm = np.frombuffer(b, "<i2", count=size // 2, offset=off)
+            return pcm.astype(np.float64) / 32767.0
+        off += size + (size % 2)  # chunks are word-aligned
+    raise ValueError("WAV has no data chunk")
+
+
+def encode_vid(frames: np.ndarray) -> bytes:
+    """float THWC RGB -> 'VID0' + u32 count + length-prefixed BMP
+    frames (a stand-in container; each frame is a real BMP)."""
+    parts = [b"VID0", struct.pack("<I", frames.shape[0])]
+    for f in frames:
+        fb = encode_bmp(f)
+        parts.append(struct.pack("<I", len(fb)))
+        parts.append(fb)
+    return b"".join(parts)
+
+
+def decode_vid(b: bytes) -> np.ndarray:
+    """'VID0' container -> float THWC RGB."""
+    if b[:4] != b"VID0":
+        raise ValueError("not a VID0 payload")
+    (t,) = struct.unpack_from("<I", b, 4)
+    off = 8
+    frames = []
+    for _ in range(t):
+        (ln,) = struct.unpack_from("<I", b, off)
+        off += 4
+        frames.append(decode_bmp(b[off : off + ln]))
+        off += ln
+    return np.stack(frames)
+
+
+def _synthesize_payload(media_ref: str, kind: str) -> bytes:
+    """Deterministic valid payload for a media_ref (the synthetic stand-
+    in for the object-store fetch): seeded pixels/samples, really
+    encoded in the container format the decoder parses."""
+    rng = np.random.RandomState(zlib.crc32(f"{kind}:{media_ref}".encode()))
+    if kind == "image":
+        return encode_bmp(rng.rand(IMG_H, IMG_W, 3))
+    if kind == "audio":
+        return encode_wav(rng.rand(AUDIO_N) * 2.0 - 1.0)
+    if kind == "video":
+        return encode_vid(rng.rand(VIDEO_T, IMG_H, IMG_W, 3))
+    raise NotImplementedError(f"no synthesizer for kind={kind!r}")
+
 
 def fetch_media(spans: DataFrame) -> DataFrame:
     """Media spans -> (doc_id, span_idx, kind, media_ref, payload).
 
-    payload is a deterministic synthetic blob derived from media_ref (in
-    production this is the object-store fetch — an IO-bound mapInPandas
-    with per-batch connection reuse)."""
+    payload is a deterministic, VALID BMP/WAV/VID0 blob derived from
+    media_ref (in production this is the object-store fetch — an
+    IO-bound mapInPandas with per-batch connection reuse)."""
     media = spans.where(F.col("kind") != "text").select(
         "doc_id", "span_idx", "kind", "media_ref"
     )
@@ -38,7 +163,8 @@ def fetch_media(spans: DataFrame) -> DataFrame:
         for pdf in batches:
             pdf = pdf.copy()
             pdf["payload"] = [
-                hashlib.sha256(str(r).encode()).digest() * 8 for r in pdf["media_ref"]
+                _synthesize_payload(str(r), str(k))
+                for r, k in zip(pdf["media_ref"], pdf["kind"])
             ]
             yield pdf
 
@@ -46,20 +172,15 @@ def fetch_media(spans: DataFrame) -> DataFrame:
 
 
 def _decode_bytes(payload: bytes, kind: str) -> np.ndarray:
-    """STUB decode: no codec libraries in this container.
-
-    Production: PIL.Image.open / torchaudio.load / pyav frame sampling.
-    Here: a deterministic pseudo-decode (seeded by payload hash) that
-    yields the right shapes so downstream feature extraction is real.
-    """
-    seed = zlib.crc32(payload[:64])
-    rng = np.random.RandomState(seed)
+    """Real pure-numpy decode by container magic: BMP images -> HWC
+    float RGB, PCM16 WAV -> float samples, VID0 -> THWC frames.
+    Compressed formats would dispatch to PIL/torchaudio/pyav here."""
     if kind == "image":
-        return rng.rand(16, 16, 3)  # HWC float "pixels"
+        return decode_bmp(payload)
     if kind == "audio":
-        return rng.rand(1024)  # mono samples
+        return decode_wav(payload)
     if kind == "video":
-        return rng.rand(4, 16, 16, 3)  # THWC frame sample
+        return decode_vid(payload)
     raise NotImplementedError(f"no decoder for kind={kind!r}")
 
 

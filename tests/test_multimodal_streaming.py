@@ -226,3 +226,82 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(240)
     kept = {r["doc_id"] for r in spark.sql("select doc_id from sdedup").collect()}
     assert kept == {"d1", "d2", "d4"}, kept
+
+
+def test_bmp_decode_hand_fixture():
+    """Decode parity against hand-assembled bytes (no encoder in the
+    loop): a 2x1 24-bit BMP, bottom-up, red then blue pixel."""
+    import struct
+
+    import numpy as np
+
+    from simkit_spark.functions.multimodal import decode_bmp
+
+    w, h = 2, 1
+    row = w * 3  # 6 bytes + 2 pad
+    pad = 2
+    img_size = (row + pad) * h
+    b = (
+        struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 0, 0, 0, 0)
+        # BGR: pixel0 = red (00 00 FF), pixel1 = blue (FF 00 00), pad
+        + bytes([0x00, 0x00, 0xFF, 0xFF, 0x00, 0x00, 0, 0])
+    )
+    arr = decode_bmp(b)
+    assert arr.shape == (1, 2, 3)
+    assert np.allclose(arr[0, 0], [1.0, 0.0, 0.0])  # red, RGB order
+    assert np.allclose(arr[0, 1], [0.0, 0.0, 1.0])  # blue
+
+
+def test_wav_decode_hand_fixture():
+    import struct
+
+    import numpy as np
+
+    from simkit_spark.functions.multimodal import decode_wav
+
+    pcm = struct.pack("<4h", 0, 32767, -32768, 16384)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    b = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(pcm), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(pcm))
+        + pcm
+    )
+    s = decode_wav(b)
+    assert s.shape == (4,)
+    assert np.allclose(s, [0.0, 1.0, -32768.0 / 32767.0, 16384.0 / 32767.0])
+
+
+def test_codec_roundtrips():
+    """encode->decode recovers pixels/samples to quantization error."""
+    import numpy as np
+
+    from simkit_spark.functions.multimodal import (
+        decode_bmp,
+        decode_vid,
+        decode_wav,
+        encode_bmp,
+        encode_vid,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.rand(5, 7, 3)  # odd width exercises row padding
+    assert np.abs(decode_bmp(encode_bmp(img)) - img).max() <= 0.5 / 255
+    au = rng.rand(333) * 2 - 1
+    assert np.abs(decode_wav(encode_wav(au)) - au).max() <= 1.0 / 32767
+    vid = rng.rand(3, 4, 5, 3)
+    assert np.abs(decode_vid(encode_vid(vid)) - vid).max() <= 0.5 / 255
+
+
+def test_decode_rejects_garbage():
+    import pytest
+
+    from simkit_spark.functions.multimodal import _decode_bytes
+
+    with pytest.raises(ValueError):
+        _decode_bytes(b"not a bmp at all....", "image")
+    with pytest.raises(NotImplementedError):
+        _decode_bytes(b"....", "hologram")
