@@ -804,6 +804,18 @@ def _kg_cooccurrence(spark, sf_dir):
     return cooccurrence_edges(_kg_rel(spark, sf_dir), "contains", max_per_subject=1000)
 
 
+def _setsim_pairs(spark, sf_dir):
+    # exact set-similarity self-join (prefix filtering, AllPairs/PPJoin
+    # family): every doc pair with token-Jaccard >= 9/10, all-integer
+    # output (n_inter, n_union) so the brute-force oracle is bit-exact.
+    # tau is tight because the synthetic corpus is template-heavy
+    # (57% of ALL pairs clear 0.6 at sf0.01; 7% clear 0.9 — the output
+    # itself is what's quadratic at loose tau on such a corpus)
+    from simkit_spark.functions.setsim import setsim_pairs
+
+    return setsim_pairs(_docs(spark, sf_dir), tau_num=9, tau_den=10)
+
+
 def _kg_negative_samples(spark, sf_dir):
     from simkit_spark.kg import negative_samples
 
@@ -980,8 +992,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,
         "events_sessionize": _events_sessionize,
         "exact_dedup": _exact_dedup,
-        "minhash_signatures": _minhash,
+        # new in r4 (never driver-checked -> in-window)
+        "setsim_pairs": _setsim_pairs,
         # --- driver-green in r3 (tail beyond the 50-entry window) ---
+        "minhash_signatures": _minhash,
         "pairwise_manhattan": _pairwise("manhattan"),
         "pairwise_cosine": _pairwise("cosine"),
         "pairwise_canberra": _pairwise("canberra"),
@@ -2150,6 +2164,20 @@ r{i} AS MATERIALIZED (SELECT tv.id, floor((
     return "".join(parts)
 
 
+_SETSIM_SQL = """
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+  FROM documents WHERE trim(text) <> ''
+),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.toks, b.toks)) AS n_inter,
+         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS n_union
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+)
+SELECT a, b, n_inter, n_union FROM p WHERE n_inter * 10 >= n_union * 9"""
+
+
 def oracle_sql() -> dict[str, str]:
     # Order mirrors queries() (minus the rows-only entries) — see the
     # coverage-schedule comment there: r3's never-driver-checked
@@ -2211,6 +2239,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "exact_dedup": f"SELECT {_FP_EXPR} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY 1",
+        # brute-force exact twin of the prefix-filtered join: the
+        # filter is an optimization, the OUTPUT contract is all pairs
+        "setsim_pairs": _SETSIM_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),

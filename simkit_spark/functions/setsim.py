@@ -1,0 +1,126 @@
+"""Exact set-similarity self-join via prefix filtering — the
+deterministic complement to MinHash/LSH near-dup: EVERY pair of
+documents whose token-set Jaccard >= tau, with zero false negatives
+(AllPairs / PPJoin family: Bayardo et al., WWW'07; Xiao et al.,
+ICDE'08). MinHash trades recall for speed; contamination checks and
+legal-grade dedup want the exact join, and prefix filtering is what
+makes it subquadratic.
+
+Why it scales (the 100 TB argument): a pair can only have
+J(A,B) >= tau if the first |A| - ceil(tau*|A|) + 1 tokens of A (under
+ANY global token ordering shared by all documents) intersect B's
+prefix. Ordering tokens rarest-first makes those prefixes hit the
+long tail of the token distribution, so candidate generation is an
+equi-join on RARE tokens — no all-pairs product anywhere, candidates
+collapse from C(n,2) to roughly the number of truly-similar pairs
+(measured: <2% of the quadratic count on a long-tail-vocabulary corpus,
+tests/test_setsim.py::test_prefix_pruning_ratio). Caveat that matters
+in practice: on a template-heavy corpus the OUTPUT is near-quadratic
+at loose tau (57% of all pairs clear 0.6 on the synthetic bench
+corpus) and no candidate scheme can beat its own output size — run
+exact_dedup first and use a tight tau there.
+Verification then runs only on candidates with a broadcast-free
+sorted-array intersection.
+
+Determinism contract: tau is a RATIONAL tau_num/tau_den and the
+output carries integer (n_inter, n_union) with the predicate
+n_inter * tau_den >= tau_num * n_union — all-integer end to end, so
+the DuckDB brute-force oracle matches bit-for-bit with no float
+rounding anywhere (the engine-parity lesson from the PageRank family:
+floats invite cross-engine tie risk; integers don't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def setsim_pairs(
+    docs: DataFrame,
+    tau_num: int = 3,
+    tau_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs (a < b) with token-set Jaccard >= tau_num/tau_den.
+
+    Returns (a, b, n_inter, n_union) — integers only; consumers divide
+    if they want the ratio. Token set = distinct tokens of
+    lower(trim(text)) split on whitespace; empty docs drop out.
+    """
+    prefixed, cands = _prefix_candidates(docs, tau_num, tau_den, id_col, text_col)
+    ta = prefixed.select(F.col("id").alias("a"), F.col("stoks").alias("ta"))
+    tb = prefixed.select(F.col("id").alias("b"), F.col("stoks").alias("tb"))
+    verified = (
+        cands.join(ta.hint("shuffle_hash"), "a")
+        .join(tb.hint("shuffle_hash"), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("ta", "tb")).alias("n_inter"),
+            (F.size("ta") + F.size("tb")).alias("lab"),
+        )
+        .select(
+            "a",
+            "b",
+            "n_inter",
+            (F.col("lab") - F.col("n_inter")).alias("n_union"),
+        )
+        .where(F.col("n_inter") * tau_den >= F.col("n_union") * tau_num)
+    )
+    return verified
+
+
+def _prefix_candidates(
+    docs: DataFrame,
+    tau_num: int,
+    tau_den: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(prefixed, candidate pairs) — split out so tests can measure the
+    pruning ratio (candidates vs the quadratic pair count)."""
+    if not (0 < tau_num <= tau_den):
+        raise ValueError("tau must be a rational in (0, 1]")
+    toks = (
+        docs.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("toks"),
+        )
+        .withColumn("sz", F.size("toks"))
+    )
+    flat = toks.select("id", "sz", F.explode("toks").alias("tok"))
+    # global rarest-first ordering = (document frequency, token): no
+    # global window — df is one hash agg, the ordering is carried as a
+    # sortable struct
+    dfreq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        flat.join(dfreq.hint("shuffle_hash"), "tok")
+        .groupBy("id", "sz")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("otoks"))
+    )
+    # prefix length p = sz - ceil(tau*sz) + 1, all-integer ceil
+    p = F.col("sz") - F.expr(f"({tau_num} * sz + {tau_den} - 1) div {tau_den}") + 1
+    prefixed = ordered.select(
+        "id",
+        "sz",
+        F.expr("transform(otoks, x -> x.tok)").alias("stoks"),
+        F.slice(F.expr("transform(otoks, x -> x.tok)"), F.lit(1), p).alias("prefix"),
+    ).localCheckpoint()  # candidates + both verify sides read it
+
+    pf = prefixed.select("id", "sz", F.explode("prefix").alias("tok"))
+    a = pf.select(F.col("id").alias("a"), F.col("sz").alias("sza"), "tok")
+    b = pf.select(F.col("id").alias("b"), F.col("sz").alias("szb"), "tok")
+    cands = (
+        a.join(b, "tok")
+        .where(F.col("a") < F.col("b"))
+        # size filter: tau*|A| <= |B| <= |A|/tau (integer inequalities)
+        .where(F.col("szb") * tau_den >= F.col("sza") * tau_num)
+        .where(F.col("szb") * tau_num <= F.col("sza") * tau_den)
+        .select("a", "b")
+        .distinct()
+    )
+    return prefixed, cands

@@ -95,7 +95,13 @@ def pagerank(
     # outdeg is loop-INVARIANT: bake it into the persisted edge layout
     # once instead of re-joining it every sweep (one fewer shuffle per
     # iteration; the per-sweep work is then rank-shuffle-in + agg-out)
-    ed = e.join(outdeg, "src").persist()
+    # hash-partition AND sort by src ONCE: the cached plan keeps its
+    # outputOrdering, so every sweep's sort-merge join streams the
+    # edge table without re-sorting it (only the node-sized rank side
+    # sorts per sweep) — SMJ's robustness with none of its per-sweep
+    # edge-side cost, and no shuffled-hash build-memory risk at
+    # cluster scale
+    ed = e.join(outdeg, "src").sortWithinPartitions("src").persist()
     ed.count()  # materialize before the loop reuses it n_iter times
     # the dangling node SET is loop-invariant too (only its rank mass
     # changes per sweep)
@@ -120,11 +126,11 @@ def pagerank(
             .agg(F.sum(F.expr("srank_i div outdeg")).alias("inflow_i"))
         )
         dmass = (
-            ranks.join(dangling_ids, "id", "left_semi")
+            ranks.join(dangling_ids.hint("shuffle_hash"), "id", "left_semi")
             .agg(F.coalesce(F.sum("rank_i"), F.lit(0)).cast("long").alias("dmass_i"))
         )
         ranks = (
-            nodes.join(inflow, "id", "left")
+            nodes.join(inflow.hint("shuffle_hash"), "id", "left")
             .crossJoin(F.broadcast(dmass))
             .select(
                 "id",
@@ -308,7 +314,8 @@ def personalized_pagerank(
         .distinct()
     )
     outdeg = ep.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = ep.join(outdeg, "src").persist()
+    # sorted-once persisted edge layout — see pagerank()
+    ed = ep.join(outdeg, "src").sortWithinPartitions("src").persist()
     ed.count()
     # teleport vector baked into the persisted node table (loop-invariant)
     tv = nodes.select(
@@ -338,11 +345,11 @@ def personalized_pagerank(
             .agg(F.sum(F.expr("srank_i div outdeg")).alias("inflow_i"))
         )
         dmass = (
-            ranks.join(dangling_ids, "id", "left_semi")
+            ranks.join(dangling_ids.hint("shuffle_hash"), "id", "left_semi")
             .agg(F.coalesce(F.sum("rank_i"), F.lit(0)).cast("long").alias("dmass_i"))
         )
         ranks = (
-            tv.join(inflow, "id", "left")
+            tv.join(inflow.hint("shuffle_hash"), "id", "left")
             .crossJoin(F.broadcast(dmass))
             .select(
                 "id",
