@@ -38,7 +38,7 @@ from ..util import local_dispatch_rows, materialize
 
 
 def kcore(
-    edges: DataFrame, k: int, n_iter: int = 10, checkpoint_every: int = 1
+    edges: DataFrame, k: int, n_iter: int = 10
 ) -> DataFrame:
     """(src, dst) in any orientation -> (id, core_deg) for the nodes
     surviving ``n_iter`` peeling sweeps at threshold ``k``; core_deg is
@@ -50,47 +50,52 @@ def kcore(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    # both orientations, partitioned once on the aggregation key
+    # both orientations, partitioned AND sorted once on the join key
+    # (the cached plan keeps its outputOrdering — per-sweep joins never
+    # re-sort the edge side; the pagerank/eigensolve lesson)
     e = (
         und.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .repartition("a")
+        .sortWithinPartitions("a")
         .persist()
     )
-    alive = e.select(F.col("a").alias("id")).distinct()
-
-    def surviving_degrees(alive_df: DataFrame) -> DataFrame:
-        # degree among surviving neighbors, for surviving nodes only:
-        # two semi-joins against the node-sized alive set, then one
-        # map-side-partial count aggregation on the fixed partitioning
-        return (
-            e.join(alive_df.select(F.col("id").alias("b")), "b", "leftsemi")
-            .join(alive_df.select(F.col("id").alias("a")), "a", "leftsemi")
+    # INCREMENTAL peeling. The direct formulation re-derives degrees
+    # among survivors each sweep with a semi-join of the 2|E| table
+    # against the node-sized alive set on "b" — at scale (alive too
+    # big to broadcast) that reshuffles the whole edge table every
+    # sweep. Instead carry deg(v) = degree within the current alive
+    # set and subtract per sweep only the edges lost to the NEWLY-dead
+    # set (dead_i = alive nodes whose deg < k): identical fixed-sweep
+    # contract by induction (D_i = D_{i-1}|survivors - loss(dead_i) is
+    # exactly the degree within alive_i), and the per-sweep join side
+    # shrinks from alive-sized to newly-dead-sized — usually tiny and
+    # runtime-broadcastable by AQE (deg is materialized each sweep, so
+    # the filter's output size is known). Worst case (everything dies
+    # in one sweep) equals the old cost; it is never worse.
+    deg = (
+        e.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("a").alias("id"), "deg")
+    )
+    for _ in range(n_iter):
+        deg = materialize(deg)  # feeds dead, survivors, and the loss join
+        dead = deg.where(F.col("deg") < k).select("id")
+        survivors = deg.where(F.col("deg") >= k)
+        loss = (
+            e.join(dead.select(F.col("id").alias("b")), "b")
             .groupBy("a")
-            .agg(F.count(F.lit(1)).alias("deg"))
+            .agg(F.count(F.lit(1)).alias("lost"))
+            .select(F.col("a").alias("id"), "lost")
         )
-
-    for i in range(n_iter):
-        alive = (
-            surviving_degrees(alive)
-            .where(F.col("deg") >= k)
-            .select(F.col("a").alias("id"))
+        deg = survivors.join(loss, "id", "left").select(
+            "id", (F.col("deg") - F.coalesce("lost", F.lit(0))).alias("deg")
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            alive = materialize(alive)
-    # survivors of exactly n_iter sweeps, each with its degree inside
-    # the surviving set (NO extra peel here — that would silently run
-    # an (n_iter+1)-th sweep; at convergence every reported degree is
-    # >= k anyway). Left join: a not-yet-converged isolated survivor
-    # has no degree row and reports 0.
-    degs = surviving_degrees(alive).select(
-        F.col("a").alias("id"), F.col("deg").alias("core_deg")
-    )
-    out = materialize(
-        alive.join(degs, "id", "left").select(
-            "id", F.coalesce("core_deg", F.lit(0)).alias("core_deg")
-        )
-    )
+    # survivors of exactly n_iter sweeps with their degree inside the
+    # surviving set (NO extra peel — that would silently run an
+    # (n_iter+1)-th sweep; at convergence every degree is >= k anyway;
+    # a not-yet-converged isolated survivor legitimately reports 0)
+    out = materialize(deg.select("id", F.col("deg").alias("core_deg")))
     e.unpersist()
     return out
 

@@ -40,6 +40,9 @@ def label_propagation(
         und.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .repartition("b")
+        # sorted once: per-sweep SMJ streams the cached edge side with
+        # no re-sort (pagerank/eigensolve lesson, BENCH/STRESS.md r4)
+        .sortWithinPartitions("b")
         .persist()
     )
     nodes = e.select(F.col("a").alias("id")).distinct().persist()

@@ -40,7 +40,7 @@ def bounded_sssp(
     spark = edges.sparkSession
     e = edges.select(
         "src", "dst", F.col(weight_col).alias("w")
-    ).repartition("src").persist()
+    ).repartition("src").sortWithinPartitions("src").persist()
     try:
         id_type = e.schema["src"].dataType.simpleString()
         dist = spark.createDataFrame(

@@ -67,6 +67,9 @@ def random_walks(
         und.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .repartition("a")
+        # sorted once: per-step SMJ streams the cached edge side with
+        # no re-sort (pagerank/eigensolve lesson, BENCH/STRESS.md r4)
+        .sortWithinPartitions("a")
         .persist()
     )
     frontier = (
