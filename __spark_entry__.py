@@ -828,6 +828,18 @@ def _kg_negative_samples(spark, sf_dir):
     )
 
 
+def _kg_transe_rank(spark, sf_dir):
+    # TransE filtered link-prediction eval over located_in -> nation
+    # (25 nations, 0-based keys): per-triple integer L1 score + rank
+    # under deterministic hash embeddings — all-bigint, hash-exact
+    from simkit_spark.kg import transe_rank
+
+    return transe_rank(
+        _kg_rel(spark, sf_dir), "located_in", "nation",
+        n_objects=25, dim=4, modulus=1000, seed=42, key_base=0,
+    )
+
+
 PPR_SEEDS = ["customer:0"]
 PPR_ITER = 8
 
@@ -991,10 +1003,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _ivf_topk,
         "embedding_neardup": _embedding_neardup,
         "events_sessionize": _events_sessionize,
-        "exact_dedup": _exact_dedup,
         # new in r4 (never driver-checked -> in-window)
         "setsim_pairs": _setsim_pairs,
+        "kg_transe_rank": _kg_transe_rank,
         # --- driver-green in r3 (tail beyond the 50-entry window) ---
+        "exact_dedup": _exact_dedup,
         "minhash_signatures": _minhash,
         "pairwise_manhattan": _pairwise("manhattan"),
         "pairwise_cosine": _pairwise("cosine"),
@@ -2020,6 +2033,48 @@ FROM drawn d LEFT JOIN base t ON d.subj = t.subj AND d.obj_neg = t.obj
 WHERE t.subj IS NULL"""
 
 
+def _transe_c(ent: str) -> str:
+    # one integer embedding component: md5(ent:d:42) mod 1000 — mirrors
+    # kg._hash_embedding (dim index d comes from the dims CTE)
+    return "(" + _MD5_LONG.format(arg=f"concat_ws(':', {ent}, d, '42')") + ") % 1000"
+
+
+# TransE filtered link-prediction ranks — all-integer L1 scores under
+# deterministic hash embeddings, candidate space nation:0..24, ties
+# broken by candidate IRI (binary order, both engines ASCII)
+_KG_TRANSE_SQL = (
+    _KG_CTE
+    + f""",
+base AS (SELECT DISTINCT subj, obj FROM triples WHERE pred = 'located_in'),
+dims AS (SELECT unnest(range(4)) AS d),
+cands AS (SELECT concat_ws(':', 'nation', x) AS cand
+          FROM (SELECT unnest(range(25)) AS x)),
+terms AS (
+  SELECT b.subj, b.obj, c.cand,
+         abs({_transe_c('b.subj')} + {_transe_c("'located_in'")}
+             - {_transe_c('c.cand')}) AS term_c,
+         abs({_transe_c('b.subj')} + {_transe_c("'located_in'")}
+             - {_transe_c('b.obj')}) AS term_t
+  FROM base b CROSS JOIN cands c CROSS JOIN dims
+),
+sc AS (SELECT subj, obj, cand, CAST(sum(term_c) AS BIGINT) AS s_cand,
+              CAST(sum(term_t) AS BIGINT) AS s_true
+       FROM terms GROUP BY subj, obj, cand),
+kept AS (SELECT sc.subj, sc.obj, sc.cand, sc.s_cand, sc.s_true FROM sc
+         LEFT JOIN base t ON sc.subj = t.subj AND sc.cand = t.obj
+         WHERE sc.cand <> sc.obj AND t.subj IS NULL),
+strue AS (SELECT DISTINCT subj, obj, s_true FROM sc),
+cnt AS (SELECT subj, obj,
+               sum(CASE WHEN s_cand < s_true
+                         OR (s_cand = s_true AND cand < obj)
+                   THEN 1 ELSE 0 END) AS n_better
+        FROM kept GROUP BY subj, obj)
+SELECT st.subj, st.obj, st.s_true,
+       CAST(coalesce(c.n_better, 0) + 1 AS BIGINT) AS rank
+FROM strue st LEFT JOIN cnt c ON st.subj = c.subj AND st.obj = c.obj"""
+)
+
+
 # SPARQL-style BGP: each template is a constant-filtered projection,
 # folded into USING-joins on the shared variables — the SQL twin makes
 # the join graph explicit
@@ -2242,6 +2297,7 @@ def oracle_sql() -> dict[str, str]:
         # brute-force exact twin of the prefix-filtered join: the
         # filter is an optimization, the OUTPUT contract is all pairs
         "setsim_pairs": _SETSIM_SQL,
+        "kg_transe_rank": _KG_TRANSE_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),

@@ -689,3 +689,142 @@ def negative_samples(
         )
         .select("subj", F.lit(pred).alias("pred"), "obj", "j", "obj_neg")
     )
+
+
+def _hash_embedding(ent: Column, dim: int, modulus: int, seed: int) -> Column:
+    """Deterministic integer 'embedding' for an entity/relation IRI:
+    component d = md5(ent:d:seed) mod modulus, an int in [0, modulus).
+    The portable hash family (functions/dedup._md5_long) so a SQL twin
+    reproduces every component bit-identically. Integer components keep
+    TransE L1 scores in exact bigint arithmetic — no float drift across
+    engines, partitionings, or reduction orders."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.pmod(
+            _md5_long(
+                F.concat_ws(":", ent, d.cast("string"), F.lit(str(seed)))
+            ),
+            F.lit(modulus),
+        ),
+    )
+
+
+def transe_rank(
+    triples: DataFrame,
+    pred: str,
+    obj_kind: str,
+    n_objects: int,
+    dim: int = 4,
+    modulus: int = 1000,
+    seed: int = 42,
+    key_base: int = 0,
+) -> DataFrame:
+    """TransE-style filtered link-prediction evaluation: for every true
+    triple (h, pred, t), rank t among the candidate object space
+    ``obj_kind:key_base..key_base+n_objects-1`` by the L1 translation
+    score s(h, c) = sum_d |e_h[d] + e_r[d] - e_c[d]|, lower = better.
+    Embeddings are the deterministic integer hash embeddings of
+    `_hash_embedding` — this evaluates the *eval harness* (the
+    rank/MRR/Hits@k machinery KG-embedding training needs), with a
+    model the oracle can reproduce exactly; a trained float model plugs
+    into the same plan by swapping the embedding columns.
+
+    Filtered protocol (Bordes et al., TransE; the standard since
+    FB15k): corruptions c that are themselves true triples (h, pred, c)
+    are excluded from the ranking, as is c = t. Ties are broken by
+    candidate IRI (binary string order), giving a deterministic total
+    order: rank = 1 + #{c kept : s(c) < s_true or (s(c) = s_true and
+    c < t)}.
+
+    Returns one row per distinct true (subj, obj): (subj, obj, s_true
+    bigint, rank bigint). MRR = avg(1/rank), Hits@k = avg(rank <= k)
+    downstream.
+
+    Scale (10^12-triple regime): the candidate table is n_objects rows
+    of dim ints — broadcast (a 10^6-entity vocabulary at dim 128 is
+    ~1 GB of ints; beyond that, block the candidate axis and union the
+    per-block partial counts, or rescore only ANN shortlist candidates
+    via functions/similarity.py — the plan below is the
+    candidates-fit-in-memory regime). Per-row work is dim * n_objects
+    inside whole-stage codegen (transform/zip_with/aggregate — no
+    Python), and the count-better aggregation is a map-side-combinable
+    groupBy on (subj, obj), hash-partitioned, no window. The true-pair
+    filter joins on the same (subj, candidate) key the score stream
+    already carries.
+    """
+    base = (
+        triples.where(F.col("pred") == pred)
+        .select("subj", "obj")
+        .distinct()
+    )
+    rel = _hash_embedding(F.lit(pred), dim, modulus, seed)
+    # h_plus_r and the true-tail score, computed once per true triple
+    base_h = base.select(
+        "subj",
+        "obj",
+        F.zip_with(
+            _hash_embedding(F.col("subj"), dim, modulus, seed),
+            rel,
+            lambda a, b: a + b,
+        ).alias("_hr"),
+    ).withColumn(
+        "s_true",
+        F.aggregate(
+            F.zip_with(
+                F.col("_hr"),
+                _hash_embedding(F.col("obj"), dim, modulus, seed),
+                lambda a, b: F.abs(a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    spark = triples.sparkSession
+    cands = spark.range(n_objects).select(
+        _iri(obj_kind, F.col("id") + F.lit(key_base)).alias("cand")
+    )
+    cands = cands.withColumn(
+        "_ec", _hash_embedding(F.col("cand"), dim, modulus, seed)
+    )
+    scored = base_h.join(F.broadcast(cands)).withColumn(
+        "s_cand",
+        F.aggregate(
+            F.zip_with(F.col("_hr"), F.col("_ec"), lambda a, b: F.abs(a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # mark (not anti-join) filtered candidates, then aggregate over ALL
+    # candidate rows: every (subj, obj) group has exactly n_objects
+    # rows, so a triple whose every candidate is filtered still gets a
+    # group (rank 1) — no join-back, one exchange fewer than the
+    # kept-rows-then-rejoin shape
+    true_pairs = base.select(
+        F.col("subj").alias("t_subj"), F.col("obj").alias("t_obj")
+    )
+    marked = scored.join(
+        true_pairs,
+        (scored["subj"] == true_pairs["t_subj"])
+        & (scored["cand"] == true_pairs["t_obj"]),
+        "left",
+    )
+    better = (
+        (F.col("cand") != F.col("obj"))
+        & F.col("t_subj").isNull()
+        & (
+            (F.col("s_cand") < F.col("s_true"))
+            | (
+                (F.col("s_cand") == F.col("s_true"))
+                & (F.col("cand") < F.col("obj"))
+            )
+        )
+    )
+    return (
+        marked.groupBy("subj", "obj", "s_true")
+        .agg(
+            (F.sum(F.when(better, 1).otherwise(0)) + F.lit(1))
+            .cast("long")
+            .alias("rank")
+        )
+        .select("subj", "obj", "s_true", "rank")
+    )

@@ -357,3 +357,70 @@ def test_validate_constraints_requires_rules(kg):
 
     with pytest.raises(ValueError, match="no constraints"):
         validate_constraints(kg, [], None)
+
+
+def _np_transe_ranks(triples, pred, obj_kind, n_objects, dim, modulus, seed, key_base):
+    """Pure-python replica of kg.transe_rank (filtered ranks, IRI tie
+    order) — the bit-parity twin for the Spark plan."""
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def emb(ent):
+        return [h(f"{ent}:{d}:{seed}") % modulus for d in range(dim)]
+
+    base = sorted({(s, o) for s, p, o in triples if p == pred})
+    true_tails = {}
+    for s, o in base:
+        true_tails.setdefault(s, set()).add(o)
+    er = emb(pred)
+    cands = [f"{obj_kind}:{k + key_base}" for k in range(n_objects)]
+    ce = {c: emb(c) for c in cands}
+    out = {}
+    for s, o in base:
+        hr = [a + b for a, b in zip(emb(s), er)]
+        st = sum(abs(a - b) for a, b in zip(hr, emb(o)))
+        n_better = 0
+        for c in cands:
+            if c == o or c in true_tails[s]:
+                continue
+            sc = sum(abs(a - b) for a, b in zip(hr, ce[c]))
+            if sc < st or (sc == st and c < o):
+                n_better += 1
+        out[(s, o)] = (st, n_better + 1)
+    return out
+
+
+def test_transe_rank_matches_python_replica(kg):
+    from simkit_spark.kg import transe_rank
+
+    tri = kg  # fixture is already the direct-mapped triple table
+    got = {
+        (r["subj"], r["obj"]): (r["s_true"], r["rank"])
+        for r in transe_rank(
+            tri, "located_in", "nation", n_objects=2, dim=4,
+            modulus=1000, seed=42, key_base=0,
+        ).collect()
+    }
+    rows = [(r["subj"], r["pred"], r["obj"]) for r in tri.collect()]
+    want = _np_transe_ranks(rows, "located_in", "nation", 2, 4, 1000, 42, 0)
+    assert got == want
+    # every rank within [1, n_objects]; every true triple ranked
+    assert all(1 <= rk <= 2 for _, rk in got.values())
+    assert set(got) == {(s, o) for s, p, o in rows if p == "located_in"}
+
+
+def test_transe_rank_filtered_protocol(spark):
+    """A subject with several true tails: the other true tails are
+    excluded from its ranking (filtered protocol), so a triple whose
+    every non-self candidate is a true tail ranks 1."""
+    from simkit_spark.kg import transe_rank
+
+    tri = spark.createDataFrame(
+        [("s:0", "p", "k:0"), ("s:0", "p", "k:1"), ("s:0", "p", "k:2")],
+        "subj string, pred string, obj string",
+    )
+    out = transe_rank(tri, "p", "k", n_objects=3, dim=4, modulus=1000, seed=7)
+    ranks = {r["obj"]: r["rank"] for r in out.collect()}
+    assert ranks == {"k:0": 1, "k:1": 1, "k:2": 1}
