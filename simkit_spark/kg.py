@@ -718,6 +718,7 @@ def transe_rank(
     modulus: int = 1000,
     seed: int = 42,
     key_base: int = 0,
+    candidate_blocks: int = 1,
 ) -> DataFrame:
     """TransE-style filtered link-prediction evaluation: for every true
     triple (h, pred, t), rank t among the candidate object space
@@ -742,15 +743,20 @@ def transe_rank(
 
     Scale (10^12-triple regime): the candidate table is n_objects rows
     of dim ints — broadcast (a 10^6-entity vocabulary at dim 128 is
-    ~1 GB of ints; beyond that, block the candidate axis and union the
-    per-block partial counts, or rescore only ANN shortlist candidates
-    via functions/similarity.py — the plan below is the
-    candidates-fit-in-memory regime). Per-row work is dim * n_objects
-    inside whole-stage codegen (transform/zip_with/aggregate — no
-    Python), and the count-better aggregation is a map-side-combinable
-    groupBy on (subj, obj), hash-partitioned, no window. The true-pair
-    filter joins on the same (subj, candidate) key the score stream
-    already carries.
+    ~1 GB of ints). Past the single-broadcast budget set
+    ``candidate_blocks > 1``: the candidate axis is split into B
+    contiguous key ranges, each broadcast and scored independently, and
+    the per-block marked streams union into ONE final count-better
+    aggregation — each group still sees exactly n_objects rows across
+    blocks, so the no-join-back shape is preserved and the output is
+    bit-identical to the unblocked plan (tested). Per executor the peak
+    broadcast is n_objects/B rows; for 10^8+ vocabularies rescore only
+    ANN shortlist candidates via functions/similarity.py instead. Per-
+    row work is dim * n_objects inside whole-stage codegen
+    (transform/zip_with/aggregate — no Python), and the count-better
+    aggregation is a map-side-combinable groupBy on (subj, obj),
+    hash-partitioned, no window. The true-pair filter joins on the same
+    (subj, candidate) key the score stream already carries.
     """
     base = (
         triples.where(F.col("pred") == pred)
@@ -780,34 +786,45 @@ def transe_rank(
         ),
     )
     spark = triples.sparkSession
-    cands = spark.range(n_objects).select(
-        _iri(obj_kind, F.col("id") + F.lit(key_base)).alias("cand")
-    )
-    cands = cands.withColumn(
-        "_ec", _hash_embedding(F.col("cand"), dim, modulus, seed)
-    )
-    scored = base_h.join(F.broadcast(cands)).withColumn(
-        "s_cand",
-        F.aggregate(
-            F.zip_with(F.col("_hr"), F.col("_ec"), lambda a, b: F.abs(a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    # mark (not anti-join) filtered candidates, then aggregate over ALL
-    # candidate rows: every (subj, obj) group has exactly n_objects
-    # rows, so a triple whose every candidate is filtered still gets a
-    # group (rank 1) — no join-back, one exchange fewer than the
-    # kept-rows-then-rejoin shape
     true_pairs = base.select(
         F.col("subj").alias("t_subj"), F.col("obj").alias("t_obj")
     )
-    marked = scored.join(
-        true_pairs,
-        (scored["subj"] == true_pairs["t_subj"])
-        & (scored["cand"] == true_pairs["t_obj"]),
-        "left",
-    )
+
+    def block_marked(lo: int, hi: int) -> DataFrame:
+        cands = (
+            spark.range(lo, hi)
+            .select(_iri(obj_kind, F.col("id") + F.lit(key_base)).alias("cand"))
+            .withColumn("_ec", _hash_embedding(F.col("cand"), dim, modulus, seed))
+        )
+        scored = base_h.join(F.broadcast(cands)).withColumn(
+            "s_cand",
+            F.aggregate(
+                F.zip_with(F.col("_hr"), F.col("_ec"), lambda a, b: F.abs(a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # mark (not anti-join) filtered candidates, then aggregate over
+        # ALL candidate rows: every (subj, obj) group sees exactly
+        # n_objects rows across blocks, so a triple whose every
+        # candidate is filtered still gets a group (rank 1) — no
+        # join-back, one exchange fewer than kept-rows-then-rejoin
+        return scored.join(
+            true_pairs,
+            (scored["subj"] == true_pairs["t_subj"])
+            & (scored["cand"] == true_pairs["t_obj"]),
+            "left",
+        )
+
+    n_blocks = max(1, min(candidate_blocks, n_objects))
+    step = -(-n_objects // n_blocks)  # ceil
+    parts = [
+        block_marked(lo, min(lo + step, n_objects))
+        for lo in range(0, n_objects, step)
+    ]
+    marked = parts[0]
+    for p in parts[1:]:
+        marked = marked.unionByName(p)
     better = (
         (F.col("cand") != F.col("obj"))
         & F.col("t_subj").isNull()

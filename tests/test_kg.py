@@ -424,3 +424,24 @@ def test_transe_rank_filtered_protocol(spark):
     out = transe_rank(tri, "p", "k", n_objects=3, dim=4, modulus=1000, seed=7)
     ranks = {r["obj"]: r["rank"] for r in out.collect()}
     assert ranks == {"k:0": 1, "k:1": 1, "k:2": 1}
+
+
+def test_transe_rank_blocked_candidates_bit_identical(kg):
+    """candidate_blocks splits the broadcast, never the result: blocked
+    and unblocked plans agree bit-for-bit (the union preserves the
+    exactly-n_objects-rows-per-group invariant)."""
+    from simkit_spark.kg import transe_rank
+
+    one = sorted(
+        map(tuple, transe_rank(kg, "located_in", "nation", 2, seed=42).collect())
+    )
+    # 3 blocks over 2 candidates clamps to 2 single-candidate blocks
+    blocked = sorted(
+        map(
+            tuple,
+            transe_rank(
+                kg, "located_in", "nation", 2, seed=42, candidate_blocks=3
+            ).collect(),
+        )
+    )
+    assert one == blocked
