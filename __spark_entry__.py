@@ -840,6 +840,34 @@ def _kg_transe_rank(spark, sf_dir):
     )
 
 
+# ontology for kg_rdfs_entail: two-level property hierarchy + inherited
+# domain/range + two-level class hierarchy over the direct-mapped KG
+_KG_ONTOLOGY = [
+    ("placed_by", "subPropertyOf", "involves"),
+    ("contains", "subPropertyOf", "involves"),
+    ("involves", "subPropertyOf", "related_to"),
+    ("placed_by", "domain", "class:Order"),
+    ("placed_by", "range", "class:Agent"),
+    ("contains", "domain", "class:Order"),
+    ("contains", "range", "class:Item"),
+    ("located_in", "domain", "class:Agent"),
+    ("located_in", "range", "class:Place"),
+    ("part_of", "domain", "class:Place"),
+    ("part_of", "range", "class:Place"),
+    ("class:Order", "subClassOf", "class:Entity"),
+    ("class:Agent", "subClassOf", "class:LegalEntity"),
+    ("class:LegalEntity", "subClassOf", "class:Entity"),
+    ("class:Item", "subClassOf", "class:Entity"),
+    ("class:Place", "subClassOf", "class:Entity"),
+]
+
+
+def _kg_rdfs_entail(spark, sf_dir):
+    from simkit_spark.kg import rdfs_entail
+
+    return rdfs_entail(_kg_rel(spark, sf_dir), _KG_ONTOLOGY)
+
+
 PPR_SEEDS = ["customer:0"]
 PPR_ITER = 8
 
@@ -999,15 +1027,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaussian_affinity": _gaussian_affinity,
         "laplacian_sym": _laplacian("sym"),
         "silhouette_labels": _silhouette_labels,
-        "ari_labels": _ari_labels,
         "ivf_topk": _ivf_topk,
         "embedding_neardup": _embedding_neardup,
         "events_sessionize": _events_sessionize,
         # new in r4 (never driver-checked -> in-window)
         "setsim_pairs": _setsim_pairs,
         "kg_transe_rank": _kg_transe_rank,
+        "kg_rdfs_entail": _kg_rdfs_entail,
         # --- driver-green in r3 (tail beyond the 50-entry window) ---
         "exact_dedup": _exact_dedup,
+        "ari_labels": _ari_labels,
         "minhash_signatures": _minhash,
         "pairwise_manhattan": _pairwise("manhattan"),
         "pairwise_cosine": _pairwise("cosine"),
@@ -2033,6 +2062,54 @@ FROM drawn d LEFT JOIN base t ON d.subj = t.subj AND d.obj_neg = t.obj
 WHERE t.subj IS NULL"""
 
 
+# RDFS-lite entailment twin: the schema closures the Spark side runs on
+# the driver are recursive CTEs here, applied to the instance stream by
+# the same three joins + union + distinct
+_KG_RDFS_SQL = f"""
+WITH RECURSIVE triples AS ({_KG_T}),
+schema(s, p, o) AS (
+  SELECT * FROM (VALUES {", ".join("('%s','%s','%s')" % t for t in _KG_ONTOLOGY)}) v(s, p, o)
+),
+subp(s, o) AS (
+  SELECT s, o FROM schema WHERE p = 'subPropertyOf'
+  UNION
+  SELECT sp.s, e.o FROM subp sp
+  JOIN (SELECT s, o FROM schema WHERE p = 'subPropertyOf') e ON sp.o = e.s
+),
+subc(s, o) AS (
+  SELECT s, o FROM schema WHERE p = 'subClassOf'
+  UNION
+  SELECT sc.s, e.o FROM subc sc
+  JOIN (SELECT s, o FROM schema WHERE p = 'subClassOf') e ON sc.o = e.s
+),
+props AS (SELECT DISTINCT s FROM schema
+          WHERE p IN ('subPropertyOf', 'domain', 'range')),
+subp_refl AS (SELECT s, s AS o FROM props
+              UNION SELECT s, o FROM subp),
+effdom AS (SELECT DISTINCT sr.s AS p, sch.o AS cls FROM subp_refl sr
+           JOIN schema sch ON sch.p = 'domain' AND sch.s = sr.o),
+effrng AS (SELECT DISTINCT sr.s AS p, sch.o AS cls FROM subp_refl sr
+           JOIN schema sch ON sch.p = 'range' AND sch.s = sr.o),
+classes AS (SELECT s AS c FROM subc UNION SELECT o FROM subc
+            UNION SELECT cls FROM effdom UNION SELECT cls FROM effrng),
+subc_refl AS (SELECT c, c AS sup FROM classes
+              UNION SELECT s, o FROM subc),
+derived_rel AS (SELECT t.subj, sp.o AS pred, t.obj
+                FROM triples t JOIN subp sp ON t.pred = sp.s),
+typed AS (
+  SELECT t.subj AS ent, ed.cls FROM triples t JOIN effdom ed ON t.pred = ed.p
+  UNION ALL
+  SELECT t.obj, er.cls FROM triples t JOIN effrng er ON t.pred = er.p
+),
+type_rows AS (SELECT ty.ent AS subj, 'type' AS pred, cr.sup AS obj
+              FROM typed ty JOIN subc_refl cr ON ty.cls = cr.c)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM triples
+  UNION ALL SELECT subj, pred, obj FROM derived_rel
+  UNION ALL SELECT subj, pred, obj FROM type_rows
+)"""
+
+
 def _transe_c(ent: str) -> str:
     # one integer embedding component: md5(ent:d:42) mod 1000 — mirrors
     # kg._hash_embedding (dim index d comes from the dims CTE)
@@ -2298,6 +2375,7 @@ def oracle_sql() -> dict[str, str]:
         # filter is an optimization, the OUTPUT contract is all pairs
         "setsim_pairs": _SETSIM_SQL,
         "kg_transe_rank": _KG_TRANSE_SQL,
+        "kg_rdfs_entail": _KG_RDFS_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),

@@ -845,3 +845,119 @@ def transe_rank(
         )
         .select("subj", "obj", "s_true", "rank")
     )
+
+
+def rdfs_entail(triples: DataFrame, schema: list[tuple[str, str, str]]) -> DataFrame:
+    """RDFS-lite entailment materialization (the rho-df fragment:
+    subClassOf, subPropertyOf, domain, range) — the reasoning pass that
+    completes a constructed KG before publishing:
+
+      (x p y), (p subPropertyOf* q)           ->  (x q y)
+      (x p y), (q domain C) for q ⊒ p         ->  (x type C)
+      (x p y), (q range  C) for q ⊒ p         ->  (y type C)
+      (x type C), (C subClassOf* D)           ->  (x type D)
+
+    ``schema`` is the ontology as (s, pred, o) rows with pred in
+    {subClassOf, subPropertyOf, domain, range} — KB-sized by nature
+    (classes and properties, not instances), so ALL fixpoint iteration
+    happens here on the driver: transitive closures of subClassOf /
+    subPropertyOf and the effective domain/range sets (a property
+    inherits its superproperties' domains/ranges) are computed in plain
+    python, then applied to the instance stream as three broadcast
+    equi-joins + a union + one distinct. No instance-level iteration,
+    no shuffle except the final distinct — the design that holds at
+    10^12 instance triples, where the classic pitfall (semi-naive
+    iteration over the full triple table per rule, e.g. the naive
+    Cichlid/SparkRDF layouts) pays a shuffle per sweep.
+
+    Returns the materialized KG: original triples ∪ entailed
+    (subj, pred, obj) rows, distinct; entity type rows use pred
+    'type' and class IRIs verbatim from the schema.
+    """
+    subc: dict[str, set[str]] = {}
+    subp: dict[str, set[str]] = {}
+    dom: dict[str, set[str]] = {}
+    rng: dict[str, set[str]] = {}
+    for s, p, o in schema:
+        if p == "subClassOf":
+            subc.setdefault(s, set()).add(o)
+        elif p == "subPropertyOf":
+            subp.setdefault(s, set()).add(o)
+        elif p == "domain":
+            dom.setdefault(s, set()).add(o)
+        elif p == "range":
+            rng.setdefault(s, set()).add(o)
+        else:
+            raise ValueError(f"unknown schema predicate: {p!r}")
+
+    def closure(g: dict[str, set[str]]) -> dict[str, set[str]]:
+        out = {k: set(v) for k, v in g.items()}
+        changed = True
+        while changed:  # tiny: |schema| nodes
+            changed = False
+            for k, sup in out.items():
+                grow = set()
+                for s in sup:
+                    grow |= out.get(s, set())
+                if not grow <= sup:
+                    sup |= grow
+                    changed = True
+        return out
+
+    subc_c, subp_c = closure(subc), closure(subp)
+    # effective domain/range of p: over p and every superproperty of p
+    all_props = set(subp_c) | set(dom) | set(rng)
+    eff_dom = {
+        p: set().union(
+            *(dom.get(q, set()) for q in ({p} | subp_c.get(p, set())))
+        )
+        for p in all_props
+    }
+    eff_rng = {
+        p: set().union(
+            *(rng.get(q, set()) for q in ({p} | subp_c.get(p, set())))
+        )
+        for p in all_props
+    }
+
+    spark = triples.sparkSession
+
+    def pairs_df(m: dict[str, set[str]], a: str, b: str) -> DataFrame:
+        rows = [(k, v) for k, vs in sorted(m.items()) for v in sorted(vs)]
+        return spark.createDataFrame(rows or [("", "")], f"{a} string, {b} string").where(
+            F.col(a) != "" if not rows else F.lit(True)
+        )
+
+    t = triples.select("subj", "pred", "obj")
+    sup_props = pairs_df(subp_c, "pred", "q")
+    derived_rel = (
+        t.join(F.broadcast(sup_props), "pred")
+        .select("subj", F.col("q").alias("pred"), "obj")
+    )
+    dom_df = pairs_df({k: v for k, v in eff_dom.items() if v}, "pred", "cls")
+    rng_df = pairs_df({k: v for k, v in eff_rng.items() if v}, "pred", "cls")
+    typed = (
+        t.join(F.broadcast(dom_df), "pred")
+        .select(F.col("subj").alias("ent"), "cls")
+        .unionByName(
+            t.join(F.broadcast(rng_df), "pred")
+            .select(F.col("obj").alias("ent"), "cls")
+        )
+    )
+    # reflexive+transitive class closure: every asserted class maps to
+    # itself plus all strict superclasses
+    all_cls = set(subc_c) | {c for vs in subc_c.values() for c in vs} | {
+        c for vs in eff_dom.values() for c in vs
+    } | {c for vs in eff_rng.values() for c in vs}
+    cls_refl = {c: {c} | subc_c.get(c, set()) for c in sorted(all_cls)}
+    cls_df = pairs_df(cls_refl, "cls", "sup")
+    type_rows = (
+        typed.join(F.broadcast(cls_df), "cls")
+        .select("ent", "sup")
+        .select(
+            F.col("ent").alias("subj"),
+            F.lit("type").alias("pred"),
+            F.col("sup").alias("obj"),
+        )
+    )
+    return t.unionByName(derived_rel).unionByName(type_rows).distinct()

@@ -445,3 +445,46 @@ def test_transe_rank_blocked_candidates_bit_identical(kg):
         )
     )
     assert one == blocked
+
+
+def test_rdfs_entail_hand_graph(spark):
+    """Exercises every rho-df rule at once: subPropertyOf transitivity,
+    domain typing, range inherited from a superproperty, and
+    subClassOf closure — on a 2-triple instance graph."""
+    from simkit_spark.kg import rdfs_entail
+
+    tri = spark.createDataFrame(
+        [("order:1", "placed_by", "customer:1"), ("a", "other", "b")],
+        "subj string, pred string, obj string",
+    )
+    schema = [
+        ("placed_by", "subPropertyOf", "involves"),
+        ("involves", "subPropertyOf", "related_to"),
+        ("placed_by", "domain", "Order"),
+        ("involves", "range", "Thing"),
+        ("Order", "subClassOf", "Entity"),
+    ]
+    got = {tuple(r) for r in rdfs_entail(tri, schema).collect()}
+    assert got == {
+        ("order:1", "placed_by", "customer:1"),
+        ("a", "other", "b"),
+        ("order:1", "involves", "customer:1"),
+        ("order:1", "related_to", "customer:1"),
+        ("order:1", "type", "Order"),
+        ("order:1", "type", "Entity"),
+        ("customer:1", "type", "Thing"),
+    }
+
+
+def test_rdfs_entail_idempotent_and_validates(spark):
+    from simkit_spark.kg import rdfs_entail
+
+    tri = spark.createDataFrame(
+        [("x", "p", "y")], "subj string, pred string, obj string"
+    )
+    schema = [("p", "domain", "C"), ("C", "subClassOf", "D")]
+    once = rdfs_entail(tri, schema)
+    twice = rdfs_entail(once, schema)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    with pytest.raises(ValueError, match="unknown schema predicate"):
+        rdfs_entail(tri, [("p", "inverseOf", "q")])
