@@ -76,6 +76,8 @@ HEADLINE = [
     "kg_negative_samples",
     "kg_bgp",
     "kg_entity_cards",
+    "kg_transe_rank",
+    "kg_rdfs_entail",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
