@@ -820,11 +820,13 @@ def _kg_negative_samples(spark, sf_dir):
     from simkit_spark.kg import negative_samples
 
     n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
-    # key_base=1: TPC-H partkeys are 1-based — a 0-based draw emits
-    # phantom part:0 negatives and never samples the max key
+    # key_base=0: the synthetic TPC-H-ish testdata keys are 0-based
+    # (partkey 0..n-1, verified across sf0.001/0.01/0.1) — classic
+    # TPC-H is 1-based, and the r3-ADVICE fix briefly assumed that,
+    # emitting phantom part:<n> corruptions and never sampling part:0
     return negative_samples(
         _kg_rel(spark, sf_dir), "contains", "part", n_objects=n_parts, n_neg=2,
-        seed=42, key_base=1,
+        seed=42, key_base=0,
     )
 
 
@@ -866,6 +868,29 @@ def _kg_rdfs_entail(spark, sf_dir):
     from simkit_spark.kg import rdfs_entail
 
     return rdfs_entail(_kg_rel(spark, sf_dir), _KG_ONTOLOGY)
+
+
+def _kg_sameas(spark, sf_dir):
+    # owl:sameAs canonicalization (kg.sameas_canonicalize): alias
+    # chains over suppliers (k sameAs k-1 within blocks of 5; testdata
+    # suppkeys are 0-based, so k%5!=0 keeps every dst in-range — a
+    # %5!=1 rule emitted a phantom supplier:-1) union'd into the
+    # direct-mapped KG; every supplier IRI collapses to its chain's
+    # lexicographic-min representative (both engines compare ASCII),
+    # the sameAs rows drop, collapsed duplicates dedup
+    from simkit_spark.kg import sameas_canonicalize
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sa = sup.where((F.col("s_suppkey") % 5) != 0).select(
+        F.concat_ws(
+            ":", F.lit("supplier"), F.col("s_suppkey").cast("string")
+        ).alias("subj"),
+        F.lit("sameAs").alias("pred"),
+        F.concat_ws(
+            ":", F.lit("supplier"), (F.col("s_suppkey") - 1).cast("string")
+        ).alias("obj"),
+    )
+    return sameas_canonicalize(_kg_rel(spark, sf_dir).unionByName(sa))
 
 
 PPR_SEEDS = ["customer:0"]
@@ -1034,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_pairs": _setsim_pairs,
         "kg_transe_rank": _kg_transe_rank,
         "kg_rdfs_entail": _kg_rdfs_entail,
+        "kg_sameas": _kg_sameas,
         # --- driver-green in r3 (tail beyond the 50-entry window) ---
         "exact_dedup": _exact_dedup,
         "ari_labels": _ari_labels,
@@ -2053,8 +2079,8 @@ np AS (SELECT count(*) AS c FROM part),
 drawn AS (
   SELECT subj, obj, CAST(j AS INT) AS j,
          concat_ws(':', 'part',
-           ({_MD5_LONG.format(arg="concat_ws(':', subj, obj, j, '42')")}
-             % (SELECT c FROM np)) + 1) AS obj_neg
+           {_MD5_LONG.format(arg="concat_ws(':', subj, obj, j, '42')")}
+             % (SELECT c FROM np)) AS obj_neg
   FROM base CROSS JOIN (SELECT unnest([0, 1]) AS j)
 )
 SELECT d.subj, 'contains' AS pred, d.obj, d.j, d.obj_neg
@@ -2108,6 +2134,29 @@ SELECT DISTINCT subj, pred, obj FROM (
   UNION ALL SELECT subj, pred, obj FROM derived_rel
   UNION ALL SELECT subj, pred, obj FROM type_rows
 )"""
+
+# owl:sameAs canonicalization — recursive-CTE equivalence closure over
+# the synthetic supplier alias chains (k ~ k-1 within blocks of 5),
+# min-IRI representative, left-join rewrite of the full triple stream;
+# mirrors kg.sameas_canonicalize's CC-min-label + coalesce contract
+_KG_SAMEAS_SQL = f"""
+WITH RECURSIVE triples AS ({_KG_T}),
+sa AS (SELECT concat_ws(':', 'supplier', s_suppkey) AS src,
+              concat_ws(':', 'supplier', s_suppkey - 1) AS dst
+       FROM supplier WHERE s_suppkey % 5 <> 0),
+v AS (SELECT src AS id FROM sa UNION SELECT dst FROM sa),
+esym AS (SELECT src, dst FROM sa
+         UNION ALL SELECT dst AS src, src AS dst FROM sa),
+r(id, rt) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT s.dst, r.rt FROM r JOIN esym s ON s.src = r.id),
+canon AS (SELECT id, min(rt) AS c FROM r GROUP BY id HAVING min(rt) <> id)
+SELECT DISTINCT coalesce(cs.c, t.subj) AS subj, t.pred AS pred,
+       coalesce(co.c, t.obj) AS obj
+FROM triples t
+LEFT JOIN canon cs ON t.subj = cs.id
+LEFT JOIN canon co ON t.obj = co.id"""
 
 
 def _transe_c(ent: str) -> str:
@@ -2376,6 +2425,7 @@ def oracle_sql() -> dict[str, str]:
         "setsim_pairs": _SETSIM_SQL,
         "kg_transe_rank": _KG_TRANSE_SQL,
         "kg_rdfs_entail": _KG_RDFS_SQL,
+        "kg_sameas": _KG_SAMEAS_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),

@@ -78,6 +78,8 @@ HEADLINE = [
     "kg_entity_cards",
     "kg_transe_rank",
     "kg_rdfs_entail",
+    "kg_sameas",
+    "setsim_pairs",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

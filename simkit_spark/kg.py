@@ -642,9 +642,10 @@ def negative_samples(
     n_objects — the portable hash family (dedup._md5_long), so a SQL
     oracle reproduces the samples bit-identically and re-runs are
     stable at any partitioning. Requires a contiguous key space
-    starting at ``key_base`` (TPC-H direct-mapped relational keys are
-    1-based, so pass key_base=1 there — a 0-based draw would emit
-    phantom entities like part:0 and never sample the max key); for
+    starting at ``key_base`` — match it to the actual key origin
+    (classic TPC-H keys are 1-based; this repo's synthetic testdata is
+    0-based): a mismatched base emits phantom entities one past the
+    real range and never samples the opposite end. For
     arbitrary pools rank the pool first (the range-partitioned dense ranking in
     functions.text.word_ranks scales that without a single-partition
     window).
@@ -961,3 +962,57 @@ def rdfs_entail(triples: DataFrame, schema: list[tuple[str, str, str]]) -> DataF
         )
     )
     return t.unionByName(derived_rel).unionByName(type_rows).distinct()
+
+
+def sameas_canonicalize(
+    triples: DataFrame,
+    sameas_pred: str = "sameAs",
+    local_threshold: int | None = None,
+) -> DataFrame:
+    """owl:sameAs canonicalization — the connected-components merge of
+    entity clusters (BASELINE.json north_star) expressed as a triple-
+    table rewrite. The ``sameas_pred`` rows define an equivalence
+    relation (their symmetric-transitive closure); every member of an
+    equivalence class is rewritten to the class's canonical
+    representative = min IRI (lexicographic, the same min-label
+    contract as ``operators.components``), the ``sameas_pred`` rows
+    themselves are dropped, and collapsed duplicates are removed.
+
+    Scale shape (10^12-triple regime): the sameAs subgraph is
+    alias-sized — orders of magnitude smaller than the instance stream
+    — so the O(log diameter) pointer-doubling/union-find cost of the
+    closure is paid on the small table only. The rewrite is two
+    equi-joins against the non-identity entries of the canonical map
+    (id != component rows only, usually broadcastable) plus one
+    distinct: the same no-instance-iteration shape as ``rdfs_entail``.
+    Size dispatch (numpy union-find under one Arrow collect vs the
+    distributed loop) is inherited from ``connected_components_auto``.
+
+    The reference's merge is implicit in its dense k-means cluster ids
+    (simkit has no triple store); this is the KG-native equivalent the
+    linking pipeline's resolve stage (pipeline/materialize.py) applies
+    to mention-level entity maps.
+    """
+    from .operators.components import connected_components_auto
+
+    sa = triples.where(F.col("pred") == sameas_pred).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    comp = connected_components_auto(sa, local_threshold=local_threshold)
+    # only non-identity rewrites join back — the map stays alias-sized
+    m = comp.where(F.col("id") != F.col("component"))
+    rest = triples.select("subj", "pred", "obj").where(
+        F.col("pred") != sameas_pred
+    )
+    ms = m.select(F.col("id").alias("subj"), F.col("component").alias("subj_c"))
+    mo = m.select(F.col("id").alias("obj"), F.col("component").alias("obj_c"))
+    return (
+        rest.join(ms, "subj", "left")
+        .join(mo, "obj", "left")
+        .select(
+            F.coalesce("subj_c", "subj").alias("subj"),
+            "pred",
+            F.coalesce("obj_c", "obj").alias("obj"),
+        )
+        .distinct()
+    )

@@ -488,3 +488,70 @@ def test_rdfs_entail_idempotent_and_validates(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
     with pytest.raises(ValueError, match="unknown schema predicate"):
         rdfs_entail(tri, [("p", "inverseOf", "q")])
+
+
+def test_sameas_canonicalize_chain_rewrite(spark):
+    """A 3-long alias chain (a~b, b~c) collapses every mention of
+    a/b/c to the lexicographic min; sameAs rows drop; collapsed
+    duplicate triples dedup to one row."""
+    from simkit_spark.kg import sameas_canonicalize
+
+    tri = spark.createDataFrame(
+        [
+            ("e:b", "sameAs", "e:a"),
+            ("e:c", "sameAs", "e:b"),
+            ("e:a", "knows", "f:1"),
+            ("e:b", "knows", "f:1"),   # collapses onto the row above
+            ("e:c", "knows", "f:2"),
+            ("f:1", "likes", "e:c"),   # obj side rewritten
+            ("g:9", "knows", "f:1"),   # untouched by the closure
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {tuple(r) for r in sameas_canonicalize(tri).collect()}
+    assert got == {
+        ("e:a", "knows", "f:1"),
+        ("e:a", "knows", "f:2"),
+        ("f:1", "likes", "e:a"),
+        ("g:9", "knows", "f:1"),
+    }
+
+
+def test_sameas_canonicalize_idempotent_and_direction_free(spark):
+    """canonicalize(canonicalize(G)) == canonicalize(G), and the edge
+    orientation of the sameAs assertions doesn't matter (equivalence
+    closure is symmetric)."""
+    from simkit_spark.kg import sameas_canonicalize
+
+    fwd = spark.createDataFrame(
+        [
+            ("e:2", "sameAs", "e:1"),
+            ("e:3", "sameAs", "e:2"),
+            ("e:3", "rel", "x:0"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rev = spark.createDataFrame(
+        [
+            ("e:1", "sameAs", "e:2"),
+            ("e:2", "sameAs", "e:3"),
+            ("e:3", "rel", "x:0"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    once = sameas_canonicalize(fwd)
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, sameas_canonicalize(once).collect())
+    ) == sorted(map(tuple, sameas_canonicalize(rev).collect()))
+    assert {tuple(r) for r in once.collect()} == {("e:1", "rel", "x:0")}
+
+
+def test_sameas_canonicalize_no_sameas_is_passthrough(spark):
+    from simkit_spark.kg import sameas_canonicalize
+
+    tri = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "b"), ("b", "q", "c")],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(map(tuple, sameas_canonicalize(tri).collect()))
+    assert got == [("a", "p", "b"), ("b", "q", "c")]

@@ -96,6 +96,33 @@ def main() -> None:
     out["neg_rows"] = neg.count()
     out["neg_s"] = round(time.time() - t0, 2)
 
+    # TransE eval over a 10k-candidate space, blocked 4 ways: the
+    # scored stream is |distinct p1 triples| x 10k rows of pure
+    # codegen arithmetic — the candidates-broadcast regime
+    from simkit_spark.kg import rdfs_entail, transe_rank
+
+    t0 = time.time()
+    tr = transe_rank(
+        tri.where(F.col("subj").startswith("s:")).limit(200_000),
+        "p1", "o", n_objects=10_000, dim=8, candidate_blocks=4,
+    )
+    out["transe_rows"] = tr.count()
+    out["transe_s"] = round(time.time() - t0, 2)
+
+    # RDFS entailment over the full 10M-triple stream: 5-property
+    # hierarchy + domain/range typing -> every triple re-derived under
+    # a superproperty + 2-level type rows, one distinct at the end
+    schema = [
+        ("p0", "subPropertyOf", "rel"), ("p1", "subPropertyOf", "rel"),
+        ("rel", "subPropertyOf", "any"),
+        ("p0", "domain", "class:S"), ("p0", "range", "class:O"),
+        ("class:S", "subClassOf", "class:E"), ("class:O", "subClassOf", "class:E"),
+    ]
+    t0 = time.time()
+    ent = rdfs_entail(tri, schema)
+    out["rdfs_rows"] = ent.count()
+    out["rdfs_s"] = round(time.time() - t0, 2)
+
     print(json.dumps(out))
     spark.stop()
 
