@@ -562,6 +562,21 @@ def _pagerank_knn(spark, sf_dir):
     return pagerank_auto(edges, n_iter=PAGERANK_ITER)
 
 
+HITS_ITER = 5
+
+
+def _hits_knn(spark, sf_dir):
+    from simkit_spark.operators.graphs import knn_graph_from_points
+    from simkit_spark.operators.hits import hits
+
+    # hubs/authorities over the directed kNN graph: 5 exact-integer
+    # L1-normalized sweeps (scale 1e9) — bit-reproducible across
+    # engines; separates pointed-at entities from pointing entities,
+    # which PageRank's single score conflates (operators/hits.py)
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K)
+    return hits(edges, n_iter=HITS_ITER)
+
+
 def _kcore_knn(spark, sf_dir):
     from simkit_spark.operators.graphs import knn_graph_from_points
     from simkit_spark.operators.kcore import kcore_auto
@@ -1060,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe_rank": _kg_transe_rank,
         "kg_rdfs_entail": _kg_rdfs_entail,
         "kg_sameas": _kg_sameas,
+        "hits_knn": _hits_knn,
         # --- driver-green in r3 (tail beyond the 50-entry window) ---
         "exact_dedup": _exact_dedup,
         "ari_labels": _ari_labels,
@@ -1260,6 +1276,53 @@ r{i} AS MATERIALIZED (SELECT p.id, floor((
         )
     parts.append(
         f"\nSELECT id, rank_i::DOUBLE * {inv!r} AS rank FROM r{n_iter}"
+    )
+    return "".join(parts)
+
+
+def _hits_sql(n_iter: int = HITS_ITER) -> str:
+    """Fixed-iteration HITS as unrolled CTEs over the kNN edge list,
+    mirroring operators/hits.py's exact-integer contract: int64 score
+    numerators at scale 1e9, exact integer raw/total sums, and the
+    IDENTICAL fixed-order float normalization floor(raw/total*scale
+    + 0.5) — bit-identical doubles on both engines, no decimal
+    re-rounding. Multiply-referenced CTEs are MATERIALIZED (DuckDB
+    inlines plain CTEs exponentially across sweeps — the _pagerank_sql
+    lesson)."""
+    from simkit_spark.operators.hits import HITS_ITER_DP
+
+    scale = float(10**HITS_ITER_DP)
+    inv = 1.0 / scale
+    head = (
+        _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM rk WHERE rank <= {KNN_K}),
+pn AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (SELECT id, {int(scale)}::BIGINT AS s FROM pn)"""
+    )
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+ar{i} AS (SELECT e.dst AS id, sum(h.s)::BIGINT AS raw
+  FROM e JOIN h{p} h ON e.src = h.id GROUP BY e.dst),
+ta{i} AS (SELECT sum(raw)::BIGINT AS t FROM ar{i}),
+a{i} AS MATERIALIZED (SELECT p.id,
+  floor(coalesce(ar.raw, 0)::DOUBLE / (SELECT t FROM ta{i})::DOUBLE * {scale!r} + 0.5)::BIGINT AS s
+  FROM pn p LEFT JOIN ar{i} ar ON p.id = ar.id),
+hr{i} AS (SELECT e.src AS id, sum(a.s)::BIGINT AS raw
+  FROM e JOIN a{i} a ON e.dst = a.id GROUP BY e.src),
+th{i} AS (SELECT sum(raw)::BIGINT AS t FROM hr{i}),
+h{i} AS MATERIALIZED (SELECT p.id,
+  floor(coalesce(hr.raw, 0)::DOUBLE / (SELECT t FROM th{i})::DOUBLE * {scale!r} + 0.5)::BIGINT AS s
+  FROM pn p LEFT JOIN hr{i} hr ON p.id = hr.id)"""
+        )
+    parts.append(
+        f"""
+SELECT h.id, h.s::DOUBLE * {inv!r} AS hub, a.s::DOUBLE * {inv!r} AS authority
+FROM h{n_iter} h JOIN a{n_iter} a ON h.id = a.id"""
     )
     return "".join(parts)
 
@@ -2426,6 +2489,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_transe_rank": _KG_TRANSE_SQL,
         "kg_rdfs_entail": _KG_RDFS_SQL,
         "kg_sameas": _KG_SAMEAS_SQL,
+        "hits_knn": _hits_sql(),
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),

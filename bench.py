@@ -80,6 +80,7 @@ HEADLINE = [
     "kg_rdfs_entail",
     "kg_sameas",
     "setsim_pairs",
+    "hits_knn",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
