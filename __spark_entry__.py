@@ -439,6 +439,17 @@ def _triangles_knn(spark, sf_dir):
     )
 
 
+def _sampled_triangles_knn(spark, sf_dir):
+    from simkit_spark.operators.graphs import knn_graph_from_points
+    from simkit_spark.operators.triangles import sampled_triangle_total
+
+    # DOULION sparsified triangle count at p=1/2 (md5-deterministic
+    # edge sample, exact count on the sample, estimate = T/p^3) — the
+    # 10^12-edge scale path next to the exact triangles_knn
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
+    return sampled_triangle_total(edges, num=1, den=2, seed=42)
+
+
 def _token_quantiles(spark, sf_dir):
     from simkit_spark.functions.text import token_quantiles
 
@@ -1076,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_entail": _kg_rdfs_entail,
         "kg_sameas": _kg_sameas,
         "hits_knn": _hits_knn,
+        "sampled_triangles_knn": _sampled_triangles_knn,
         # --- driver-green in r3 (tail beyond the 50-entry window) ---
         "exact_dedup": _exact_dedup,
         "ari_labels": _ari_labels,
@@ -1729,6 +1741,31 @@ SELECT d.id, d.degree::BIGINT AS degree, coalesce(t.triangles, 0)::BIGINT AS tri
              THEN 2.0::DOUBLE * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))
              ELSE 0.0::DOUBLE END, 6) AS coeff
 FROM deg d LEFT JOIN t USING (id)"""
+)
+
+# DOULION sparsified triangle total: identical md5 edge sample, exact
+# ID-ordered triangle enumeration on the sample (each triangle counted
+# once as u<v<w — Spark's degree-ordered orientation also counts each
+# exactly once, so the integer totals agree), estimate via the same
+# python-evaluated (den/num)^3 double constant
+_SAMPLED_TRI_FACTOR = (2.0 / 1.0) ** 3
+_SAMPLED_TRI_SQL = (
+    _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+    + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+kn AS (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM kn WHERE src <> dst),
+kept AS MATERIALIZED (
+  SELECT u, v FROM ue
+  WHERE ({_MD5_LONG.format(arg="concat_ws(':', u, v, '42')")}) % 2 < 1),
+tri AS (SELECT count(*)::BIGINT AS tri_sampled
+  FROM kept e1
+  JOIN kept e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN kept e3 ON e3.u = e1.v AND e3.v = e2.v),
+ne AS (SELECT count(*)::BIGINT AS n_edges_sampled FROM kept)
+SELECT ne.n_edges_sampled, tri.tri_sampled,
+       tri.tri_sampled::DOUBLE * {_SAMPLED_TRI_FACTOR!r} AS tri_estimate
+FROM ne, tri"""
 )
 
 # Spark percentile == DuckDB quantile_cont (linear interpolation)
@@ -2490,6 +2527,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdfs_entail": _KG_RDFS_SQL,
         "kg_sameas": _KG_SAMEAS_SQL,
         "hits_knn": _hits_sql(),
+        "sampled_triangles_knn": _SAMPLED_TRI_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),

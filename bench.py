@@ -81,6 +81,7 @@ HEADLINE = [
     "kg_sameas",
     "setsim_pairs",
     "hits_knn",
+    "sampled_triangles_knn",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

@@ -36,3 +36,53 @@ def test_star_has_no_triangles(spark):
     out = _run(spark, star)
     assert out[0] == (29, 0, 0.0)
     assert all(out[i] == (1, 0, 0.0) for i in range(1, 30))
+
+
+def test_sampled_triangle_total_full_rate_equals_exact(spark):
+    from simkit_spark.operators.triangles import (
+        sampled_triangle_total,
+        triangle_counts,
+    )
+
+    # K4 plus a pendant edge: 4 triangles, each corner of K4 in 3
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    row = sampled_triangle_total(e, num=1, den=1).collect()[0]
+    assert row.n_edges_sampled == 7
+    assert row.tri_sampled == 4
+    assert row.tri_estimate == 4.0
+    exact = triangle_counts(e)
+    from pyspark.sql import functions as F
+    total = exact.agg((F.sum("triangles") / 3).cast("long")).collect()[0][0]
+    assert total == row.tri_sampled
+
+
+def test_sampled_triangle_total_deterministic_and_unbiased_shape(spark):
+    from simkit_spark.operators.triangles import sampled_triangle_total
+
+    # a 30-clique: C(30,3) = 4060 triangles, C(30,2) = 435 edges
+    edges = [(a, b) for a in range(30) for b in range(30) if a < b]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = sampled_triangle_total(e, num=1, den=2, seed=7).collect()[0]
+    b = sampled_triangle_total(e, num=1, den=2, seed=7).collect()[0]
+    assert tuple(a) == tuple(b)  # md5 decisions: re-runs identical
+    c = sampled_triangle_total(e, num=1, den=2, seed=8).collect()[0]
+    assert tuple(a) != tuple(c)  # seed moves the sample
+    # p=1/2 keeps ~half the edges and the estimate lands within a loose
+    # concentration band of the true 4060 (deterministic, not flaky:
+    # fixed seed -> fixed sample)
+    assert 150 < a.n_edges_sampled < 300
+    assert a.tri_estimate == a.tri_sampled * 8.0
+    assert 1500 < a.tri_estimate < 9000
+
+
+def test_sampled_triangle_total_validates_rate(spark):
+    import pytest as _pytest
+
+    from simkit_spark.operators.triangles import sampled_triangle_total
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="num"):
+        sampled_triangle_total(e, num=0, den=2)
+    with _pytest.raises(ValueError, match="num"):
+        sampled_triangle_total(e, num=3, den=2)
