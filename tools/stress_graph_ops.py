@@ -81,6 +81,25 @@ def main():
     res["triangles_secs"] = round(time.time() - t0, 2)
     res["triangles_total_corner_sum"] = int(tri_total)
 
+    # DOULION p=1/4: the corner sum above counts each triangle 3x, so
+    # estimate * 3 should land near it (unbiased; variance ~ 1/(p^3 T))
+    from simkit_spark.operators.triangles import sampled_triangle_total
+    t0 = time.time()
+    st = sampled_triangle_total(edges, num=1, den=4).first()
+    res["doulion_secs"] = round(time.time() - t0, 2)
+    res["doulion_edges"] = int(st["n_edges_sampled"])
+    res["doulion_estimate_corner_sum"] = round(3.0 * st["tri_estimate"], 1)
+
+    # HITS: distributed exact-integer sweeps (no local twin — this IS
+    # the only path); hub/authority L1 masses must each be ~1
+    from simkit_spark.operators.hits import hits
+    t0 = time.time()
+    ha = hits(edges, n_iter=5)
+    masses = ha.agg(F.sum("hub"), F.sum("authority")).first()
+    res["hits_secs"] = round(time.time() - t0, 2)
+    res["hits_hub_mass"] = round(float(masses[0]), 6)
+    res["hits_auth_mass"] = round(float(masses[1]), 6)
+
     print(json.dumps(res))
     spark.stop()
 
