@@ -342,6 +342,32 @@ def _events_asof(spark, sf_dir):
     ).select("event_id", "user_id", "view_event_id", "view_value")
 
 
+def _interval_overlaps(spark, sf_dir):
+    # per-user concurrent-activity pairs: each event carries a
+    # deterministic md5-derived validity window [ts, ts + 0..6h);
+    # bucketed interval self-join at 1h buckets, owner-bucket dedup
+    # (no global distinct), all-int64 output so the theta-join oracle
+    # is bit-exact
+    from simkit_spark.functions.dedup import _md5_long
+    from simkit_spark.operators.intervaljoin import self_overlap_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dur_s = _md5_long(
+        F.concat_ws(":", F.col("event_id").cast("string"), F.lit("dur"), F.lit("42"))
+    ) % 21600
+    # ts is TIMESTAMP_NTZ: diff against the NTZ epoch literal — exact
+    # int64 micros, timezone-independent (a cast to TIMESTAMP would
+    # shift by the session zone; DuckDB's epoch_us(naive) matches this)
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    iv = ev.select(
+        "user_id",
+        F.col("event_id").alias("id"),
+        us.alias("start"),
+        (us + dur_s * F.lit(1_000_000)).alias("end"),
+    )
+    return self_overlap_pairs(iv, ["user_id"], 3_600_000_000)
+
+
 def _events_rollup(spark, sf_dir):
     # multi-granularity rollup (hypertable-style continuous aggregate):
     # (type, day) + per-type totals + grand total in ONE partial-agg
@@ -1088,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sameas": _kg_sameas,
         "hits_knn": _hits_knn,
         "sampled_triangles_knn": _sampled_triangles_knn,
+        "interval_overlaps": _interval_overlaps,
         # --- driver-green in r3 (tail beyond the 50-entry window) ---
         "exact_dedup": _exact_dedup,
         "ari_labels": _ari_labels,
@@ -1742,6 +1769,26 @@ SELECT d.id, d.degree::BIGINT AS degree, coalesce(t.triangles, 0)::BIGINT AS tri
              ELSE 0.0::DOUBLE END, 6) AS coeff
 FROM deg d LEFT JOIN t USING (id)"""
 )
+
+# interval overlap self-join twin: plain theta join (fine at sf0.01;
+# the Spark side's bucketed equi-join + owner-bucket dedup exists
+# precisely because this shape is quadratic at scale) — identical md5
+# duration derivation, all-int64, bit-exact
+_INTERVAL_SQL = f"""
+WITH iv AS (
+  SELECT user_id, event_id AS id, epoch_us(ts) AS s,
+         epoch_us(ts)
+           + (({_MD5_LONG.format(arg="concat_ws(':', event_id, 'dur', '42')")}) % 21600) * 1000000 AS e
+  FROM events)
+SELECT a.user_id, a.id AS id_l, b.id AS id_r,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.id < b.id
+ AND a.s < b.e AND b.s < a.e
+ -- empty [s, s) intervals never match (operator contract): without
+ -- this a zero-duration event nested inside another's window passes
+ -- the strict theta conditions with overlap 0
+ AND a.s < a.e AND b.s < b.e"""
 
 # DOULION sparsified triangle total: identical md5 edge sample, exact
 # ID-ordered triangle enumeration on the sample (each triangle counted
@@ -2528,6 +2575,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sameas": _KG_SAMEAS_SQL,
         "hits_knn": _hits_sql(),
         "sampled_triangles_knn": _SAMPLED_TRI_SQL,
+        "interval_overlaps": _INTERVAL_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),

@@ -82,6 +82,7 @@ HEADLINE = [
     "setsim_pairs",
     "hits_knn",
     "sampled_triangles_knn",
+    "interval_overlaps",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
