@@ -342,6 +342,22 @@ def _events_asof(spark, sf_dir):
     ).select("event_id", "user_id", "view_event_id", "view_value")
 
 
+def _sorted_neighborhood(spark, sf_dir):
+    # sorted-neighborhood ER blocking: records sorted by a normalized
+    # 16-char text prefix, window 4 -> candidate pairs at rank distance
+    # 1..3; global ranks via range partitioning + broadcast offsets
+    # (no single-partition window), pairs via the bucketed equi-join
+    from simkit_spark.functions.blocking import sorted_neighborhood_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.substring(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), 1, 16
+        ).alias("key"),
+    )
+    return sorted_neighborhood_pairs(docs, "key", "id", window=4)
+
+
 def _interval_overlaps(spark, sf_dir):
     # per-user concurrent-activity pairs: each event carries a
     # deterministic md5-derived validity window [ts, ts + 0..6h);
@@ -1115,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_knn": _hits_knn,
         "sampled_triangles_knn": _sampled_triangles_knn,
         "interval_overlaps": _interval_overlaps,
+        "sorted_neighborhood": _sorted_neighborhood,
         # --- driver-green in r3 (tail beyond the 50-entry window) ---
         "exact_dedup": _exact_dedup,
         "ari_labels": _ari_labels,
@@ -1769,6 +1786,18 @@ SELECT d.id, d.degree::BIGINT AS degree, coalesce(t.triangles, 0)::BIGINT AS tri
              ELSE 0.0::DOUBLE END, 6) AS coeff
 FROM deg d LEFT JOIN t USING (id)"""
 )
+
+# sorted-neighborhood twin: one global row_number window (fine at
+# sf0.01; the Spark side exists precisely because that window is a
+# single-partition sort at scale) + rank-distance theta join
+_SORTED_NEIGHBORHOOD_SQL = """
+WITH k AS (
+  SELECT doc_id AS id,
+         substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 16) AS key
+  FROM documents),
+r AS (SELECT id, row_number() OVER (ORDER BY key, id) AS rank FROM k)
+SELECT a.id AS id_l, b.id AS id_r, (b.rank - a.rank)::BIGINT AS rank_dist
+FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 3"""
 
 # interval overlap self-join twin: plain theta join (fine at sf0.01;
 # the Spark side's bucketed equi-join + owner-bucket dedup exists
@@ -2576,6 +2605,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_knn": _hits_sql(),
         "sampled_triangles_knn": _SAMPLED_TRI_SQL,
         "interval_overlaps": _INTERVAL_SQL,
+        "sorted_neighborhood": _SORTED_NEIGHBORHOOD_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),

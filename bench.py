@@ -83,6 +83,7 @@ HEADLINE = [
     "hits_knn",
     "sampled_triangles_knn",
     "interval_overlaps",
+    "sorted_neighborhood",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
