@@ -537,6 +537,20 @@ def _modularity_knn(spark, sf_dir):
     return community_modularity(edges, labels)
 
 
+def _conductance_knn(spark, sf_dir):
+    # cut quality of the LPA communities (Cheeger-style conductance) —
+    # all-integer inputs, per-row IEEE division (exact oracle parity)
+    from simkit_spark.operators.graphs import knn_graph_from_points
+    from simkit_spark.operators.labelprop import (
+        community_conductance,
+        label_propagation_auto,
+    )
+
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
+    labels = label_propagation_auto(edges, n_iter=LPA_ITER)
+    return community_conductance(edges, labels)
+
+
 def _embedding_stats(spark, sf_dir):
     from simkit_spark.functions.similarity import embedding_stats
 
@@ -1132,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_triangles_knn": _sampled_triangles_knn,
         "interval_overlaps": _interval_overlaps,
         "sorted_neighborhood": _sorted_neighborhood,
+        "conductance_knn": _conductance_knn,
         # --- driver-green in r3 (tail beyond the 50-entry window) ---
         "exact_dedup": _exact_dedup,
         "ari_labels": _ari_labels,
@@ -1589,6 +1604,37 @@ SELECT pc.community, pc.n_nodes, coalesce(ic, 0) AS inner_edges, pc.deg_sum,
         - (pc.deg_sum / (2 * (SELECT md FROM mm)))
         * (pc.deg_sum / (2 * (SELECT md FROM mm))), 6) AS q_c
 FROM pc LEFT JOIN inner_e USING (community)"""
+    )
+
+
+def _conductance_sql(n_iter: int = LPA_ITER) -> str:
+    """Per-community conductance over the LPA labels: reuses the
+    unrolled _lpa_sql sweeps; cut edges count once for BOTH endpoint
+    communities; the division mirrors Spark's expression order
+    (cut::DOUBLE / least(vol, 2m - vol)::DOUBLE, 0.0 when the
+    denominator is 0, then 6dp)."""
+    head, _ = _lpa_sql(n_iter).rsplit("\nSELECT", 1)
+    return (
+        head
+        + f""",
+lab AS (SELECT id, label AS community FROM l{n_iter}),
+mm AS (SELECT count(*)::BIGINT AS m FROM ue),
+cross_e AS (SELECT la.community AS ca, lo.community AS cb
+  FROM ue JOIN lab la ON la.id = ue.u JOIN lab lo ON lo.id = ue.v
+  WHERE la.community <> lo.community),
+cut_e AS (SELECT community, count(*)::BIGINT AS cut FROM (
+    SELECT ca AS community FROM cross_e
+    UNION ALL SELECT cb FROM cross_e) GROUP BY community),
+degs AS (SELECT a AS id, count(*) AS d FROM e GROUP BY a),
+pc AS (SELECT la.community, count(*) AS n_nodes, sum(d)::BIGINT AS volume
+  FROM degs JOIN lab la USING (id) GROUP BY la.community)
+SELECT pc.community, pc.n_nodes, pc.volume, coalesce(cut, 0) AS cut,
+  round(CASE WHEN least(pc.volume, 2 * (SELECT m FROM mm) - pc.volume) = 0
+        THEN 0.0
+        ELSE coalesce(cut, 0)::DOUBLE
+             / least(pc.volume, 2 * (SELECT m FROM mm) - pc.volume)::DOUBLE
+        END, 6) AS conductance
+FROM pc LEFT JOIN cut_e USING (community)"""
     )
 
 
@@ -2606,6 +2652,7 @@ def oracle_sql() -> dict[str, str]:
         "sampled_triangles_knn": _SAMPLED_TRI_SQL,
         "interval_overlaps": _INTERVAL_SQL,
         "sorted_neighborhood": _SORTED_NEIGHBORHOOD_SQL,
+        "conductance_knn": _conductance_sql(),
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),

@@ -84,6 +84,7 @@ HEADLINE = [
     "sampled_triangles_knn",
     "interval_overlaps",
     "sorted_neighborhood",
+    "conductance_knn",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

@@ -142,6 +142,74 @@ def community_modularity(
     )
 
 
+def community_conductance(
+    edges: DataFrame, labels: DataFrame, label_col: str = "community"
+) -> DataFrame:
+    """Conductance per community — the cut-quality companion to
+    modularity: phi(S) = cut(S) / min(vol(S), 2m - vol(S)) with
+    cut(S) = edges leaving S, vol(S) = sum of member degrees, m =
+    total undirected edges. Low phi = well-separated community; the
+    standard spectral-clustering quality target (Cheeger bound), so it
+    closes the loop with operators/eigen.py's embeddings.
+
+    All inputs to the final division are exact integers and the value
+    is a per-row IEEE formula (no float-sum-order hazard — the
+    community_modularity contract). Communities with
+    min(vol, 2m - vol) = 0 (empty or the whole graph) report 0.0.
+
+    Same scale shape as modularity: one count action for m, node-sized
+    label equi-joins, two community-keyed hash aggregations.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    m = und.count()
+    la = labels.select(F.col("id").alias("u"), F.col(label_col).alias("cu"))
+    lb = labels.select(F.col("id").alias("v"), F.col(label_col).alias("cv"))
+    # each cut edge counts once for BOTH endpoint communities
+    cut = (
+        und.join(la, "u")
+        .join(lb, "v")
+        .where(F.col("cu") != F.col("cv"))
+        .select(F.explode(F.array("cu", "cv")).alias("community"))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    per_comm = (
+        deg.join(labels.select("id", F.col(label_col).alias("community")), "id")
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("volume"))
+    )
+    minvol = F.least(F.col("volume"), F.lit(2 * m) - F.col("volume"))
+    return (
+        per_comm.join(cut, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            "volume",
+            F.coalesce(F.col("cut"), F.lit(0)).alias("cut"),
+            F.round(
+                F.when(minvol == 0, F.lit(0.0)).otherwise(
+                    F.coalesce(F.col("cut"), F.lit(0)).cast("double")
+                    / minvol.cast("double")
+                ),
+                6,
+            ).alias("conductance"),
+        )
+    )
+
+
 def label_propagation_auto(
     edges: DataFrame, n_iter: int = 5, local_threshold: int | None = None
 ) -> DataFrame:

@@ -113,3 +113,37 @@ def test_lpa_auto_all_self_loops(spark):
 
     df = spark.createDataFrame([("a", "a"), ("b", "b")], "src string, dst string")
     assert label_propagation_auto(df, n_iter=2).count() == 0
+
+
+def test_conductance_two_triangles_closed_form(spark):
+    from simkit_spark.operators.labelprop import community_conductance
+
+    # two triangles joined by one bridge edge: m=7, each community has
+    # vol=7, cut=1 -> phi = 1/7 = 0.142857 (6dp)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        "id long, community long",
+    )
+    rows = {r.community: r for r in community_conductance(edges, labels).collect()}
+    assert set(rows) == {10, 20}
+    for c in (10, 20):
+        assert rows[c].n_nodes == 3
+        assert rows[c].volume == 7
+        assert rows[c].cut == 1
+        assert rows[c].conductance == 0.142857
+
+
+def test_conductance_whole_graph_is_zero(spark):
+    from simkit_spark.operators.labelprop import community_conductance
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    labels = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "id long, community long"
+    )
+    row = community_conductance(edges, labels).collect()[0]
+    # single community covering everything: cut 0, min(vol, 2m-vol) = 0
+    assert row.cut == 0 and row.conductance == 0.0
