@@ -537,6 +537,16 @@ def _modularity_knn(spark, sf_dir):
     return community_modularity(edges, labels)
 
 
+def _priority_sample(spark, sf_dir):
+    # weighted corpus subsetting (Duffield-Lund-Thorup priority
+    # sampling): top-100 by w/u priority with the unbiased max(w, tau)
+    # subset-sum estimator; the priority is one IEEE division of exact
+    # integers, so the oracle is bit-exact
+    from simkit_spark.functions.curation import priority_sample
+
+    return priority_sample(_docs(spark, sf_dir), "n_chars", k=100)
+
+
 def _conductance_knn(spark, sf_dir):
     # cut quality of the LPA communities (Cheeger-style conductance) —
     # all-integer inputs, per-row IEEE division (exact oracle parity)
@@ -1147,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlaps": _interval_overlaps,
         "sorted_neighborhood": _sorted_neighborhood,
         "conductance_knn": _conductance_knn,
+        "priority_sample": _priority_sample,
         # --- driver-green in r3 (tail beyond the 50-entry window) ---
         "exact_dedup": _exact_dedup,
         "ari_labels": _ari_labels,
@@ -1832,6 +1843,21 @@ SELECT d.id, d.degree::BIGINT AS degree, coalesce(t.triangles, 0)::BIGINT AS tri
              ELSE 0.0::DOUBLE END, 6) AS coeff
 FROM deg d LEFT JOIN t USING (id)"""
 )
+
+# priority-sampling twin: identical md5-derived priorities (one exact
+# integer division -> bit-identical doubles), same (k+1)-th threshold
+_PRIORITY_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id AS id, n_chars::BIGINT AS weight,
+         (n_chars::BIGINT * 4294967296)::DOUBLE
+           / (({_MD5_LONG.format(arg="concat_ws(':', doc_id, '42')")}) + 1)::DOUBLE AS priority
+  FROM documents),
+tk AS (SELECT * FROM s ORDER BY priority DESC, id LIMIT 101),
+tau AS (SELECT CASE WHEN count(*) = 101 THEN min(priority) ELSE 0.0 END AS t FROM tk),
+smp AS (SELECT * FROM tk ORDER BY priority DESC, id LIMIT 100)
+SELECT id, weight, priority,
+       greatest(weight::DOUBLE, (SELECT t FROM tau)) AS w_est
+FROM smp"""
 
 # sorted-neighborhood twin: one global row_number window (fine at
 # sf0.01; the Spark side exists precisely because that window is a
@@ -2653,6 +2679,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlaps": _INTERVAL_SQL,
         "sorted_neighborhood": _SORTED_NEIGHBORHOOD_SQL,
         "conductance_knn": _conductance_sql(),
+        "priority_sample": _PRIORITY_SAMPLE_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),

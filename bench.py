@@ -85,6 +85,7 @@ HEADLINE = [
     "interval_overlaps",
     "sorted_neighborhood",
     "conductance_knn",
+    "priority_sample",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

@@ -338,3 +338,65 @@ def importance_sample(
             "doc_id", "w", F.round(F.least(p, F.lit(1.0)), 6).alias("p_keep")
         )
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    q = w/u with u ~ Uniform(0,1); the k largest priorities are the
+    sample, and w_est = max(w, tau) — tau the (k+1)-th priority — is
+    the unbiased subset-sum estimator (sum of w_est over any subset of
+    the sample estimates that subset's true weight sum). The standard
+    one-pass weighted sampler for corpus subsetting where heavy docs
+    must be kept but totals must stay estimable.
+
+    Determinism contract: u = (md5(id:seed)+1) / 2^32, and the
+    priority is ONE correctly-rounded IEEE division of two exactly-
+    representable integers (w·2^32 stays exact for w < 2^31, the
+    numerator h+1 <= 2^32) — so Spark and a SQL twin compute
+    bit-identical doubles; order ties break on id. No transcendental
+    (ln/pow of the Efraimidis-Spirakis key) enters, so there is no
+    cross-engine last-ulp ordering hazard.
+
+    Scale: the top-(k+1) is a distributed TakeOrdered (per-partition
+    partial top-k, then one k-sized merge) — no global sort, no
+    single-partition window. Returns (id, weight, priority, w_est),
+    k rows (all rows if n <= k, with tau = 0).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("long")
+    h = _md5_long(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        w.alias("weight"),
+        (
+            (w * F.lit(4294967296)).cast("double")
+            / (h + F.lit(1)).cast("double")
+        ).alias("priority"),
+    )
+    topk1 = (
+        scored.orderBy(F.desc("priority"), F.asc("id"))
+        .limit(k + 1)
+        .localCheckpoint()
+    )
+    tau = topk1.agg(
+        F.when(F.count(F.lit(1)) == k + 1, F.min("priority"))
+        .otherwise(F.lit(0.0))
+        .alias("tau")
+    )
+    sample = topk1.orderBy(F.desc("priority"), F.asc("id")).limit(k)
+    return sample.crossJoin(F.broadcast(tau)).select(
+        "id",
+        "weight",
+        "priority",
+        F.greatest(F.col("weight").cast("double"), F.col("tau")).alias("w_est"),
+    )

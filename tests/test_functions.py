@@ -450,3 +450,45 @@ def test_word_ranks_matches_counter(spark):
         }
         assert got == want, nr
     assert word_ranks(docs.where("text = 'nope'")).count() == 0
+
+
+def test_priority_sample_contract(spark):
+    from simkit_spark.functions.curation import priority_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", 10 + i) for i in range(50)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = priority_sample(docs, "n_chars", k=10).collect()
+    assert len(out) == 10
+    # estimator: w_est = max(w, tau) >= w, and tau is a single value
+    taus = {round(r.w_est, 9) for r in out if r.w_est > r.weight}
+    assert all(r.w_est >= r.weight for r in out)
+    assert len(taus) <= 1
+    # deterministic: same seed -> same sample; different seed -> moves
+    again = priority_sample(docs, "n_chars", k=10).collect()
+    assert sorted(r.id for r in out) == sorted(r.id for r in again)
+    moved = priority_sample(docs, "n_chars", k=10, seed=7).collect()
+    assert sorted(r.id for r in out) != sorted(r.id for r in moved)
+    # n <= k: everything sampled, tau = 0 -> w_est == w
+    small = priority_sample(docs.limit(5), "n_chars", k=10).collect()
+    assert len(small) == 5 and all(r.w_est == float(r.weight) for r in small)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must"):
+        priority_sample(docs, "n_chars", k=0)
+
+
+def test_priority_sample_estimator_unbiased_shape(spark):
+    """sum of w_est over the whole sample should sit near the true
+    total weight (the subset-sum estimator property), deterministic
+    here by fixed seed."""
+    from simkit_spark.functions.curation import priority_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", 100 + (i * 37) % 900) for i in range(400)],
+        "doc_id long, text string, n_chars long",
+    )
+    true_total = sum(100 + (i * 37) % 900 for i in range(400))
+    out = priority_sample(docs, "n_chars", k=80).collect()
+    est = sum(r.w_est for r in out)
+    assert abs(est - true_total) / true_total < 0.25, (est, true_total)
