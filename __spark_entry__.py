@@ -934,6 +934,19 @@ def _kg_transe_rank(spark, sf_dir):
     )
 
 
+def _kg_distmult_rank(spark, sf_dir):
+    # DistMult (diagonal bilinear, higher = better) over the same
+    # located_in -> nation eval set as kg_transe_rank: the second
+    # scoring family through the shared _filtered_rank harness —
+    # all-bigint products (component < 1000 -> term < 1e9), hash-exact
+    from simkit_spark.kg import distmult_rank
+
+    return distmult_rank(
+        _kg_rel(spark, sf_dir), "located_in", "nation",
+        n_objects=25, dim=4, modulus=1000, seed=42, key_base=0,
+    )
+
+
 # ontology for kg_rdfs_entail: two-level property hierarchy + inherited
 # domain/range + two-level class hierarchy over the direct-mapped KG
 _KG_ONTOLOGY = [
@@ -1158,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": _sorted_neighborhood,
         "conductance_knn": _conductance_knn,
         "priority_sample": _priority_sample,
+        "kg_distmult_rank": _kg_distmult_rank,
         # --- driver-green in r3 (tail beyond the 50-entry window) ---
         "exact_dedup": _exact_dedup,
         "ari_labels": _ari_labels,
@@ -2449,6 +2463,42 @@ FROM strue st LEFT JOIN cnt c ON st.subj = c.subj AND st.obj = c.obj"""
 )
 
 
+# DistMult twin: same CTE skeleton as _KG_TRANSE_SQL with the diagonal
+# bilinear term (exact integer products) and the comparison flipped
+# (higher score wins; same IRI tiebreak)
+_KG_DISTMULT_SQL = (
+    _KG_CTE
+    + f""",
+base AS (SELECT DISTINCT subj, obj FROM triples WHERE pred = 'located_in'),
+dims AS (SELECT unnest(range(4)) AS d),
+cands AS (SELECT concat_ws(':', 'nation', x) AS cand
+          FROM (SELECT unnest(range(25)) AS x)),
+terms AS (
+  SELECT b.subj, b.obj, c.cand,
+         (({_transe_c('b.subj')}) * ({_transe_c("'located_in'")}))
+           * ({_transe_c('c.cand')}) AS term_c,
+         (({_transe_c('b.subj')}) * ({_transe_c("'located_in'")}))
+           * ({_transe_c('b.obj')}) AS term_t
+  FROM base b CROSS JOIN cands c CROSS JOIN dims
+),
+sc AS (SELECT subj, obj, cand, CAST(sum(term_c) AS BIGINT) AS s_cand,
+              CAST(sum(term_t) AS BIGINT) AS s_true
+       FROM terms GROUP BY subj, obj, cand),
+kept AS (SELECT sc.subj, sc.obj, sc.cand, sc.s_cand, sc.s_true FROM sc
+         LEFT JOIN base t ON sc.subj = t.subj AND sc.cand = t.obj
+         WHERE sc.cand <> sc.obj AND t.subj IS NULL),
+strue AS (SELECT DISTINCT subj, obj, s_true FROM sc),
+cnt AS (SELECT subj, obj,
+               sum(CASE WHEN s_cand > s_true
+                         OR (s_cand = s_true AND cand < obj)
+                   THEN 1 ELSE 0 END) AS n_better
+        FROM kept GROUP BY subj, obj)
+SELECT st.subj, st.obj, st.s_true,
+       CAST(coalesce(c.n_better, 0) + 1 AS BIGINT) AS rank
+FROM strue st LEFT JOIN cnt c ON st.subj = c.subj AND st.obj = c.obj"""
+)
+
+
 # SPARQL-style BGP: each template is a constant-filtered projection,
 # folded into USING-joins on the shared variables — the SQL twin makes
 # the join graph explicit
@@ -2680,6 +2730,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_neighborhood": _SORTED_NEIGHBORHOOD_SQL,
         "conductance_knn": _conductance_sql(),
         "priority_sample": _PRIORITY_SAMPLE_SQL,
+        "kg_distmult_rank": _KG_DISTMULT_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),

@@ -86,6 +86,7 @@ HEADLINE = [
     "sorted_neighborhood",
     "conductance_knn",
     "priority_sample",
+    "kg_distmult_rank",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

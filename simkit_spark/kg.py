@@ -759,20 +759,78 @@ def transe_rank(
     hash-partitioned, no window. The true-pair filter joins on the same
     (subj, candidate) key the score stream already carries.
     """
+    return _filtered_rank(
+        triples, pred, obj_kind, n_objects, dim, modulus, seed, key_base,
+        candidate_blocks,
+        combine=lambda a, b: a + b,          # query vec = e_h + e_r
+        term=lambda a, b: F.abs(a - b),      # L1 translation distance
+        higher_is_better=False,
+    )
+
+
+def distmult_rank(
+    triples: DataFrame,
+    pred: str,
+    obj_kind: str,
+    n_objects: int,
+    dim: int = 4,
+    modulus: int = 1000,
+    seed: int = 42,
+    key_base: int = 0,
+    candidate_blocks: int = 1,
+) -> DataFrame:
+    """DistMult-style filtered link-prediction evaluation (Yang et al.,
+    ICLR 2015): the diagonal-bilinear score s(h, c) = sum_d
+    e_h[d]·e_r[d]·e_c[d], HIGHER = better — the multiplicative scoring
+    family next to transe_rank's additive one; both share one harness
+    (`_filtered_rank`), so rank/MRR/Hits@k tooling and the blocked
+    candidate-axis scale path are identical. Integer hash embeddings
+    keep every score exact (component < modulus, so a term <
+    modulus^3 = 10^9 and sums stay far from int64 overflow); rank =
+    1 + #{c kept : s(c) > s_true or (s(c) = s_true and c < t)} under
+    the same filtered protocol and IRI tiebreak.
+    """
+    return _filtered_rank(
+        triples, pred, obj_kind, n_objects, dim, modulus, seed, key_base,
+        candidate_blocks,
+        combine=lambda a, b: a * b,          # query vec = e_h ∘ e_r
+        term=lambda a, b: a * b,             # dot with the candidate
+        higher_is_better=True,
+    )
+
+
+def _filtered_rank(
+    triples: DataFrame,
+    pred: str,
+    obj_kind: str,
+    n_objects: int,
+    dim: int,
+    modulus: int,
+    seed: int,
+    key_base: int,
+    candidate_blocks: int,
+    combine,
+    term,
+    higher_is_better: bool,
+) -> DataFrame:
+    """Shared filtered-protocol eval harness: query vec = zip_with(e_h,
+    e_r, ``combine``); score = sum_d term(query[d], e_c[d]); see
+    transe_rank for the protocol and the blocked-broadcast scale shape.
+    """
     base = (
         triples.where(F.col("pred") == pred)
         .select("subj", "obj")
         .distinct()
     )
     rel = _hash_embedding(F.lit(pred), dim, modulus, seed)
-    # h_plus_r and the true-tail score, computed once per true triple
+    # query vector and the true-tail score, computed once per triple
     base_h = base.select(
         "subj",
         "obj",
         F.zip_with(
             _hash_embedding(F.col("subj"), dim, modulus, seed),
             rel,
-            lambda a, b: a + b,
+            combine,
         ).alias("_hr"),
     ).withColumn(
         "s_true",
@@ -780,7 +838,7 @@ def transe_rank(
             F.zip_with(
                 F.col("_hr"),
                 _hash_embedding(F.col("obj"), dim, modulus, seed),
-                lambda a, b: F.abs(a - b),
+                term,
             ),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
@@ -800,7 +858,7 @@ def transe_rank(
         scored = base_h.join(F.broadcast(cands)).withColumn(
             "s_cand",
             F.aggregate(
-                F.zip_with(F.col("_hr"), F.col("_ec"), lambda a, b: F.abs(a - b)),
+                F.zip_with(F.col("_hr"), F.col("_ec"), term),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             ),
@@ -826,11 +884,16 @@ def transe_rank(
     marked = parts[0]
     for p in parts[1:]:
         marked = marked.unionByName(p)
+    wins = (
+        (F.col("s_cand") > F.col("s_true"))
+        if higher_is_better
+        else (F.col("s_cand") < F.col("s_true"))
+    )
     better = (
         (F.col("cand") != F.col("obj"))
         & F.col("t_subj").isNull()
         & (
-            (F.col("s_cand") < F.col("s_true"))
+            wins
             | (
                 (F.col("s_cand") == F.col("s_true"))
                 & (F.col("cand") < F.col("obj"))

@@ -555,3 +555,57 @@ def test_sameas_canonicalize_no_sameas_is_passthrough(spark):
     )
     got = sorted(map(tuple, sameas_canonicalize(tri).collect()))
     assert got == [("a", "p", "b"), ("b", "q", "c")]
+
+
+def test_distmult_rank_matches_python_replica(kg):
+    """bit-parity of the DistMult scores/ranks vs a hash-replica loop
+    (mirrors test_transe_rank_matches_python_replica)."""
+    import hashlib
+
+    from simkit_spark.kg import distmult_rank
+
+    def md5l(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def emb(ent, dim=4, mod=1000, seed=42):
+        return [md5l(f"{ent}:{d}:{seed}") % mod for d in range(dim)]
+
+    tri = kg  # fixture is already the direct-mapped triple table
+    got = {
+        (r.subj, r.obj): (r.s_true, r.rank)
+        for r in distmult_rank(
+            tri, "located_in", "nation", n_objects=2, dim=4,
+            modulus=1000, seed=42,
+        ).collect()
+    }
+    base = {
+        (r.subj, r.obj)
+        for r in tri.where("pred = 'located_in'").select("subj", "obj").collect()
+    }
+    rel = emb("located_in")
+    for (h, t) in base:
+        eh = emb(h)
+        q = [a * b for a, b in zip(eh, rel)]
+        def score(c):
+            return sum(a * b for a, b in zip(q, emb(c)))
+        s_true = score(t)
+        n_better = 0
+        for x in range(2):
+            c = f"nation:{x}"
+            if c == t or (h, c) in base:
+                continue
+            sc = score(c)
+            if sc > s_true or (sc == s_true and c < t):
+                n_better += 1
+        assert got[(h, t)] == (s_true, n_better + 1), (h, t)
+
+
+def test_distmult_rank_blocked_candidates_bit_identical(kg):
+    from simkit_spark.kg import distmult_rank
+
+    tri = kg
+    one = distmult_rank(tri, "located_in", "nation", n_objects=2, dim=4)
+    two = distmult_rank(
+        tri, "located_in", "nation", n_objects=2, dim=4, candidate_blocks=2
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
