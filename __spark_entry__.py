@@ -537,6 +537,21 @@ def _modularity_knn(spark, sf_dir):
     return community_modularity(edges, labels)
 
 
+def _kmv_distinct(spark, sf_dir):
+    # KMV bottom-k distinct-count sketch over the (orderkey, partkey)
+    # pair space of lineitem — deterministic md5 minima, so the oracle
+    # reproduces the k-th hash and the estimate bit-for-bit (unlike
+    # HLL++/approx_count_distinct, which is engine-opaque)
+    from simkit_spark.functions.sketch import kmv_distinct
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.concat_ws(
+            ":", F.col("l_orderkey").cast("string"), F.col("l_partkey").cast("string")
+        ).alias("pair")
+    )
+    return kmv_distinct(li, "pair", k=256)
+
+
 def _priority_sample(spark, sf_dir):
     # weighted corpus subsetting (Duffield-Lund-Thorup priority
     # sampling): top-100 by w/u priority with the unbiased max(w, tau)
@@ -1172,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_knn": _conductance_knn,
         "priority_sample": _priority_sample,
         "kg_distmult_rank": _kg_distmult_rank,
+        "kmv_distinct": _kmv_distinct,
         # --- driver-green in r3 (tail beyond the 50-entry window) ---
         "exact_dedup": _exact_dedup,
         "ari_labels": _ari_labels,
@@ -1857,6 +1873,18 @@ SELECT d.id, d.degree::BIGINT AS degree, coalesce(t.triangles, 0)::BIGINT AS tri
              ELSE 0.0::DOUBLE END, 6) AS coeff
 FROM deg d LEFT JOIN t USING (id)"""
 )
+
+# KMV sketch twin: identical md5 bottom-k, identical one-division
+# estimate
+_KMV_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT {_MD5_LONG.format(arg="concat_ws(':', concat_ws(':', l_orderkey, l_partkey), '42')")} AS h
+  FROM lineitem),
+bk AS (SELECT h FROM h ORDER BY h LIMIT 256)
+SELECT count(*)::BIGINT AS n_kept, max(h)::BIGINT AS kth_hash,
+       CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+            ELSE (255 * 4294967296)::DOUBLE / max(h)::DOUBLE END AS est_distinct
+FROM bk"""
 
 # priority-sampling twin: identical md5-derived priorities (one exact
 # integer division -> bit-identical doubles), same (k+1)-th threshold
@@ -2731,6 +2759,7 @@ def oracle_sql() -> dict[str, str]:
         "conductance_knn": _conductance_sql(),
         "priority_sample": _PRIORITY_SAMPLE_SQL,
         "kg_distmult_rank": _KG_DISTMULT_SQL,
+        "kmv_distinct": _KMV_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),

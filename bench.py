@@ -87,6 +87,7 @@ HEADLINE = [
     "conductance_knn",
     "priority_sample",
     "kg_distmult_rank",
+    "kmv_distinct",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

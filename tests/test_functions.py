@@ -492,3 +492,31 @@ def test_priority_sample_estimator_unbiased_shape(spark):
     out = priority_sample(docs, "n_chars", k=80).collect()
     est = sum(r.w_est for r in out)
     assert abs(est - true_total) / true_total < 0.25, (est, true_total)
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    from simkit_spark.functions.sketch import kmv_distinct
+
+    # 40 distinct values, k=64: sketch is exact
+    small = spark.createDataFrame(
+        [(i % 40,) for i in range(500)], "v long"
+    )
+    row = kmv_distinct(small, "v", k=64).collect()[0]
+    assert row.n_kept == 40 and row.est_distinct == 40.0
+
+    # 20k distinct, k=256: estimate within ~4/sqrt(k-2) rel. error
+    # (deterministic: fixed hash family, no flakiness)
+    big = spark.createDataFrame([(i,) for i in range(20_000)], "v long")
+    row = kmv_distinct(big, "v", k=256).collect()[0]
+    assert row.n_kept == 256
+    rel = abs(row.est_distinct - 20_000) / 20_000
+    assert rel < 4 / (254 ** 0.5), (row.est_distinct, rel)
+
+    # duplicates don't move the sketch: same estimate with every row 3x
+    dup = big.unionAll(big).unionAll(big)
+    row2 = kmv_distinct(dup, "v", k=256).collect()[0]
+    assert (row2.kth_hash, row2.est_distinct) == (row.kth_hash, row.est_distinct)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must"):
+        kmv_distinct(big, "v", k=2)
