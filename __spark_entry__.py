@@ -1172,9 +1172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaussian_affinity": _gaussian_affinity,
         "laplacian_sym": _laplacian("sym"),
         "silhouette_labels": _silhouette_labels,
-        "ivf_topk": _ivf_topk,
-        "embedding_neardup": _embedding_neardup,
-        "events_sessionize": _events_sessionize,
         # new in r4 (never driver-checked -> in-window)
         "setsim_pairs": _setsim_pairs,
         "kg_transe_rank": _kg_transe_rank,
@@ -1188,6 +1185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _priority_sample,
         "kg_distmult_rank": _kg_distmult_rank,
         "kmv_distinct": _kmv_distinct,
+        # --- rotated out of the 50-entry window to admit the newest
+        # round-4c queries: driver-green in r3 AND in the r4a full
+        # sweep, implementations untouched since ---
+        "ivf_topk": _ivf_topk,
+        "embedding_neardup": _embedding_neardup,
+        "events_sessionize": _events_sessionize,
         # --- driver-green in r3 (tail beyond the 50-entry window) ---
         "exact_dedup": _exact_dedup,
         "ari_labels": _ari_labels,
@@ -2742,9 +2745,6 @@ def oracle_sql() -> dict[str, str]:
         "laplacian_sym": _LAP_SYM_SQL,
         "silhouette_labels": _SILHOUETTE_SQL,
         "ari_labels": _ARI_SQL,
-        "ivf_topk": _IVF_SQL,
-        "embedding_neardup": _EMB_NEARDUP_SQL,
-        "events_sessionize": _SESSIONIZE_SQL,
         "exact_dedup": f"SELECT {_FP_EXPR} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY 1",
         # brute-force exact twin of the prefix-filtered join: the
         # filter is an optimization, the OUTPUT contract is all pairs
@@ -2760,6 +2760,9 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample": _PRIORITY_SAMPLE_SQL,
         "kg_distmult_rank": _KG_DISTMULT_SQL,
         "kmv_distinct": _KMV_SQL,
+        "ivf_topk": _IVF_SQL,
+        "embedding_neardup": _EMB_NEARDUP_SQL,
+        "events_sessionize": _SESSIONIZE_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),
