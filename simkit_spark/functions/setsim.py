@@ -111,16 +111,48 @@ def _prefix_candidates(
         F.slice(F.expr("transform(otoks, x -> x.tok)"), F.lit(1), p).alias("prefix"),
     ).localCheckpoint()  # candidates + both verify sides read it
 
-    pf = prefixed.select("id", "sz", F.explode("prefix").alias("tok"))
-    a = pf.select(F.col("id").alias("a"), F.col("sz").alias("sza"), "tok")
-    b = pf.select(F.col("id").alias("b"), F.col("sz").alias("szb"), "tok")
+    # positions ride along for the PPJoin positional filter below
+    # (posexplode of the slice = the token's index in the full ordered
+    # array, 0-based -> +1)
+    pf = prefixed.select(
+        "id", "sz", F.posexplode("prefix").alias("pos0", "tok")
+    ).select("id", "sz", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = pf.select(
+        F.col("id").alias("a"), F.col("sz").alias("sza"),
+        F.col("pos").alias("pa"), "tok",
+    )
+    b = pf.select(
+        F.col("id").alias("b"), F.col("sz").alias("szb"),
+        F.col("pos").alias("pb"), "tok",
+    )
+    # required overlap alpha: J >= tau  =>  o >= tau/(1+tau)·(|A|+|B|),
+    # integer ceil with the rational tau
+    alpha = F.expr(
+        f"({tau_num} * (sza + szb) + {tau_num} + {tau_den} - 1) "
+        f"div ({tau_num} + {tau_den})"
+    )
     cands = (
         a.join(b, "tok")
         .where(F.col("a") < F.col("b"))
         # size filter: tau*|A| <= |B| <= |A|/tau (integer inequalities)
         .where(F.col("szb") * tau_den >= F.col("sza") * tau_num)
         .where(F.col("szb") * tau_num <= F.col("sza") * tau_den)
+        # PPJoin positional filter (Xiao et al., ICDE'08): for the
+        # FIRST common prefix token (min position under the shared
+        # global order — both arrays sort the same way, so min-by-pa
+        # is it), nothing earlier is shared, hence
+        # overlap <= 1 + min(|A|-pa, |B|-pb); prune below alpha.
+        # Sound: never drops a true pair, kills template-corpus
+        # candidates whose only shared prefix token sits deep.
+        .groupBy("a", "b", "sza", "szb")
+        .agg(F.min(F.struct("pa", "pb")).alias("m"))
+        .where(
+            F.lit(1)
+            + F.least(
+                F.col("sza") - F.col("m.pa"), F.col("szb") - F.col("m.pb")
+            )
+            >= alpha
+        )
         .select("a", "b")
-        .distinct()
     )
     return prefixed, cands
