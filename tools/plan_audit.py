@@ -108,6 +108,32 @@ AUDITED = {
     "(map-side partials) — no per-key window sort over the fact join",
     "kg_validate": "broadcast rule table + codegen prefix comparisons; "
     "cardinality = one count agg + broadcast semi-join back",
+    "setsim_pairs": "rarest-first prefixes -> candidate equi-join on rare "
+    "tokens with integer size filters + PPJoin positional filter (first "
+    "common token bounds overlap) BEFORE verification; no all-pairs product",
+    "kg_sameas": "CC over the alias-sized sameAs subgraph only; rewrite = "
+    "two LEFT equi-joins of the non-identity map + one distinct — the "
+    "instance stream is never iterated",
+    "hits_knn": "two once-shuffled persisted edge layouts (by src / by dst); "
+    "per sweep only node-sized groupBy exchanges; normalization totals as "
+    "broadcast 1-row aggregates",
+    "sampled_triangles_knn": "md5 edge sample BEFORE the wedge join (~p^2 "
+    "join shrinkage); same degree-ordered orientation as the exact counter",
+    "interval_overlaps": "intervals explode to covered 1h buckets; "
+    "candidates meet in an equi-join on (user, bucket) — no "
+    "BroadcastNestedLoopJoin; owner-bucket emission, no global distinct",
+    "sorted_neighborhood": "global sort ranks from range partitioning + "
+    "broadcast per-range offsets (no single-partition window); pairs via a "
+    "bucketed rank-div-w equi-join, exactly-once, no distinct",
+    "conductance_knn": "label equi-joins + two community-keyed hash aggs; "
+    "phi is a per-row formula over exact integers",
+    "priority_sample": "distributed TakeOrdered top-(k+1) (per-partition "
+    "partial top-k); threshold as a broadcast 1-row aggregate; no global sort",
+    "kg_distmult_rank": "broadcast candidate table, codegen zip_with/"
+    "aggregate scoring, map-side-combinable count-better agg — the shared "
+    "_filtered_rank shape (no join-back, no window)",
+    "kmv_distinct": "hash projection -> map-side-deduped distinct -> "
+    "TakeOrdered(k); nothing row-sized sorts globally",
 }
 
 
