@@ -669,6 +669,37 @@ def _hits_knn(spark, sf_dir):
     return hits(edges, n_iter=HITS_ITER)
 
 
+def _weighted_pagerank_affinity(spark, sf_dir):
+    # entity salience over the WEIGHTED similarity graph: the directed
+    # kNN edges carry their self-tuned Gaussian affinities (the
+    # unweighted variant throws the kernel away); exact-integer sweeps
+    # at scale 1e9 with weights quantized once at 6dp
+    from simkit_spark.operators.kernels import pairwise_topk
+    from simkit_spark.operators.pagerank import weighted_pagerank
+    from simkit_spark.util import materialize
+
+    t = materialize(
+        pairwise_topk(_emb(spark, sf_dir), max(KNN_K, SIGMA_K), "euclidean")
+    )
+    sig = t.where(F.col("rank") == SIGMA_K).select(
+        F.col("src").alias("id"), F.col("dist").alias("sigma")
+    )
+    e = (
+        t.where(F.col("rank") <= KNN_K)
+        .join(sig.select(F.col("id").alias("src"), F.col("sigma").alias("s1")), "src")
+        .join(sig.select(F.col("id").alias("dst"), F.col("sigma").alias("s2")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.exp(-(F.col("dist") * F.col("dist")) / (F.col("s1") * F.col("s2"))),
+                6,
+            ).alias("weight"),
+        )
+    )
+    return weighted_pagerank(e, n_iter=PAGERANK_ITER)
+
+
 def _kcore_knn(spark, sf_dir):
     from simkit_spark.operators.graphs import knn_graph_from_points
     from simkit_spark.operators.kcore import kcore_auto
@@ -1171,7 +1202,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eps_graph": _eps_graph,
         "gaussian_affinity": _gaussian_affinity,
         "laplacian_sym": _laplacian("sym"),
-        "silhouette_labels": _silhouette_labels,
         # new in r4 (never driver-checked -> in-window)
         "setsim_pairs": _setsim_pairs,
         "kg_transe_rank": _kg_transe_rank,
@@ -1185,9 +1215,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _priority_sample,
         "kg_distmult_rank": _kg_distmult_rank,
         "kmv_distinct": _kmv_distinct,
+        "weighted_pagerank_affinity": _weighted_pagerank_affinity,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4c queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
+        "silhouette_labels": _silhouette_labels,
         "ivf_topk": _ivf_topk,
         "embedding_neardup": _embedding_neardup,
         "events_sessionize": _events_sessionize,
@@ -1649,6 +1681,56 @@ SELECT pc.community, pc.n_nodes, coalesce(ic, 0) AS inner_edges, pc.deg_sum,
         * (pc.deg_sum / (2 * (SELECT md FROM mm))), 6) AS q_c
 FROM pc LEFT JOIN inner_e USING (community)"""
     )
+
+
+def _wpr_sql(n_iter: int = PAGERANK_ITER) -> str:
+    """Weighted PageRank over the Gaussian-affinity kNN graph:
+    _pagerank_sql's unrolled-sweep skeleton with weighted integer
+    contributions (rank_i * w_q // strength) and the operator's
+    iter_dp=9 / weight_dp=6 quantization — floor(round(exp(...), 6)
+    * 1e6 + 0.5) mirrors the Spark expression order exactly."""
+    from simkit_spark.operators.pagerank import DAMPING, WPR_ITER_DP
+
+    scale = float(10**WPR_ITER_DP)
+    inv = 1.0 / scale
+    head = (
+        _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        + f""",
+rk AS (SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+sig AS (SELECT src AS id, dist AS sigma FROM rk WHERE rank = {SIGMA_K}),
+e AS MATERIALIZED (
+  SELECT d.src, d.dst,
+         floor(round(exp(-(d.dist*d.dist) / (s1.sigma*s2.sigma)), 6)
+               * 1000000.0 + 0.5)::BIGINT AS w_q
+  FROM (SELECT src, dst, dist FROM rk WHERE rank <= {KNN_K}) d
+  JOIN sig s1 ON d.src = s1.id JOIN sig s2 ON d.dst = s2.id),
+ek AS MATERIALIZED (SELECT src, dst, w_q FROM e WHERE w_q > 0),
+pn AS MATERIALIZED (SELECT src AS id FROM ek UNION SELECT dst FROM ek),
+nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM pn),
+st AS MATERIALIZED (SELECT src, sum(w_q)::BIGINT AS strength FROM ek GROUP BY src),
+r0 AS MATERIALIZED (SELECT id,
+  floor((1.0/(SELECT n FROM nn)) * {scale!r} + 0.5)::BIGINT AS rank_i FROM pn)"""
+    )
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+c{i} AS (SELECT ek.dst AS id, sum((r.rank_i * ek.w_q) // s.strength)::BIGINT AS inflow_i
+  FROM ek JOIN r{p} r ON ek.src = r.id JOIN st s ON ek.src = s.src GROUP BY ek.dst),
+d{i} AS (SELECT coalesce(sum(r.rank_i), 0)::BIGINT AS dmass_i
+  FROM r{p} r LEFT JOIN st s ON r.id = s.src WHERE s.src IS NULL),
+r{i} AS MATERIALIZED (SELECT p.id, floor((
+    (SELECT {(1.0 - DAMPING)!r}::DOUBLE/n FROM nn)
+    + {DAMPING!r}::DOUBLE * (coalesce(c.inflow_i, 0)::DOUBLE * {inv!r}
+        + (SELECT dmass_i FROM d{i})::DOUBLE * {inv!r} / (SELECT n FROM nn))
+  ) * {scale!r} + 0.5)::BIGINT AS rank_i
+  FROM pn p LEFT JOIN c{i} c ON p.id = c.id)"""
+        )
+    parts.append(
+        f"\nSELECT id, rank_i::DOUBLE * {inv!r} AS rank FROM r{n_iter}"
+    )
+    return "".join(parts)
 
 
 def _conductance_sql(n_iter: int = LPA_ITER) -> str:
@@ -2743,7 +2825,6 @@ def oracle_sql() -> dict[str, str]:
         "eps_graph": _EPS_SQL,
         "gaussian_affinity": _GAUSS_SQL,
         "laplacian_sym": _LAP_SYM_SQL,
-        "silhouette_labels": _SILHOUETTE_SQL,
         "ari_labels": _ARI_SQL,
         "exact_dedup": f"SELECT {_FP_EXPR} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY 1",
         # brute-force exact twin of the prefix-filtered join: the
@@ -2760,6 +2841,8 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample": _PRIORITY_SAMPLE_SQL,
         "kg_distmult_rank": _KG_DISTMULT_SQL,
         "kmv_distinct": _KMV_SQL,
+        "weighted_pagerank_affinity": _wpr_sql(),
+        "silhouette_labels": _SILHOUETTE_SQL,
         "ivf_topk": _IVF_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "events_sessionize": _SESSIONIZE_SQL,

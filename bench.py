@@ -88,6 +88,7 @@ HEADLINE = [
     "priority_sample",
     "kg_distmult_rank",
     "kmv_distinct",
+    "weighted_pagerank_affinity",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

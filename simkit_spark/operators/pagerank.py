@@ -374,3 +374,109 @@ def personalized_pagerank(
     tv.unpersist()
     dangling_ids.unpersist()
     return out
+
+
+WPR_ITER_DP = 9
+WPR_WEIGHT_DP = 6
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = DAMPING,
+    iter_dp: int = WPR_ITER_DP,
+    weight_dp: int = WPR_WEIGHT_DP,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """(src, dst, weight) -> (id, rank): PageRank where each source
+    splits its rank proportionally to edge weight — entity salience
+    over the linker's WEIGHTED similarity graph (Gaussian affinities),
+    where the unweighted variant throws the kernel away.
+
+    Same exact-integer contract as ``pagerank`` with one extra
+    quantization: weights enter ONCE as w_q = floor(w·10^weight_dp
+    + 0.5) int64 (consuming the 6dp-rounded affinity contract);
+    edges with w_q = 0 drop entirely (the reference's zero-weight edge
+    filter — Neo4jGraphHandler discards them too), and the node set is
+    taken from the KEPT edge list. Per sweep, contrib =
+    rank_i * w_q div strength(src) with strength = SUM(w_q) exact —
+    all integer, order-independent. iter_dp defaults to 9 (not the
+    unweighted 12) so rank_i * w_q <= 10^9·10^6 = 10^15 stays exact in
+    int64 AND in the double converts. Dangling = no kept out-edge.
+    """
+    w_scale = 10**weight_dp
+    e = (
+        edges.select(
+            "src",
+            "dst",
+            F.floor(F.col("weight") * F.lit(float(w_scale)) + F.lit(0.5))
+            .cast("long")
+            .alias("w_q"),
+        )
+        .where(F.col("w_q") > 0)
+        .repartition("src")
+        .persist()
+    )
+    nodes = materialize(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("rank"))
+    strength = e.groupBy("src").agg(F.sum("w_q").alias("strength"))
+    ed = e.join(strength, "src").sortWithinPartitions("src").persist()
+    ed.count()
+    dangling_ids = nodes.join(
+        e.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    ).persist()
+    dangling_ids.count()
+    e.unpersist()
+    scale = 10**iter_dp
+    inv = 1.0 / float(scale)
+    teleport = (1.0 - damping) / float(n)
+
+    r0 = math.floor((1.0 / float(n)) * float(scale) + 0.5)
+    ranks = nodes.select("id", F.lit(r0).cast("long").alias("rank_i"))
+    for i in range(n_iter):
+        src_rank = ranks.select(
+            F.col("id").alias("src"), F.col("rank_i").alias("srank_i")
+        )
+        inflow = (
+            ed.join(src_rank, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.expr("(srank_i * w_q) div strength")).alias("inflow_i"))
+        )
+        dmass = (
+            ranks.join(dangling_ids.hint("shuffle_hash"), "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank_i"), F.lit(0)).cast("long").alias("dmass_i"))
+        )
+        ranks = (
+            nodes.join(inflow.hint("shuffle_hash"), "id", "left")
+            .crossJoin(F.broadcast(dmass))
+            .select(
+                "id",
+                _rank_expr(
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow_i"), F.lit(0)).cast("double")
+                        * F.lit(inv)
+                        + F.col("dmass_i").cast("double")
+                        * F.lit(inv)
+                        / F.lit(float(n))
+                    ),
+                    scale,
+                ).alias("rank_i"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = materialize(ranks)
+    out = materialize(
+        ranks.select("id", (F.col("rank_i").cast("double") * F.lit(inv)).alias("rank"))
+    )
+    ed.unpersist()
+    nodes.unpersist()
+    dangling_ids.unpersist()
+    return out

@@ -216,3 +216,76 @@ def test_ppr_no_seeds_raises(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError):
         personalized_pagerank(df, [], n_iter=2)
+
+
+def _py_weighted_pagerank(edges, n_iter=10, d=0.85, iter_dp=9, weight_dp=6):
+    """dict/loop twin of weighted_pagerank's exact-integer contract."""
+    ws = 10**weight_dp
+    eq = [(s, t, math.floor(w * float(ws) + 0.5)) for s, t, w in edges]
+    eq = [(s, t, wq) for s, t, wq in eq if wq > 0]
+    nodes = sorted({s for s, _, _ in eq} | {t for _, t, _ in eq})
+    n = len(nodes)
+    scale = 10**iter_dp
+    inv = 1.0 / float(scale)
+    strength = {}
+    for s, _, wq in eq:
+        strength[s] = strength.get(s, 0) + wq
+    r = {v: math.floor((1.0 / float(n)) * float(scale) + 0.5) for v in nodes}
+    teleport = (1.0 - d) / float(n)
+    for _ in range(n_iter):
+        inflow = {}
+        for s, t, wq in eq:
+            inflow[t] = inflow.get(t, 0) + (r[s] * wq) // strength[s]
+        dmass = sum(r[v] for v in nodes if v not in strength)
+        r = {
+            v: math.floor(
+                (
+                    teleport
+                    + d
+                    * (
+                        float(inflow.get(v, 0)) * inv
+                        + float(dmass) * inv / float(n)
+                    )
+                )
+                * float(scale)
+                + 0.5
+            )
+            for v in nodes
+        }
+    return {v: r[v] * inv for v in nodes}
+
+
+def test_weighted_pagerank_matches_python_twin_bitwise(spark):
+    from simkit_spark.operators.pagerank import weighted_pagerank
+
+    edges = [
+        ("a", "b", 0.9), ("a", "c", 0.1), ("b", "c", 0.5),
+        ("c", "a", 1.0), ("d", "a", 0.25),          # d is a source-only node
+        ("a", "e", 0.0000001),                       # quantizes to 0 -> drops
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {r.id: r.rank for r in weighted_pagerank(e, n_iter=10).collect()}
+    want = _py_weighted_pagerank(edges, n_iter=10)
+    assert got == want
+    assert "e" not in got  # zero-quantized edge dropped with its node
+    # mass conserved up to integer floor leakage
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_weighted_pagerank_weight_sensitivity(spark):
+    """rank must actually follow the weights: b receives 9x c's share
+    from a, so rank(b) > rank(c) on the star; in the unweighted
+    variant they tie."""
+    from simkit_spark.operators.pagerank import pagerank, weighted_pagerank
+
+    w = spark.createDataFrame(
+        [("a", "b", 0.9), ("a", "c", 0.1), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, weight double",
+    )
+    wr = {r.id: r.rank for r in weighted_pagerank(w, n_iter=10).collect()}
+    assert wr["b"] > wr["c"]
+    ur = {
+        r.id: r.rank
+        for r in pagerank(w.select("src", "dst"), n_iter=10).collect()
+    }
+    assert ur["b"] == ur["c"]
