@@ -358,6 +358,26 @@ def _sorted_neighborhood(spark, sf_dir):
     return sorted_neighborhood_pairs(docs, "key", "id", window=4)
 
 
+def _attribution_pairs(spark, sf_dir):
+    # batch path of the watermarked stream-stream attribution join
+    # (stream == batch is tested): every (click, view) of the same user
+    # with view_ts in (click_ts - 1h, click_ts]
+    from simkit_spark.streaming import streaming_attribution
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return streaming_attribution(clicks, views, horizon="1 hour").select(
+        "user_id", "click_id", "view_id"
+    )
+
+
 def _interval_overlaps(spark, sf_dir):
     # per-user concurrent-activity pairs: each event carries a
     # deterministic md5-derived validity window [ts, ts + 0..6h);
@@ -1201,7 +1221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _knn_graph,
         "eps_graph": _eps_graph,
         "gaussian_affinity": _gaussian_affinity,
-        "laplacian_sym": _laplacian("sym"),
         # new in r4 (never driver-checked -> in-window)
         "setsim_pairs": _setsim_pairs,
         "kg_transe_rank": _kg_transe_rank,
@@ -1216,10 +1235,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distmult_rank": _kg_distmult_rank,
         "kmv_distinct": _kmv_distinct,
         "weighted_pagerank_affinity": _weighted_pagerank_affinity,
+        "attribution_pairs": _attribution_pairs,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4c queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
         "silhouette_labels": _silhouette_labels,
+        "laplacian_sym": _laplacian("sym"),
         "ivf_topk": _ivf_topk,
         "embedding_neardup": _embedding_neardup,
         "events_sessionize": _events_sessionize,
@@ -1997,6 +2018,18 @@ WITH k AS (
 r AS (SELECT id, row_number() OVER (ORDER BY key, id) AS rank FROM k)
 SELECT a.id AS id_l, b.id AS id_r, (b.rank - a.rank)::BIGINT AS rank_dist
 FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 3"""
+
+# stream-stream attribution twin: plain theta join on the same
+# (click-1h, click] half-open horizon
+_ATTRIBUTION_SQL = """
+WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view')
+SELECT c.user_id, c.click_id, v.view_id
+FROM c JOIN v ON c.user_id = v.user_id
+ AND v.view_ts <= c.click_ts
+ AND v.view_ts > c.click_ts - INTERVAL 1 HOUR"""
 
 # interval overlap self-join twin: plain theta join (fine at sf0.01;
 # the Spark side's bucketed equi-join + owner-bucket dedup exists
@@ -2824,7 +2857,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _KNN_SQL,
         "eps_graph": _EPS_SQL,
         "gaussian_affinity": _GAUSS_SQL,
-        "laplacian_sym": _LAP_SYM_SQL,
         "ari_labels": _ARI_SQL,
         "exact_dedup": f"SELECT {_FP_EXPR} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY 1",
         # brute-force exact twin of the prefix-filtered join: the
@@ -2842,7 +2874,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_distmult_rank": _KG_DISTMULT_SQL,
         "kmv_distinct": _KMV_SQL,
         "weighted_pagerank_affinity": _wpr_sql(),
+        "attribution_pairs": _ATTRIBUTION_SQL,
         "silhouette_labels": _SILHOUETTE_SQL,
+        "laplacian_sym": _LAP_SYM_SQL,
         "ivf_topk": _IVF_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "events_sessionize": _SESSIONIZE_SQL,

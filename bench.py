@@ -89,6 +89,7 @@ HEADLINE = [
     "kg_distmult_rank",
     "kmv_distinct",
     "weighted_pagerank_affinity",
+    "attribution_pairs",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

@@ -197,3 +197,44 @@ def streaming_dedup(
         .withWatermark(ts_col, delay)
         .dropDuplicatesWithinWatermark(["fp"])
     )
+
+
+def streaming_attribution(
+    clicks: DataFrame,
+    views: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+    click_ts: str = "click_ts",
+    view_ts: str = "view_ts",
+) -> DataFrame:
+    """Watermarked stream-stream join — click→view attribution: every
+    (click, view) pair of the same ``key`` with view_ts in
+    (click_ts - horizon, click_ts]. The canonical Structured Streaming
+    stream-stream inner join: BOTH sides carry event-time watermarks
+    and the join predicate carries the time-range bound, which is what
+    lets the state store evict — a click older than watermark+horizon
+    can never match a future view and vice versa, so per-key state is
+    O(events inside the horizon window), not the full history. Without
+    the range condition Spark must keep both streams forever (the
+    unbounded-state trap this wrapper exists to make unreachable).
+
+    Works identically on batch DataFrames (stream == batch tested);
+    columns: (key, click_ts, view_ts, plus both sides' payload
+    columns). The equality condition is an equi-join on ``key`` —
+    shuffle-partitioned both sides, the state store is keyed by it, and
+    a hot key is absorbed the same way any skewed equi-join is (AQE in
+    batch; per-key state partitioning in streaming).
+    """
+    c = (
+        clicks.withWatermark(click_ts, watermark)
+        if clicks.isStreaming
+        else clicks
+    )
+    v = views.withWatermark(view_ts, watermark) if views.isStreaming else views
+    cond = (
+        (c[key] == v[key])
+        & (v[view_ts] <= c[click_ts])
+        & (v[view_ts] > c[click_ts] - F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(v, cond, "inner").drop(v[key])
