@@ -36,6 +36,14 @@ KCORE_ITER = 8
 WALK_LEN = 4
 WALKS_PER_NODE = 2
 SKIPGRAM_WINDOW = 2
+# node2vec second-order bias: integer costs (pick = argmin md5*cost),
+# p_cost=4 ~ p=4 (discourage returns), q_cost=2 ~ q=2 (BFS-leaning)
+N2V_P_COST = 4
+N2V_Q_COST = 2
+HC_HOPS = 4  # harmonic-centrality BFS bound; lcm(1..4) = 12 scales 1/d
+HC_SOURCES = 64  # Eppstein-Wang md5-deterministic source sample
+BM25_QUERIES = 20
+BM25_K = 10
 
 
 # ---------------------------------------------------------------- loaders
@@ -781,6 +789,44 @@ def _skipgram_knn(spark, sf_dir):
     return skipgram_pairs(walks, window=SKIPGRAM_WINDOW)
 
 
+def _node2vec_knn(spark, sf_dir):
+    from simkit_spark.operators.graphs import knn_graph_from_points
+    from simkit_spark.operators.walks import node2vec_walks
+
+    # second-order (p/q-biased) walk corpus — the node2vec upgrade of
+    # _random_walks_knn; the all-integer md5*cost pick rule makes the
+    # unrolled DuckDB twin exact with no rounding contract
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
+    return node2vec_walks(
+        edges,
+        walk_len=WALK_LEN,
+        walks_per_node=WALKS_PER_NODE,
+        p_cost=N2V_P_COST,
+        q_cost=N2V_Q_COST,
+    )
+
+
+def _harmonic_knn(spark, sf_dir):
+    from simkit_spark.operators.centrality import harmonic_centrality
+    from simkit_spark.operators.graphs import knn_graph_from_points
+
+    # sampled-source harmonic centrality over the similarity graph —
+    # anchor-entity selection for canonicalization ordering; the
+    # exact-integer lcm(1..hops) accumulator makes the float sum
+    # order-independent, so the recursive-CTE twin is exact
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
+    return harmonic_centrality(edges, max_hops=HC_HOPS, n_sources=HC_SOURCES)
+
+
+def _bm25_topk(spark, sf_dir):
+    from simkit_spark.functions.text import bm25_topk
+
+    # BM25 retrieval top-k per query term (queries = highest-df terms):
+    # the retrieval half of lookup-based decontamination / dedup-by-
+    # retrieval / hard-negative mining
+    return bm25_topk(_docs(spark, sf_dir), n_queries=BM25_QUERIES, k=BM25_K)
+
+
 # ---- non-SQL-expressible (rows-only driver check; numpy-verified in tests/)
 def _semantic_dedup(spark, sf_dir):
     from simkit_spark.functions.semdedup import semantic_dedup
@@ -1201,6 +1247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_eps": _connected_components_eps,
         "dbscan": _dbscan,
         "neardup_resolve": _neardup_resolve,
+        # new in r4d (never driver-checked -> in-window; three r3-green
+        # fillers rotate to the tail to keep the window at 50)
+        "node2vec_walks_knn": _node2vec_knn,
+        "harmonic_centrality_knn": _harmonic_knn,
+        "bm25_topk": _bm25_topk,
         # --- never driver-checked in r3: 8 non-SQL-expressible
         # (rows-only; content hashes committed in ROWSONLY_HASHES.json) ---
         "semantic_dedup": _semantic_dedup,
@@ -1220,7 +1271,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_euclidean": _pairwise("euclidean"),
         "knn_graph": _knn_graph,
         "eps_graph": _eps_graph,
-        "gaussian_affinity": _gaussian_affinity,
         # new in r4 (never driver-checked -> in-window)
         "setsim_pairs": _setsim_pairs,
         "kg_transe_rank": _kg_transe_rank,
@@ -1244,7 +1294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _ivf_topk,
         "embedding_neardup": _embedding_neardup,
         "events_sessionize": _events_sessionize,
-        # --- driver-green in r3 (tail beyond the 50-entry window) ---
+        # --- driver-green in r3 (tail beyond the 50-entry window;
+        # gaussian_affinity/ari_labels/exact_dedup rotated here in r4d
+        # to admit the three newest queries) ---
+        "gaussian_affinity": _gaussian_affinity,
         "exact_dedup": _exact_dedup,
         "ari_labels": _ari_labels,
         "minhash_signatures": _minhash,
@@ -1849,6 +1902,19 @@ FROM a{n_iter} a LEFT JOIN fd USING (id)"""
     return "".join(parts)
 
 
+def _sym_knn_edges_head() -> str:
+    """Shared CTE prefix: symmetrized simple kNN graph as e(a, b) —
+    the graph every walk/centrality oracle runs over."""
+    return (
+        _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+kn AS (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM kn WHERE src <> dst),
+e AS MATERIALIZED (SELECT u AS a, v AS b FROM ue UNION ALL SELECT v AS a, u AS b FROM ue)"""
+    )
+
+
 def _walks_sql(
     walk_len: int = WALK_LEN, walks_per_node: int = WALKS_PER_NODE, seed: int = 42
 ) -> str:
@@ -1858,12 +1924,8 @@ def _walks_sql(
     exact pick rule of operators/walks.random_walks, all-integer hash
     comparisons so parity needs no rounding contract."""
     head = (
-        _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        _sym_knn_edges_head()
         + f""",
-rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
-kn AS (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
-ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM kn WHERE src <> dst),
-e AS MATERIALIZED (SELECT u AS a, v AS b FROM ue UNION ALL SELECT v AS a, u AS b FROM ue),
 f0 AS MATERIALIZED (
   SELECT id AS start_id, w AS walk, id AS cur
   FROM (SELECT DISTINCT a AS id FROM e), (SELECT unnest(range(0, {walks_per_node})) AS w))"""
@@ -1903,6 +1965,98 @@ SELECT c.center, r.node_id AS context, COUNT(*)::BIGINT AS n_pairs
 FROM ctx c
 JOIN wt r ON c.start_id = r.start_id AND c.walk = r.walk AND c.ctx_step = r.step
 GROUP BY 1, 2"""
+
+
+def _node2vec_sql(
+    walk_len: int = WALK_LEN,
+    walks_per_node: int = WALKS_PER_NODE,
+    p_cost: int = N2V_P_COST,
+    q_cost: int = N2V_Q_COST,
+    seed: int = 42,
+) -> str:
+    """node2vec second-order walks as unrolled CTE steps: step 1 is the
+    uniform md5-argmin pick; steps >= 2 multiply the md5 score by the
+    integer p/q bias cost (return = p_cost, triangle-closing = 1,
+    two-hops-away = q_cost, membership via a LEFT JOIN probe of the
+    same edge table) — the exact all-integer pick rule of
+    operators/walks.node2vec_walks."""
+    head = (
+        _sym_knn_edges_head()
+        + f""",
+f0 AS MATERIALIZED (
+  SELECT id AS start_id, w AS walk, id AS cur
+  FROM (SELECT DISTINCT a AS id FROM e), (SELECT unnest(range(0, {walks_per_node})) AS w)),
+s1 AS (SELECT f.start_id, f.walk, f.cur AS prev, e.b,
+  CAST(concat('0x', substring(md5(concat_ws(':', '{seed}', f.start_id, f.walk, '1', f.cur, e.b)), 1, 8)) AS BIGINT) AS sc
+  FROM f0 f JOIN e ON f.cur = e.a),
+r1 AS (SELECT start_id, walk, prev, b, row_number() OVER (PARTITION BY start_id, walk ORDER BY sc ASC, b ASC) AS rn FROM s1),
+f1 AS MATERIALIZED (SELECT start_id, walk, prev, b AS cur FROM r1 WHERE rn = 1)"""
+    )
+    parts = [head]
+    for t in range(2, walk_len + 1):
+        p = t - 1
+        parts.append(
+            f""",
+s{t} AS (SELECT f.start_id, f.walk, f.cur AS prev, e.b,
+  CAST(concat('0x', substring(md5(concat_ws(':', '{seed}', f.start_id, f.walk, '{t}', f.cur, e.b)), 1, 8)) AS BIGINT)
+  * (CASE WHEN e.b = f.prev THEN {p_cost} WHEN pe.pa IS NOT NULL THEN 1 ELSE {q_cost} END) AS sc
+  FROM f{p} f JOIN e ON f.cur = e.a
+  LEFT JOIN (SELECT a AS pa, b AS pb FROM e) pe ON pe.pa = f.prev AND pe.pb = e.b),
+r{t} AS (SELECT start_id, walk, prev, b, row_number() OVER (PARTITION BY start_id, walk ORDER BY sc ASC, b ASC) AS rn FROM s{t}),
+f{t} AS MATERIALIZED (SELECT start_id, walk, prev, b AS cur FROM r{t} WHERE rn = 1)"""
+        )
+    selects = [
+        f"SELECT start_id, walk::INT AS walk, {t}::INT AS step, cur AS node_id FROM f{t}"
+        for t in range(walk_len + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+# sampled-source bounded-hop harmonic centrality: BFS distances via a
+# recursive CTE (UNION dedups, min(dist) collapses to the BFS level),
+# 1/d accumulated as exact integers scaled by lcm(1..HC_HOPS) = 12 so
+# the sum is order-independent in both engines
+_HARMONIC_SQL = (
+    "WITH RECURSIVE "
+    + _sym_knn_edges_head()[len("WITH ") :]
+    + f""",
+nodes AS (SELECT DISTINCT a AS id FROM e),
+srcs AS (SELECT id FROM nodes
+         ORDER BY CAST(concat('0x', substring(md5(concat_ws(':', '42', id)), 1, 8)) AS BIGINT) ASC, id ASC
+         LIMIT {HC_SOURCES}),
+reach(src, node, dist) AS (
+  SELECT id, id, 0 FROM srcs
+  UNION
+  SELECT r.src, e.b, r.dist + 1 FROM reach r JOIN e ON e.a = r.node
+  WHERE r.dist < {HC_HOPS}
+),
+md AS (SELECT src, node, min(dist) AS d FROM reach GROUP BY 1, 2)
+SELECT node AS node_id, count(*)::BIGINT AS n_reached,
+       round(CAST(sum(12 / d) AS BIGINT) / 12.0, 6) AS harmonic
+FROM md WHERE d > 0 GROUP BY node"""
+)
+
+# BM25: dl*N/S replaces avgdl so the only cross-row float op is an
+# exact integer sum; the per-(term, doc) score is a pure scalar
+# expression mirroring functions/text.bm25_topk operation-for-operation
+_BM25_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_LTOKENS}) AS term FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dlt AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+tot AS (SELECT count(DISTINCT doc_id) AS n_docs, sum(tf) AS s_tokens FROM tf),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS (SELECT term, df FROM dft ORDER BY df DESC, term ASC LIMIT {BM25_QUERIES}),
+scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+         ln(1.0 + ((SELECT n_docs FROM tot) - q.df + 0.5) / (q.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * (dlt.dl * (SELECT n_docs FROM tot)) / (SELECT s_tokens FROM tot))) AS score
+  FROM tf JOIN q USING (term) JOIN dlt USING (doc_id)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+SELECT term, doc_id, tf::BIGINT AS tf, round(score, 6) AS score, rank::BIGINT AS rank
+FROM rk WHERE rank <= {BM25_K}"""
 
 
 # DSIR-style weighted sampling: the coin and the acceptance bound are
@@ -2842,6 +2996,13 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_eps": _CC_EPS_SQL,
         "dbscan": _DBSCAN_SQL,
         "neardup_resolve": _NEARDUP_RESOLVE_SQL,
+        # new in r4d (never driver-checked -> in-window): second-order
+        # biased walks (all-integer md5*cost pick), sampled-source
+        # harmonic centrality (recursive-CTE BFS, lcm-scaled integer
+        # 1/d sums), and BM25 retrieval top-k
+        "node2vec_walks_knn": _node2vec_sql(),
+        "harmonic_centrality_knn": _HARMONIC_SQL,
+        "bm25_topk": _BM25_SQL,
         # --- driver-green in r3 ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)
@@ -2856,9 +3017,6 @@ def oracle_sql() -> dict[str, str]:
         "pairwise_euclidean": _pairwise_sql("euclidean"),
         "knn_graph": _KNN_SQL,
         "eps_graph": _EPS_SQL,
-        "gaussian_affinity": _GAUSS_SQL,
-        "ari_labels": _ARI_SQL,
-        "exact_dedup": f"SELECT {_FP_EXPR} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY 1",
         # brute-force exact twin of the prefix-filtered join: the
         # filter is an optimization, the OUTPUT contract is all pairs
         "setsim_pairs": _SETSIM_SQL,
@@ -2880,6 +3038,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _IVF_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
+        # rotated out of the window in r4d (r3-green, untouched impls)
+        "gaussian_affinity": _GAUSS_SQL,
+        "ari_labels": _ARI_SQL,
+        "exact_dedup": f"SELECT {_FP_EXPR} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY 1",
         "minhash_signatures": _MINHASH_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),

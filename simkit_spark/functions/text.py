@@ -174,6 +174,81 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval: top-k documents per query term, queries being the
+    ``n_queries`` highest-document-frequency terms (df desc, term asc —
+    a deterministic stand-in for a workload query log). This is the
+    retrieval half of retrieval-based curation: benchmark
+    decontamination by lookup, dedup-by-retrieval, and
+    hard-negative mining for embedding training all reduce to "BM25
+    top-k over the corpus".
+
+    score(t, d) = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl*N/S))
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)), dl = |d| in
+    tokens, S = total corpus tokens (so dl*N/S = dl/avgdl with ONE
+    deterministic divide — S and dl*N are exact integer aggregates,
+    never an order-dependent float mean).
+
+    Shape at scale: one tokenize+explode -> (doc, term) hash agg; doc
+    lengths from a second agg over that SAME table; the query-term set
+    is n_queries rows (TakeOrdered, then broadcast back onto the
+    postings); the top-k cut is a per-term window over only the matched
+    postings — never a global sort. The per-(term, doc) score is a pure
+    scalar expression, so ranking is engine-reproducible; ties break on
+    doc_id asc. Returns (term, doc_id, tf, score, rank).
+    """
+    terms = docs.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = tf.agg(
+        F.count_distinct("doc_id").alias("n_docs"), F.sum("tf").alias("s_tokens")
+    )
+    qterms = df_t.orderBy(F.col("df").desc(), F.col("term").asc()).limit(n_queries)
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        (1.0 - b)
+                        + b * (F.col("dl") * F.col("n_docs")) / F.col("s_tokens")
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("term", "doc_id", "tf", F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def lm_score(
     docs: DataFrame,
     alpha: float = 0.5,

@@ -118,6 +118,139 @@ def random_walks(
     return out
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    p_cost: int = 4,
+    q_cost: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Second-order (node2vec-style) biased walks: the hop out of
+    ``cur`` remembers ``prev`` and prefers candidates by the classic
+    search bias — return to ``prev`` costs ``p_cost`` (node2vec
+    alpha=1/p), a candidate adjacent to ``prev`` (a triangle-closing
+    "BFS-like" hop) costs 1, and a two-hops-away "DFS-like" candidate
+    costs ``q_cost`` (alpha=1/q). The pick is the candidate minimizing
+    md5_score * cost (ties to the smallest id) — ALL-INTEGER, so every
+    engine reproduces the identical walk and the DuckDB twin needs no
+    rounding contract. Step 1 has no ``prev`` and is unbiased, exactly
+    as in node2vec.
+
+    Scale shape is ``random_walks``' plus one membership probe: the
+    per-step frontier joins the fixed hash-partitioned edge layout once
+    to enumerate candidates (frontier x degree rows) and once more as a
+    composite-key (prev, cand) equi-join to mark distance-1 candidates
+    — never a neighbor-list x neighbor-list expansion. Frontier lineage
+    breaks every step. Output is the long format of ``random_walks``:
+    (start_id, walk, step, node_id), step 0 = start.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .repartition("a")
+        .sortWithinPartitions("a")
+        .persist()
+    )
+    frontier = (
+        e.select(F.col("a").alias("start_id"))
+        .distinct()
+        .select(
+            "start_id",
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("walk"),
+        )
+        .select("start_id", "walk", F.col("start_id").alias("cur"))
+    )
+    steps = [
+        frontier.select(
+            "start_id", "walk", F.lit(0).alias("step"), F.col("cur").alias("node_id")
+        )
+    ]
+    # step 1: uniform (no prev) — identical pick rule to random_walks
+    nxt = (
+        frontier.join(e, frontier["cur"] == e["a"])
+        .select(
+            "start_id",
+            "walk",
+            F.col("a").alias("prev_cand"),
+            F.struct(
+                _score(
+                    seed, 1, F.col("start_id"), F.col("walk"), F.col("a"), F.col("b")
+                ).alias("sc"),
+                F.col("b").alias("nb"),
+            ).alias("pick"),
+        )
+        .groupBy("start_id", "walk", "prev_cand")
+        .agg(F.min("pick").alias("m"))
+        .select(
+            "start_id",
+            "walk",
+            F.col("prev_cand").alias("prev"),
+            F.col("m.nb").alias("cur"),
+        )
+    )
+    frontier = materialize(nxt)
+    steps.append(
+        frontier.select(
+            "start_id", "walk", F.lit(1).alias("step"), F.col("cur").alias("node_id")
+        )
+    )
+    # membership probe side: the SAME persisted layout, renamed
+    pe = e.select(F.col("a").alias("pa"), F.col("b").alias("pb"))
+    for t in range(2, walk_len + 1):
+        cand = frontier.join(e, frontier["cur"] == e["a"]).select(
+            "start_id", "walk", "prev", F.col("a").alias("at"), "b",
+            _score(
+                seed, t, F.col("start_id"), F.col("walk"), F.col("a"), F.col("b")
+            ).alias("sc"),
+        )
+        cand = cand.join(
+            pe, (cand["prev"] == pe["pa"]) & (cand["b"] == pe["pb"]), "left"
+        ).select(
+            "start_id",
+            "walk",
+            "at",
+            F.struct(
+                (
+                    F.col("sc")
+                    * F.when(F.col("b") == F.col("prev"), F.lit(p_cost))
+                    .when(F.col("pa").isNotNull(), F.lit(1))
+                    .otherwise(F.lit(q_cost))
+                ).alias("sc"),
+                F.col("b").alias("nb"),
+            ).alias("pick"),
+        )
+        nxt = (
+            cand.groupBy("start_id", "walk", "at")
+            .agg(F.min("pick").alias("m"))
+            .select(
+                "start_id",
+                "walk",
+                F.col("at").alias("prev"),
+                F.col("m.nb").alias("cur"),
+            )
+        )
+        frontier = materialize(nxt)
+        steps.append(
+            frontier.select(
+                "start_id", "walk", F.lit(t).alias("step"),
+                F.col("cur").alias("node_id"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    e.unpersist()
+    return out
+
+
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """Walk corpus -> weighted skip-gram training pairs: for every walk
     position, each node within ``window`` steps (either direction,

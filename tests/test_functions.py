@@ -318,6 +318,66 @@ def test_tfidf_topk_empty_and_partition_invariant(spark):
     assert {tuple(r) for r in out2} == {tuple(r) for r in out}
 
 
+def test_bm25_topk_matches_bruteforce(spark):
+    """Exact score/rank parity with a pure-python BM25 over a corpus
+    with repeated terms and varied doc lengths."""
+    import math
+
+    from simkit_spark.functions.text import bm25_topk
+
+    rows = [
+        ("a", "scan scan table join join join"),
+        ("b", "scan table"),
+        ("c", "join scan scan scan scan scan scan scan"),
+        ("d", "table table hash"),
+        ("e", "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    toks = {d: t.split() for d, t in rows if t.split()}
+    tf = {(d, w): ts.count(w) for d, ts in toks.items() for w in set(ts)}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n, s = len(toks), sum(dl.values())
+    df_t: dict[str, int] = {}
+    for _, w in tf:
+        df_t[w] = df_t.get(w, 0) + 1
+    qs = sorted(df_t, key=lambda w: (-df_t[w], w))[:2]  # scan, table (df 3, 3)
+    want = {}
+    for w in qs:
+        scored = sorted(
+            (
+                (
+                    -math.log(1.0 + (n - df_t[w] + 0.5) / (df_t[w] + 0.5))
+                    * (tf[(d, w)] * 2.2)
+                    / (tf[(d, w)] + 1.2 * (0.25 + 0.75 * (dl[d] * n) / s)),
+                    d,
+                )
+                for d in toks
+                if (d, w) in tf
+            )
+        )
+        for r, (neg, d) in enumerate(scored, 1):
+            want[(w, d)] = (tf[(d, w)], round(-neg, 6), r)
+    out = bm25_topk(docs, n_queries=2, k=10).collect()
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["score"], r["rank"]) for r in out}
+    assert got == want
+    out2 = bm25_topk(docs.repartition(5), n_queries=2, k=10).collect()
+    assert {tuple(r) for r in out2} == {tuple(r) for r in out}
+
+
+def test_bm25_length_normalization_and_k_cut(spark):
+    """Same tf, shorter doc -> higher BM25; rank <= k enforced."""
+    from simkit_spark.functions.text import bm25_topk
+
+    rows = [("short", "q w"), ("long", "q w " + "pad " * 30)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = bm25_topk(docs, n_queries=1, k=1).collect()
+    assert len(out) == 1 and out[0]["rank"] == 1
+    # q/w/pad df ties break asc -> query term is 'pad'? no: df(pad)=1,
+    # df(q)=df(w)=2 -> highest-df tie (q, w) -> 'q' wins asc
+    assert out[0]["term"] == "q"
+    assert out[0]["doc_id"] == "short"
+
+
 def test_embedding_stats_matches_numpy(spark):
     import numpy as np
 
