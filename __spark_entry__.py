@@ -44,6 +44,7 @@ HC_HOPS = 4  # harmonic-centrality BFS bound; lcm(1..4) = 12 scales 1/d
 HC_SOURCES = 64  # Eppstein-Wang md5-deterministic source sample
 BM25_QUERIES = 20
 BM25_K = 10
+EDIT1_PREFIX = 12  # edit-distance join key: 12-char document prefix
 
 
 # ---------------------------------------------------------------- loaders
@@ -827,6 +828,14 @@ def _bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), n_queries=BM25_QUERIES, k=BM25_K)
 
 
+def _edit1_pairs(spark, sf_dir):
+    from simkit_spark.functions.editjoin import edit1_pairs
+
+    # FastSS deletion-neighborhood join: typo-level near-dup pairs on
+    # the 12-char document prefix (Levenshtein <= 1, exact-verified)
+    return edit1_pairs(_docs(spark, sf_dir), "text", max_len=EDIT1_PREFIX)
+
+
 # ---- non-SQL-expressible (rows-only driver check; numpy-verified in tests/)
 def _semantic_dedup(spark, sf_dir):
     from simkit_spark.functions.semdedup import semantic_dedup
@@ -1252,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks_knn": _node2vec_knn,
         "harmonic_centrality_knn": _harmonic_knn,
         "bm25_topk": _bm25_topk,
+        "edit1_pairs": _edit1_pairs,
         # --- never driver-checked in r3: 8 non-SQL-expressible
         # (rows-only; content hashes committed in ROWSONLY_HASHES.json) ---
         "semantic_dedup": _semantic_dedup,
@@ -1268,7 +1278,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "communities_knn": _communities_knn,
         "modularity_knn": _modularity_knn,
         "sssp_knn": _sssp_knn,
-        "pairwise_euclidean": _pairwise("euclidean"),
         "knn_graph": _knn_graph,
         "eps_graph": _eps_graph,
         # new in r4 (never driver-checked -> in-window)
@@ -1298,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gaussian_affinity/ari_labels/exact_dedup rotated here in r4d
         # to admit the three newest queries) ---
         "gaussian_affinity": _gaussian_affinity,
+        "pairwise_euclidean": _pairwise("euclidean"),
         "exact_dedup": _exact_dedup,
         "ari_labels": _ari_labels,
         "minhash_signatures": _minhash,
@@ -2057,6 +2067,20 @@ scored AS (
 rk AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
 SELECT term, doc_id, tf::BIGINT AS tf, round(score, 6) AS score, rank::BIGINT AS rank
 FROM rk WHERE rank <= {BM25_K}"""
+
+
+# FastSS deletion-neighborhood edit-distance join, verified exactly:
+# the brute-force twin IS the output contract (the deletion-variant
+# equi-join is candidate generation only; both engines' levenshtein
+# are exact integers)
+_EDIT1_SQL = f"""
+WITH k AS (
+  SELECT doc_id AS id, substring(text, 1, {EDIT1_PREFIX}) AS key FROM documents
+  WHERE text IS NOT NULL AND substring(text, 1, {EDIT1_PREFIX}) <> '')
+SELECT a.id AS src, b.id AS dst, a.key AS src_key, b.key AS dst_key,
+       levenshtein(a.key, b.key)::BIGINT AS dist
+FROM k a JOIN k b ON a.id < b.id
+WHERE levenshtein(a.key, b.key) <= 1"""
 
 
 # DSIR-style weighted sampling: the coin and the acceptance bound are
@@ -3003,6 +3027,7 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_walks_knn": _node2vec_sql(),
         "harmonic_centrality_knn": _HARMONIC_SQL,
         "bm25_topk": _BM25_SQL,
+        "edit1_pairs": _EDIT1_SQL,
         # --- driver-green in r3 ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)
@@ -3014,7 +3039,6 @@ def oracle_sql() -> dict[str, str]:
         "modularity_knn": _modularity_sql(),
         # bounded Bellman-Ford: unrolled min-relaxation sweeps, 12dp
         "sssp_knn": _sssp_sql(),
-        "pairwise_euclidean": _pairwise_sql("euclidean"),
         "knn_graph": _KNN_SQL,
         "eps_graph": _EPS_SQL,
         # brute-force exact twin of the prefix-filtered join: the
@@ -3040,6 +3064,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SESSIONIZE_SQL,
         # rotated out of the window in r4d (r3-green, untouched impls)
         "gaussian_affinity": _GAUSS_SQL,
+        "pairwise_euclidean": _pairwise_sql("euclidean"),
         "ari_labels": _ARI_SQL,
         "exact_dedup": f"SELECT {_FP_EXPR} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY 1",
         "minhash_signatures": _MINHASH_SQL,

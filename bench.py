@@ -90,6 +90,10 @@ HEADLINE = [
     "kmv_distinct",
     "weighted_pagerank_affinity",
     "attribution_pairs",
+    "node2vec_walks_knn",
+    "harmonic_centrality_knn",
+    "bm25_topk",
+    "edit1_pairs",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

@@ -134,6 +134,20 @@ AUDITED = {
     "_filtered_rank shape (no join-back, no window)",
     "kmv_distinct": "hash projection -> map-side-deduped distinct -> "
     "TakeOrdered(k); nothing row-sized sorts globally",
+    "node2vec_walks_knn": "per step: frontier joins the ONE persisted "
+    "sorted edge layout + a composite-key (prev, cand) membership probe "
+    "(candidate-sized, never neighbor-list x neighbor-list); min-struct "
+    "hash agg picks the hop — no per-walk window sort",
+    "harmonic_centrality_knn": "bounded multi-source BFS: per hop the "
+    "NEW frontier only (anti-join vs visited) joins the fixed edge "
+    "layout; 1/d sums are lcm-scaled integers, one node-keyed hash agg",
+    "bm25_topk": "postings from ONE tokenize+explode agg; query terms "
+    "TakeOrdered then BroadcastHashJoin'd back; corpus totals as a "
+    "broadcast 1-row aggregate; per-term window cut, no global sort",
+    "edit1_pairs": "deletion-variant equi-join (<= len+1 variants/row) "
+    "generates candidates, hot variants broadcast-anti-joined away "
+    "BEFORE the self-join (LSH max_bucket contract); exact levenshtein "
+    "verify is codegen — no all-pairs product anywhere",
 }
 
 
