@@ -202,8 +202,17 @@ def node2vec_walks(
             "start_id", "walk", F.lit(1).alias("step"), F.col("cur").alias("node_id")
         )
     )
-    # membership probe side: the SAME persisted layout, renamed
-    pe = e.select(F.col("a").alias("pa"), F.col("b").alias("pb"))
+    # membership probe side: a SECOND persisted layout keyed on the
+    # composite (prev, cand) join key — without it the probe join
+    # reshuffles the full edge set by (pa, pb) EVERY step (the hits.py
+    # dual-layout lesson: one upfront shuffle buys zero per-sweep
+    # edge exchanges)
+    pe = (
+        e.select(F.col("a").alias("pa"), F.col("b").alias("pb"))
+        .repartition("pa", "pb")
+        .sortWithinPartitions("pa", "pb")
+        .persist()
+    )
     for t in range(2, walk_len + 1):
         cand = frontier.join(e, frontier["cur"] == e["a"]).select(
             "start_id", "walk", "prev", F.col("a").alias("at"), "b",
@@ -248,6 +257,7 @@ def node2vec_walks(
     for s in steps[1:]:
         out = out.unionByName(s)
     e.unpersist()
+    pe.unpersist()
     return out
 
 
