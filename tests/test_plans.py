@@ -171,3 +171,29 @@ def test_kg_plans(spark):
     plan = _plan(e.queries()["kg_negative_samples"](spark, SF))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4d_plans(spark):
+    """bm25_topk: the only nested-loop is the broadcast 1-row totals
+    scalar, the query-term join is a BroadcastHashJoin, and the top-k
+    cut is a term-partitioned window (no single-partition window);
+    edit1_pairs: candidates meet in an equi-join (no CartesianProduct,
+    no nested-loop — the hot-variant cap join broadcasts);
+    harmonic_centrality: the per-hop expansion is hash/broadcast joins
+    only."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["bm25_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert all("Cross" in l and "BuildRight" in l for l in bnlj)
+    assert "hashpartitioning(term" in plan
+
+    plan = _plan(e.queries()["edit1_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(e.queries()["harmonic_centrality_knn"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
