@@ -45,6 +45,8 @@ HC_SOURCES = 64  # Eppstein-Wang md5-deterministic source sample
 BM25_QUERIES = 20
 BM25_K = 10
 EDIT1_PREFIX = 12  # edit-distance join key: 12-char document prefix
+WL_ITERS = 2  # Weisfeiler-Lehman refinement rounds
+GNN_FANOUTS = [3, 2]  # GraphSAGE sampling fanouts per hop
 
 
 # ---------------------------------------------------------------- loaders
@@ -836,6 +838,27 @@ def _edit1_pairs(spark, sf_dir):
     return edit1_pairs(_docs(spark, sf_dir), "text", max_len=EDIT1_PREFIX)
 
 
+def _wl_knn(spark, sf_dir):
+    from simkit_spark.operators.graphs import knn_graph_from_points
+    from simkit_spark.operators.wl import wl_colors
+
+    # 1-WL structural fingerprints over the similarity graph —
+    # structural-role discovery / graph-dedup hashing; md5-based
+    # refinement makes the unrolled DuckDB twin exact
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
+    return wl_colors(edges, iters=WL_ITERS)
+
+
+def _gnn_sample_knn(spark, sf_dir):
+    from simkit_spark.operators.gnnsample import sample_neighborhoods
+    from simkit_spark.operators.graphs import knn_graph_from_points
+
+    # GraphSAGE minibatch neighborhoods: md5-deterministic fanout
+    # sampling — reproducible GNN training data over the KG
+    edges = knn_graph_from_points(_emb(spark, sf_dir), KNN_K).select("src", "dst")
+    return sample_neighborhoods(edges, fanouts=GNN_FANOUTS)
+
+
 # ---- non-SQL-expressible (rows-only driver check; numpy-verified in tests/)
 def _semantic_dedup(spark, sf_dir):
     from simkit_spark.functions.semdedup import semantic_dedup
@@ -1262,6 +1285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality_knn": _harmonic_knn,
         "bm25_topk": _bm25_topk,
         "edit1_pairs": _edit1_pairs,
+        "wl_colors_knn": _wl_knn,
+        "gnn_neighborhoods_knn": _gnn_sample_knn,
         # --- never driver-checked in r3: 8 non-SQL-expressible
         # (rows-only; content hashes committed in ROWSONLY_HASHES.json) ---
         "semantic_dedup": _semantic_dedup,
@@ -1278,8 +1303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "communities_knn": _communities_knn,
         "modularity_knn": _modularity_knn,
         "sssp_knn": _sssp_knn,
-        "knn_graph": _knn_graph,
-        "eps_graph": _eps_graph,
         # new in r4 (never driver-checked -> in-window)
         "setsim_pairs": _setsim_pairs,
         "kg_transe_rank": _kg_transe_rank,
@@ -1307,6 +1330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gaussian_affinity/ari_labels/exact_dedup rotated here in r4d
         # to admit the three newest queries) ---
         "gaussian_affinity": _gaussian_affinity,
+        "knn_graph": _knn_graph,
+        "eps_graph": _eps_graph,
         "pairwise_euclidean": _pairwise("euclidean"),
         "exact_dedup": _exact_dedup,
         "ari_labels": _ari_labels,
@@ -2067,6 +2092,62 @@ scored AS (
 rk AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
 SELECT term, doc_id, tf::BIGINT AS tf, round(score, 6) AS score, rank::BIGINT AS rank
 FROM rk WHERE rank <= {BM25_K}"""
+
+
+def _wl_sql(iters: int = WL_ITERS) -> str:
+    """1-WL refinement as unrolled rounds: color_0 = degree, then
+    color_{t+1} = md5(color_t || '|' || sorted comma-joined neighbor
+    colors) truncated to 16 hex — the exact rule of operators/wl.py
+    (string_agg ORDER BY == sort_array, both binary collation)."""
+    parts = [
+        _sym_knn_edges_head()
+        + """,
+c0 AS MATERIALIZED (SELECT a AS node_id, count(*)::VARCHAR AS color FROM e GROUP BY a)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f""",
+n{t} AS (SELECT e.a AS node_id, c.color AS nc FROM e JOIN c{p} c ON c.node_id = e.b),
+g{t} AS (SELECT node_id, string_agg(nc, ',' ORDER BY nc) AS ns FROM n{t} GROUP BY node_id),
+c{t} AS MATERIALIZED (
+  SELECT c.node_id, substring(md5(concat_ws('|', c.color, g.ns)), 1, 16) AS color
+  FROM c{p} c JOIN g{t} g USING (node_id))"""
+        )
+    parts.append(f"\nSELECT node_id, color AS wl_color FROM c{iters}")
+    return "".join(parts)
+
+
+def _gnn_sample_sql(fanouts: list[int] = GNN_FANOUTS, seed: int = 42) -> str:
+    """GraphSAGE fanout sampling as unrolled hops: candidates ranked by
+    the md5(seed:root:hop:parent:nb) bigint (ties by nb), row_number
+    cut per (root, parent), expansion from the DISTINCT sampled
+    frontier — the exact rule of operators/gnnsample.py."""
+    parts = [
+        _sym_knn_edges_head()
+        + """,
+f0 AS MATERIALIZED (SELECT DISTINCT a AS root FROM e),
+fr0 AS (SELECT root, root AS node FROM f0)"""
+    ]
+    for h, fanout in enumerate(fanouts, start=1):
+        p = h - 1
+        parts.append(
+            f""",
+c{h} AS (SELECT f.root, f.node AS parent, e.b AS node,
+  CAST(concat('0x', substring(md5(concat_ws(':', '{seed}', f.root, '{h}', f.node, e.b)), 1, 8)) AS BIGINT) AS rh
+  FROM fr{p} f JOIN e ON e.a = f.node),
+p{h} AS MATERIALIZED (SELECT root, parent, node FROM (
+  SELECT *, row_number() OVER (PARTITION BY root, parent ORDER BY rh ASC, node ASC) AS rn FROM c{h})
+  WHERE rn <= {fanout}),
+fr{h} AS MATERIALIZED (SELECT DISTINCT root, node FROM p{h})"""
+        )
+    selects = ["SELECT root, 0::INT AS hop, root AS parent, root AS node_id FROM f0"]
+    selects += [
+        f"SELECT root, {h}::INT AS hop, parent, node AS node_id FROM p{h}"
+        for h in range(1, len(fanouts) + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
 
 
 # FastSS deletion-neighborhood edit-distance join, verified exactly:
@@ -3028,6 +3109,8 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality_knn": _HARMONIC_SQL,
         "bm25_topk": _BM25_SQL,
         "edit1_pairs": _EDIT1_SQL,
+        "wl_colors_knn": _wl_sql(),
+        "gnn_neighborhoods_knn": _gnn_sample_sql(),
         # --- driver-green in r3 ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)
@@ -3039,8 +3122,6 @@ def oracle_sql() -> dict[str, str]:
         "modularity_knn": _modularity_sql(),
         # bounded Bellman-Ford: unrolled min-relaxation sweeps, 12dp
         "sssp_knn": _sssp_sql(),
-        "knn_graph": _KNN_SQL,
-        "eps_graph": _EPS_SQL,
         # brute-force exact twin of the prefix-filtered join: the
         # filter is an optimization, the OUTPUT contract is all pairs
         "setsim_pairs": _SETSIM_SQL,
@@ -3064,6 +3145,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SESSIONIZE_SQL,
         # rotated out of the window in r4d (r3-green, untouched impls)
         "gaussian_affinity": _GAUSS_SQL,
+        "knn_graph": _KNN_SQL,
+        "eps_graph": _EPS_SQL,
         "pairwise_euclidean": _pairwise_sql("euclidean"),
         "ari_labels": _ARI_SQL,
         "exact_dedup": f"SELECT {_FP_EXPR} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY 1",

@@ -94,6 +94,8 @@ HEADLINE = [
     "harmonic_centrality_knn",
     "bm25_topk",
     "edit1_pairs",
+    "wl_colors_knn",
+    "gnn_neighborhoods_knn",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

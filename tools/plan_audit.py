@@ -148,6 +148,13 @@ AUDITED = {
     "generates candidates, hot variants broadcast-anti-joined away "
     "BEFORE the self-join (LSH max_bucket contract); exact levenshtein "
     "verify is codegen — no all-pairs product anywhere",
+    "wl_colors_knn": "per WL round: ONE join into the fixed edge layout "
+    "+ ONE hash agg (sorted degree-bounded collect_list); color lineage "
+    "broken per round — no global sort, no window",
+    "gnn_neighborhoods_knn": "per hop: frontier joins the fixed edge "
+    "layout; the fanout cut is a (root, parent)-partitioned window over "
+    "frontier x degree candidate rows only; expansion from the DISTINCT "
+    "sampled frontier",
 }
 
 
