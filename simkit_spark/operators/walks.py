@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..util import materialize
+from ..util import local_dispatch_rows, materialize
 
 
 def _score(seed: int, step: int, start, w, cur, b) -> F.Column:
@@ -116,6 +116,147 @@ def random_walks(
         out = out.unionByName(s)
     e.unpersist()
     return out
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """(src, dst) any orientation -> distinct (u < v) simple-graph pairs."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _local_adj(und_pdf):
+    """symmetric adjacency dict from the (u, v) pandas collect."""
+    adj: dict = {}
+    for u, v in zip(und_pdf["u"].tolist(), und_pdf["v"].tolist()):
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    return adj
+
+
+def _py_score(seed: int, step: int, start, w: int, cur, b) -> int:
+    """driver-side replica of ``_score`` — same md5("<seed>:..."), first
+    8 hex chars as an int, so picks are bit-identical to the engine."""
+    import hashlib
+
+    key = f"{seed}:{start}:{w}:{step}:{cur}:{b}"
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+
+def random_walks_auto(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    seed: int = 42,
+    local_threshold: int | None = None,
+) -> DataFrame:
+    """Size-dispatched ``random_walks`` (the repo's *_auto contract —
+    see pagerank_auto / label_propagation_auto): below
+    ``local_threshold`` symmetrized edge rows the graph is driver-sized,
+    so one Arrow collect + a hashlib loop replaces ``walk_len``
+    sequential join+agg+checkpoint rounds (each a full Spark job) —
+    the md5 pick rule is engine-portable, so both paths are
+    bit-identical (parity-tested, long and string ids). Above it, the
+    distributed operator runs unchanged."""
+    und = _undirected(edges).localCheckpoint()
+    if local_threshold is None:  # byte-budgeted, not a bare row count
+        local_threshold = local_dispatch_rows(und.schema)
+    if 2 * und.count() > local_threshold:
+        return random_walks(
+            und.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            walk_len,
+            walks_per_node,
+            seed,
+        )
+
+    spark = edges.sparkSession
+    id_t = und.schema["u"].dataType.simpleString()
+    schema = f"start_id {id_t}, walk int, step int, node_id {id_t}"
+    adj = _local_adj(und.toPandas())
+    out = []
+    for start in adj:
+        for w in range(walks_per_node):
+            cur = start
+            out.append((start, w, 0, cur))
+            for t in range(1, walk_len + 1):
+                cur = min(
+                    adj[cur], key=lambda b: (_py_score(seed, t, start, w, cur, b), b)
+                )
+                out.append((start, w, t, cur))
+    # plain-tuple createDataFrame: no Arrow dependency (driver-harness
+    # runs with Arrow disabled — see tests/test_arrow_disabled.py)
+    return spark.createDataFrame(out, schema)
+
+
+def node2vec_walks_auto(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    p_cost: int = 4,
+    q_cost: int = 2,
+    seed: int = 42,
+    local_threshold: int | None = None,
+) -> DataFrame:
+    """Size-dispatched ``node2vec_walks`` — same contract as
+    ``random_walks_auto``; the all-integer md5_score * {p_cost, 1,
+    q_cost} pick rule makes the driver twin bit-identical to the
+    distributed dual-layout implementation (parity-tested)."""
+    und = _undirected(edges).localCheckpoint()
+    if local_threshold is None:
+        local_threshold = local_dispatch_rows(und.schema)
+    if 2 * und.count() > local_threshold:
+        return node2vec_walks(
+            und.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            walk_len,
+            walks_per_node,
+            p_cost,
+            q_cost,
+            seed,
+        )
+
+    spark = edges.sparkSession
+    id_t = und.schema["u"].dataType.simpleString()
+    schema = f"start_id {id_t}, walk int, step int, node_id {id_t}"
+    pdf = und.toPandas()
+    adj = _local_adj(pdf)
+    pairs = set()
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+        pairs.add((u, v))
+        pairs.add((v, u))
+
+    def _cost(prev, b) -> int:
+        # precedence mirrors the engine's F.when chain: return-to-prev
+        # first, then distance-1 (triangle) candidates, then distance-2
+        if b == prev:
+            return p_cost
+        if (prev, b) in pairs:
+            return 1
+        return q_cost
+
+    out = []
+    for start in adj:
+        for w in range(walks_per_node):
+            cur = start
+            out.append((start, w, 0, cur))
+            # step 1: uniform (no prev), identical to random_walks
+            prev, cur = cur, min(
+                adj[cur], key=lambda b: (_py_score(seed, 1, start, w, cur, b), b)
+            )
+            out.append((start, w, 1, cur))
+            for t in range(2, walk_len + 1):
+                prev, cur = cur, min(
+                    adj[cur],
+                    key=lambda b: (
+                        _py_score(seed, t, start, w, cur, b) * _cost(prev, b),
+                        b,
+                    ),
+                )
+                out.append((start, w, t, cur))
+    return spark.createDataFrame(out, schema)
 
 
 def node2vec_walks(

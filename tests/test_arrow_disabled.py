@@ -42,6 +42,10 @@ def no_arrow(spark):
         "modularity_knn",
         "kg_khop",
         "sssp_knn",
+        # round-4e walk twins: hashlib local path + tuple createDataFrame
+        "random_walks_knn",
+        "node2vec_walks_knn",
+        "skipgram_pairs_knn",
     ],
 )
 def test_local_fast_paths_without_arrow(no_arrow, name):

@@ -96,3 +96,95 @@ def test_skipgram_partition_invariant_and_rejects_bad_window(spark):
     assert a == b and len(a) > 0
     with pytest.raises(ValueError):
         skipgram_pairs(walks, 0)
+
+
+def test_random_walks_auto_local_distributed_parity(spark):
+    """md5 pick rule is engine-portable: the hashlib twin must equal the
+    distributed loop exactly, including (score, id) tiebreaks."""
+    import random
+
+    from simkit_spark.operators.walks import random_walks, random_walks_auto
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(90)]
+    df = spark.createDataFrame(edges, "src long, dst long").where("src <> dst")
+    a = sorted(map(tuple, random_walks(df, 4, 2).collect()))
+    b = sorted(map(tuple, random_walks_auto(df, 4, 2).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_random_walks_auto_string_id_parity(spark):
+    """KG IRIs (string ids) through the driver twin: cast-to-string key
+    formatting and lexicographic tiebreaks must match the engine."""
+    import random
+
+    from simkit_spark.operators.walks import random_walks, random_walks_auto
+
+    rng = random.Random(6)
+    edges = [
+        (f"ent:{rng.randrange(20)}", f"ent:{rng.randrange(20)}") for _ in range(60)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string").where("src <> dst")
+    a = sorted(map(tuple, random_walks(df, 3, 2).collect()))
+    b = sorted(map(tuple, random_walks_auto(df, 3, 2).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_node2vec_auto_local_distributed_parity(spark):
+    """All-integer md5*cost pick: the twin must reproduce the p/q bias,
+    the distance-1 membership probe, and the step-1 uniform hop."""
+    import random
+
+    from simkit_spark.operators.walks import node2vec_walks, node2vec_walks_auto
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long").where("src <> dst")
+    for p, q in ((4, 2), (1, 9)):
+        a = sorted(map(tuple, node2vec_walks(df, 4, 2, p_cost=p, q_cost=q).collect()))
+        b = sorted(
+            map(tuple, node2vec_walks_auto(df, 4, 2, p_cost=p, q_cost=q).collect())
+        )
+        assert a == b and len(a) > 0, (p, q)
+
+
+def test_node2vec_auto_string_id_parity(spark):
+    import random
+
+    from simkit_spark.operators.walks import node2vec_walks, node2vec_walks_auto
+
+    rng = random.Random(8)
+    edges = [
+        (f"e:{rng.randrange(18)}", f"e:{rng.randrange(18)}") for _ in range(50)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string").where("src <> dst")
+    a = sorted(map(tuple, node2vec_walks(df, 3, 2).collect()))
+    b = sorted(map(tuple, node2vec_walks_auto(df, 3, 2).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_walks_auto_empty_edges_schema(spark):
+    """Empty edge list: derive the id type from the input (the
+    pagerank empty-path lesson), return zero rows, never crash."""
+    from simkit_spark.operators.walks import node2vec_walks_auto, random_walks_auto
+
+    for id_t in ("long", "string"):
+        df = spark.createDataFrame([], f"src {id_t}, dst {id_t}")
+        out = random_walks_auto(df, 3, 2)
+        assert out.count() == 0
+        assert out.schema["start_id"].dataType == df.schema["src"].dataType
+        out2 = node2vec_walks_auto(df, 3, 2)
+        assert out2.count() == 0
+        assert out2.schema["node_id"].dataType == df.schema["src"].dataType
+
+
+def test_walks_auto_forced_distributed_matches_local(spark):
+    """local_threshold=0 forces the distributed path through the same
+    auto entrypoint — the dispatch itself must be invisible."""
+    from simkit_spark.operators.walks import random_walks_auto
+
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [(0, 6), (3, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, random_walks_auto(df, 4, 2, local_threshold=0).collect()))
+    b = sorted(map(tuple, random_walks_auto(df, 4, 2).collect()))
+    assert a == b
