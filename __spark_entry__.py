@@ -701,14 +701,15 @@ HITS_ITER = 5
 
 
 def _hits_knn(spark, sf_dir):
-    from simkit_spark.operators.hits import hits
+    from simkit_spark.operators.hits import hits_auto
 
     # hubs/authorities over the directed kNN graph: 5 exact-integer
     # L1-normalized sweeps (scale 1e9) — bit-reproducible across
     # engines; separates pointed-at entities from pointing entities,
-    # which PageRank's single score conflates (operators/hits.py)
+    # which PageRank's single score conflates (operators/hits.py);
+    # size-dispatched to the numpy twin at bench scale
     edges = _knn_edges(spark, sf_dir)
-    return hits(edges, n_iter=HITS_ITER)
+    return hits_auto(edges, n_iter=HITS_ITER)
 
 
 def _weighted_pagerank_affinity(spark, sf_dir):

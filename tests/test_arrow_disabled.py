@@ -46,6 +46,7 @@ def no_arrow(spark):
         "random_walks_knn",
         "node2vec_walks_knn",
         "skipgram_pairs_knn",
+        "hits_knn",
     ],
 )
 def test_local_fast_paths_without_arrow(no_arrow, name):

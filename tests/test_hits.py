@@ -92,3 +92,51 @@ def test_hits_parallel_edges_collapse_and_empty(spark):
     assert hits(empty, 3).count() == 0
     with pytest.raises(ValueError, match="n_iter"):
         hits(simple, 0)
+
+
+def test_hits_auto_local_distributed_parity(spark):
+    """Exact-integer L1 sweeps: the numpy twin must equal the
+    distributed dual-layout loop bit-for-bit, hubs and chains."""
+    import random
+
+    from simkit_spark.operators.hits import hits, hits_auto
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(100)]
+    edges += [(i, i + 1) for i in range(30, 42)]
+    df = spark.createDataFrame(edges, "src long, dst long").where("src <> dst")
+    for it in (1, 3, 5):
+        a = {r["id"]: (r["hub"], r["authority"]) for r in hits(df, n_iter=it).collect()}
+        b = {
+            r["id"]: (r["hub"], r["authority"])
+            for r in hits_auto(df, n_iter=it).collect()
+        }
+        assert a == b, it
+
+
+def test_hits_auto_string_id_parity(spark):
+    import random
+
+    from simkit_spark.operators.hits import hits, hits_auto
+
+    rng = random.Random(14)
+    edges = [
+        (f"ent:{rng.randrange(20)}", f"ent:{rng.randrange(20)}") for _ in range(60)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string").where("src <> dst")
+    a = {r["id"]: (r["hub"], r["authority"]) for r in hits(df, n_iter=4).collect()}
+    b = {r["id"]: (r["hub"], r["authority"]) for r in hits_auto(df, n_iter=4).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_hits_auto_empty_and_forced_distributed(spark):
+    from simkit_spark.operators.hits import hits_auto
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = hits_auto(empty, n_iter=3)
+    assert out.count() == 0
+    assert out.schema["id"].dataType == empty.schema["src"].dataType
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    a = sorted(map(tuple, hits_auto(df, 3, local_threshold=0).collect()))
+    b = sorted(map(tuple, hits_auto(df, 3).collect()))
+    assert a == b
