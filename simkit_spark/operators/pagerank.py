@@ -480,3 +480,79 @@ def weighted_pagerank(
     nodes.unpersist()
     dangling_ids.unpersist()
     return out
+
+
+def weighted_pagerank_auto(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = DAMPING,
+    iter_dp: int = WPR_ITER_DP,
+    weight_dp: int = WPR_WEIGHT_DP,
+    local_threshold: int | None = None,
+) -> DataFrame:
+    """Size-dispatched ``weighted_pagerank`` (the pagerank_auto
+    contract): the all-integer contrib rule (rank_i * w_q div strength,
+    exact int64 sums) plus the single fixed-order float update make the
+    numpy twin bit-identical to the distributed loop — parity-tested on
+    long and string ids, dangling mass, and zero-weight edge drops."""
+    e = edges.select(
+        "src",
+        "dst",
+        F.floor(F.col("weight") * F.lit(float(10**weight_dp)) + F.lit(0.5))
+        .cast("long")
+        .alias("w_q"),
+    ).where(F.col("w_q") > 0).localCheckpoint()
+    if local_threshold is None:  # byte-budgeted, not a bare row count
+        local_threshold = local_dispatch_rows(e.schema)
+    if e.count() > local_threshold:
+        return weighted_pagerank(
+            e.select(
+                "src",
+                "dst",
+                # hand the already-quantized weights back at unit scale:
+                # the inner floor(w*scale+0.5) then reproduces w_q exactly
+                (F.col("w_q").cast("double") / F.lit(float(10**weight_dp))).alias(
+                    "weight"
+                ),
+            ),
+            n_iter,
+            damping,
+            iter_dp,
+            weight_dp,
+        )
+
+    import numpy as np
+
+    spark = edges.sparkSession
+    id_t = e.schema["src"].dataType.simpleString()
+    pdf = e.toPandas()
+    if not len(pdf):
+        return spark.createDataFrame([], f"id {id_t}, rank double")
+    ids = np.unique(np.concatenate([pdf["src"].values, pdf["dst"].values]))
+    n = len(ids)
+    src = np.searchsorted(ids, pdf["src"].values)
+    dst = np.searchsorted(ids, pdf["dst"].values)
+    w_q = pdf["w_q"].values.astype(np.int64)
+    strength = np.zeros(n, dtype=np.int64)
+    np.add.at(strength, src, w_q)
+    dangling = strength == 0
+    scale = 10**iter_dp
+    inv = 1.0 / float(scale)
+    teleport = (1.0 - damping) / float(n)
+    rank_i = np.full(n, math.floor((1.0 / float(n)) * float(scale) + 0.5), dtype=np.int64)
+    safe_strength = np.where(dangling, 1, strength)
+    for _ in range(n_iter):
+        contrib = (rank_i[src] * w_q) // safe_strength[src]
+        inflow = np.zeros(n, dtype=np.int64)
+        np.add.at(inflow, dst, contrib)
+        dmass = int(rank_i[dangling].sum())
+        # engine float-op order: tele + d*(inflow*inv + dmass*inv/n)
+        update = teleport + damping * (
+            inflow.astype(np.float64) * inv + float(dmass) * inv / float(n)
+        )
+        rank_i = np.floor(update * float(scale) + 0.5).astype(np.int64)
+    rows = [
+        (i.item() if hasattr(i, "item") else i, rv)
+        for i, rv in zip(ids, (rank_i.astype(np.float64) * inv).tolist())
+    ]
+    return spark.createDataFrame(rows, f"id {id_t}, rank double")

@@ -289,3 +289,69 @@ def test_weighted_pagerank_weight_sensitivity(spark):
         for r in pagerank(w.select("src", "dst"), n_iter=10).collect()
     }
     assert ur["b"] == ur["c"]
+
+
+def test_weighted_pagerank_auto_local_distributed_parity(spark):
+    """All-integer contribs + fixed-order float update: the numpy twin
+    must equal the distributed loop bit-for-bit, including dangling
+    mass and zero-weight edge drops."""
+    import random
+
+    from simkit_spark.operators.pagerank import (
+        weighted_pagerank,
+        weighted_pagerank_auto,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (rng.randrange(25), rng.randrange(25), round(rng.random(), 3))
+        for _ in range(90)
+    ]
+    rows += [(30, 31, 0.7), (31, 32, 0.0)]  # chain + zero-weight drop
+    df = spark.createDataFrame(rows, "src long, dst long, weight double").where(
+        "src <> dst"
+    )
+    for it in (1, 4, 10):
+        a = {r["id"]: r["rank"] for r in weighted_pagerank(df, n_iter=it).collect()}
+        b = {
+            r["id"]: r["rank"]
+            for r in weighted_pagerank_auto(df, n_iter=it).collect()
+        }
+        assert a == b, it
+
+
+def test_weighted_pagerank_auto_string_ids_and_empty(spark):
+    import random
+
+    from simkit_spark.operators.pagerank import (
+        weighted_pagerank,
+        weighted_pagerank_auto,
+    )
+
+    rng = random.Random(18)
+    rows = [
+        (f"e:{rng.randrange(15)}", f"e:{rng.randrange(15)}", round(rng.random(), 3))
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, weight double").where(
+        "src <> dst"
+    )
+    a = {r["id"]: r["rank"] for r in weighted_pagerank(df, n_iter=5).collect()}
+    b = {r["id"]: r["rank"] for r in weighted_pagerank_auto(df, n_iter=5).collect()}
+    assert a == b and len(a) > 0
+    empty = spark.createDataFrame([], "src string, dst string, weight double")
+    out = weighted_pagerank_auto(empty, n_iter=3)
+    assert out.count() == 0
+    assert out.schema["id"].dataType == empty.schema["src"].dataType
+
+
+def test_weighted_pagerank_auto_forced_distributed(spark):
+    from simkit_spark.operators.pagerank import weighted_pagerank_auto
+
+    df = spark.createDataFrame(
+        [(0, 1, 0.5), (1, 2, 0.25), (2, 0, 1.0), (0, 2, 0.125)],
+        "src long, dst long, weight double",
+    )
+    a = sorted(map(tuple, weighted_pagerank_auto(df, 5, local_threshold=0).collect()))
+    b = sorted(map(tuple, weighted_pagerank_auto(df, 5).collect()))
+    assert a == b
