@@ -125,6 +125,19 @@ def _pairwise(kernel):
     return q
 
 
+def _mutual_knn_edges(spark, sf_dir):
+    """Mutual-kNN graph (u < v, weight 1.0) — identical to
+    mutual_knn_from_points(_emb, TOPK) (graphs.py), derived from the
+    shared cached k=TOPK kernel instead of re-running it."""
+    knn = _knn_topk(spark, sf_dir, TOPK).select("src", "dst")
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        knn.join(rev, ["src", "dst"], "leftsemi")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+
+
 def _knn_graph(spark, sf_dir):
     # per-block top-k kernel: the ranking shuffle carries n*B*k rows,
     # never the n^2 directed pair space (shared session cache)
@@ -133,9 +146,7 @@ def _knn_graph(spark, sf_dir):
 
 
 def _mutual_knn(spark, sf_dir):
-    from simkit_spark.operators.graphs import mutual_knn_from_points
-
-    return mutual_knn_from_points(_emb(spark, sf_dir), TOPK).select("src", "dst")
+    return _mutual_knn_edges(spark, sf_dir).select("src", "dst")
 
 
 def _eps_graph(spark, sf_dir):
@@ -879,10 +890,10 @@ def _semantic_dedup(spark, sf_dir):
 
 def _spectral_embedding(spark, sf_dir):
     from simkit_spark.operators.eigen import eigensolve_auto
-    from simkit_spark.operators.graphs import mutual_knn_from_points, symmetrize
+    from simkit_spark.operators.graphs import symmetrize
     from simkit_spark.operators.laplacian import laplacian
 
-    lap = laplacian(symmetrize(mutual_knn_from_points(_emb(spark, sf_dir), TOPK)), "sym")
+    lap = laplacian(symmetrize(_mutual_knn_edges(spark, sf_dir)), "sym")
     x, _ = eigensolve_auto(lap, k=2, max_iter=30, tol=1e-6, seed=42)
     return x.select("id", F.col("vec")[0].alias("e0"), F.col("vec")[1].alias("e1"))
 
