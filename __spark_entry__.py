@@ -575,12 +575,12 @@ def _sssp_knn(spark, sf_dir):
     # weighted shortest distances from node 0 over the directed kNN
     # graph (euclidean weights rounded 6dp -> engine-identical inputs),
     # bounded at SSSP_K Bellman-Ford sweeps
-    from simkit_spark.operators.sssp import bounded_sssp
+    from simkit_spark.operators.sssp import bounded_sssp_auto
 
     e = _knn_topk(spark, sf_dir).select(
         "src", "dst", F.round("dist", 6).alias("weight")
     )
-    d = bounded_sssp(e, [0], k=SSSP_K)
+    d = bounded_sssp_auto(e, [0], k=SSSP_K)
     return d.select("id", F.round("dist", 6).alias("dist"))
 
 

@@ -71,3 +71,66 @@ def bounded_sssp(
         return dist
     finally:
         e.unpersist()
+
+
+def bounded_sssp_auto(
+    edges: DataFrame,
+    sources: list,
+    k: int,
+    weight_col: str = "weight",
+    iter_dp: int = 12,
+    local_threshold: int | None = None,
+) -> DataFrame:
+    """Size-dispatched ``bounded_sssp`` (the pagerank_auto contract):
+    below the byte-budgeted edge threshold the k sweeps run driver-side.
+    Bit parity mechanism: min() is order-independent, and the per-sweep
+    rounding replicates Spark's Round expression exactly — Java
+    BigDecimal.valueOf(double) parses Double.toString's
+    shortest-roundtrip decimal, which is Python repr(float), so
+    Decimal(repr(x)).quantize(1e-iter_dp, ROUND_HALF_UP) reproduces the
+    engine digit-for-digit (parity-tested, incl. negative weights)."""
+    from ..util import local_dispatch_rows
+
+    e = edges.select("src", "dst", F.col(weight_col).alias("w")).localCheckpoint()
+    if local_threshold is None:
+        local_threshold = local_dispatch_rows(e.schema)
+    if e.count() > local_threshold:
+        return bounded_sssp(e, sources, k, "w", iter_dp)
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    spark = edges.sparkSession
+    id_t = e.schema["src"].dataType.simpleString()
+    quantum = Decimal(1).scaleb(-iter_dp)
+
+    def _round(x) -> float:
+        # float() first: numpy 2.x scalar repr is "np.float64(...)",
+        # not the shortest decimal the BigDecimal replication needs
+        return float(Decimal(repr(float(x))).quantize(quantum, rounding=ROUND_HALF_UP))
+
+    adj: dict = {}
+    for r in e.toPandas().itertuples(index=False):
+        adj.setdefault(r.src, []).append((r.dst, float(r.w)))
+    dist = {s: 0.0 for s in sources}
+    frontier = dict(dist)
+    for _ in range(k):
+        cand: dict = {}
+        for u, du in frontier.items():
+            for v, w in adj.get(u, ()):
+                c = _round(du + w)
+                if v not in cand or c < cand[v]:
+                    cand[v] = c
+        frontier = {}
+        for v, c in cand.items():
+            if v not in dist or c < dist[v]:
+                dist[v] = c
+                frontier[v] = c
+        if not frontier:
+            break
+    rows = [
+        # .item(): ids from pandas are numpy scalars, which hard-error
+        # in createDataFrame under Arrow-disabled row verification
+        (i.item() if hasattr(i, "item") else i, d)
+        for i, d in dist.items()
+    ]
+    return spark.createDataFrame(rows, f"id {id_t}, dist double")

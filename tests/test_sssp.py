@@ -60,3 +60,38 @@ def test_matches_full_relaxation_reference(spark):
                 nxt[b] = round(ref[a] + w, 12)
         ref = nxt
     assert _run(spark, edges, [0], k=k) == ref
+
+
+def test_sssp_auto_local_distributed_parity(spark):
+    """min() is order-independent and the Decimal(repr()) rounding
+    replicates Spark's BigDecimal HALF_UP — the twin must match the
+    engine bit-for-bit, including negative weights."""
+    import random
+
+    from simkit_spark.operators.sssp import bounded_sssp, bounded_sssp_auto
+
+    rng = random.Random(23)
+    rows = [
+        (rng.randrange(30), rng.randrange(30), round(rng.uniform(-0.2, 2.0), 3))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double").where(
+        "src <> dst"
+    )
+    for k in (1, 3, 6):
+        a = {r["id"]: r["dist"] for r in bounded_sssp(df, [0, 5], k).collect()}
+        b = {r["id"]: r["dist"] for r in bounded_sssp_auto(df, [0, 5], k).collect()}
+        assert a == b, k
+
+
+def test_sssp_auto_string_ids_empty_and_forced(spark):
+    from simkit_spark.operators.sssp import bounded_sssp_auto
+
+    rows = [("a", "b", 1.5), ("b", "c", 0.25), ("c", "a", 2.0), ("x", "y", 1.0)]
+    df = spark.createDataFrame(rows, "src string, dst string, weight double")
+    a = sorted(map(tuple, bounded_sssp_auto(df, ["a"], 4, local_threshold=0).collect()))
+    b = sorted(map(tuple, bounded_sssp_auto(df, ["a"], 4).collect()))
+    assert a == b and len(a) == 3
+    empty = spark.createDataFrame([], "src string, dst string, weight double")
+    out = bounded_sssp_auto(empty, ["zzz"], 3)
+    assert [tuple(r) for r in out.collect()] == [("zzz", 0.0)]
