@@ -77,10 +77,21 @@ def _knn_topk(spark, sf_dir, k=None):
 
     if k is None:
         k = KNN_K
-    key = (spark.sparkContext.applicationId, sf_dir, k)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, k)
     hit = _KNN_TOPK_CACHE.get(key)
     if hit is None:
-        hit = pairwise_topk(_emb(spark, sf_dir), k, "euclidean").localCheckpoint()
+        # evict other applications' entries: their checkpoint blocks
+        # died with the old executors, and the dict must not grow
+        # unboundedly in a process that creates many sessions
+        for stale in [k2 for k2 in _KNN_TOPK_CACHE if k2[0] != app]:
+            del _KNN_TOPK_CACHE[stale]
+        from simkit_spark.util import materialize
+
+        # reliable checkpoint when the session configured a checkpoint
+        # dir (cluster runs — survives executor loss), localCheckpoint
+        # otherwise (tests/bench)
+        hit = materialize(pairwise_topk(_emb(spark, sf_dir), k, "euclidean"))
         _KNN_TOPK_CACHE[key] = hit
     return hit
 
@@ -1007,13 +1018,20 @@ def _kg_rel(spark, sf_dir):
     rebuilds."""
     from simkit_spark.kg import relational_triples
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     hit = _KG_REL_CACHE.get(key)
     if hit is not None:
         return hit
-    tri = relational_triples(
-        {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in _TPCH_NAMES}
-    ).localCheckpoint()
+    for stale in [k2 for k2 in _KG_REL_CACHE if k2[0] != app]:
+        del _KG_REL_CACHE[stale]
+    from simkit_spark.util import materialize
+
+    tri = materialize(
+        relational_triples(
+            {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in _TPCH_NAMES}
+        )
+    )
     _KG_REL_CACHE[key] = tri
     return tri
 

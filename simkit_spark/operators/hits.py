@@ -52,7 +52,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..util import local_dispatch_rows, materialize
+from ..util import local_dispatch_rows, materialize, py_scalar
 
 HITS_ITER_DP = 9
 
@@ -77,7 +77,8 @@ def hits_auto(
     if local_threshold is None:  # byte-budgeted, not a bare row count
         local_threshold = local_dispatch_rows(e.schema)
     if e.count() > local_threshold:
-        return hits(e, n_iter, iter_dp)
+        # already distinct + materialized: skip hits()'s own pass
+        return _hits_from_distinct(e, n_iter, iter_dp)
 
     import numpy as np
 
@@ -110,7 +111,7 @@ def hits_auto(
         h = _normalize(h_raw)
     inv = 1.0 / float(scale)
     rows = [
-        (i.item() if hasattr(i, "item") else i, hv, av)
+        (py_scalar(i), hv, av)
         for i, hv, av in zip(
             ids, (h.astype(np.float64) * inv).tolist(), (a.astype(np.float64) * inv).tolist()
         )
@@ -126,9 +127,17 @@ def hits(edges: DataFrame, n_iter: int = 5, iter_dp: int = HITS_ITER_DP) -> Data
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    return _hits_from_distinct(
+        materialize(edges.select("src", "dst").distinct()), n_iter, iter_dp
+    )
+
+
+def _hits_from_distinct(e: DataFrame, n_iter: int, iter_dp: int) -> DataFrame:
+    """Sweep loop over an already-distinct, already-materialized edge
+    list — split out so hits_auto's above-threshold dispatch doesn't
+    pay a second distinct shuffle + checkpoint."""
     scale = 10**iter_dp
     inv = 1.0 / float(scale)
-    e = materialize(edges.select("src", "dst").distinct())
     nodes = materialize(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

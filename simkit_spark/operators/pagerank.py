@@ -52,7 +52,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..util import local_dispatch_rows, materialize
+from ..util import local_dispatch_rows, materialize, py_scalar
 
 DAMPING = 0.85
 PR_ITER_DP = 12
@@ -505,20 +505,16 @@ def weighted_pagerank_auto(
     if local_threshold is None:  # byte-budgeted, not a bare row count
         local_threshold = local_dispatch_rows(e.schema)
     if e.count() > local_threshold:
+        # hand the quantized integers through as weights at weight_dp=0:
+        # the inner floor(w_q*1+0.5) reproduces w_q exactly for every
+        # integer-valued double < 2^53 (a w_q/10^dp division would drift
+        # past ~2^51), and the sweep math consumes only w_q — identical
         return weighted_pagerank(
-            e.select(
-                "src",
-                "dst",
-                # hand the already-quantized weights back at unit scale:
-                # the inner floor(w*scale+0.5) then reproduces w_q exactly
-                (F.col("w_q").cast("double") / F.lit(float(10**weight_dp))).alias(
-                    "weight"
-                ),
-            ),
+            e.select("src", "dst", F.col("w_q").cast("double").alias("weight")),
             n_iter,
             damping,
             iter_dp,
-            weight_dp,
+            weight_dp=0,
         )
 
     import numpy as np
@@ -552,7 +548,7 @@ def weighted_pagerank_auto(
         )
         rank_i = np.floor(update * float(scale) + 0.5).astype(np.int64)
     rows = [
-        (i.item() if hasattr(i, "item") else i, rv)
+        (py_scalar(i), rv)
         for i, rv in zip(ids, (rank_i.astype(np.float64) * inv).tolist())
     ]
     return spark.createDataFrame(rows, f"id {id_t}, rank double")

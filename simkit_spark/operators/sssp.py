@@ -88,8 +88,14 @@ def bounded_sssp_auto(
     BigDecimal.valueOf(double) parses Double.toString's
     shortest-roundtrip decimal, which is Python repr(float), so
     Decimal(repr(x)).quantize(1e-iter_dp, ROUND_HALF_UP) reproduces the
-    engine digit-for-digit (parity-tested, incl. negative weights)."""
-    from ..util import local_dispatch_rows
+    engine digit-for-digit (parity-tested, incl. negative weights).
+    Caveat: Double.toString emits the SHORTEST round-trip decimal only
+    since JDK 19 (Ryu, JDK-4511638); on older JVMs a value whose
+    longer Java rendering straddles a HALF_UP boundary at the
+    iter_dp-th digit could round differently — not observed on the
+    Java 17 test matrix (parity + oracle gates are green), but the
+    contract is strongest on JDK 19+."""
+    from ..util import local_dispatch_rows, py_scalar
 
     e = edges.select("src", "dst", F.col(weight_col).alias("w")).localCheckpoint()
     if local_threshold is None:
@@ -127,10 +133,7 @@ def bounded_sssp_auto(
                 frontier[v] = c
         if not frontier:
             break
-    rows = [
-        # .item(): ids from pandas are numpy scalars, which hard-error
-        # in createDataFrame under Arrow-disabled row verification
-        (i.item() if hasattr(i, "item") else i, d)
-        for i, d in dist.items()
-    ]
+    # py_scalar: ids from pandas are numpy scalars, which hard-error
+    # in createDataFrame under Arrow-disabled row verification
+    rows = [(py_scalar(i), d) for i, d in dist.items()]
     return spark.createDataFrame(rows, f"id {id_t}, dist double")

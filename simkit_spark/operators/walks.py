@@ -45,6 +45,17 @@ def _score(seed: int, step: int, start, w, cur, b) -> F.Column:
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
 
 
+def _undirected(edges: DataFrame) -> DataFrame:
+    """(src, dst) any orientation -> distinct (u < v) simple-graph pairs."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def random_walks(
     edges: DataFrame,
     walk_len: int = 4,
@@ -56,13 +67,15 @@ def random_walks(
     node over the symmetrized simple graph; step 0 is the start node.
     A walk that reaches a dead end stops early (cannot happen on a
     symmetrized graph — every reachable node has the return edge)."""
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    return _random_walks_from_und(_undirected(edges), walk_len, walks_per_node, seed)
+
+
+def _random_walks_from_und(
+    und: DataFrame, walk_len: int, walks_per_node: int, seed: int
+) -> DataFrame:
+    """Loop body over an already-distinct (u < v) pair set — split out
+    so the *_auto dispatcher doesn't pay a second distinct shuffle on
+    the above-threshold path."""
     e = (
         und.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
@@ -118,17 +131,6 @@ def random_walks(
     return out
 
 
-def _undirected(edges: DataFrame) -> DataFrame:
-    """(src, dst) any orientation -> distinct (u < v) simple-graph pairs."""
-    return (
-        edges.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
-
-
 def _local_adj(und_pdf):
     """symmetric adjacency dict from the (u, v) pandas collect."""
     adj: dict = {}
@@ -161,17 +163,20 @@ def random_walks_auto(
     sequential join+agg+checkpoint rounds (each a full Spark job) —
     the md5 pick rule is engine-portable, so both paths are
     bit-identical (parity-tested, long and string ids). Above it, the
-    distributed operator runs unchanged."""
+    distributed operator runs on the already-distinct pair set (no
+    second distinct shuffle). The dispatch bounds the OUTPUT too: the
+    local path amplifies n_nodes into n_nodes * walks_per_node *
+    (walk_len+1) driver tuples, so a graph that fits the input budget
+    can still be refused locally (nodes <= 2*pairs bounds it)."""
     und = _undirected(edges).localCheckpoint()
     if local_threshold is None:  # byte-budgeted, not a bare row count
         local_threshold = local_dispatch_rows(und.schema)
-    if 2 * und.count() > local_threshold:
-        return random_walks(
-            und.select(F.col("u").alias("src"), F.col("v").alias("dst")),
-            walk_len,
-            walks_per_node,
-            seed,
-        )
+    n_und = und.count()
+    # nodes <= 2*pairs bounds the amplified walk output; one budget
+    # bounds every driver-side materialization, input AND output
+    est_out = 2 * n_und * walks_per_node * (walk_len + 1)
+    if max(2 * n_und, est_out) > local_threshold:
+        return _random_walks_from_und(und, walk_len, walks_per_node, seed)
 
     spark = edges.sparkSession
     id_t = und.schema["u"].dataType.simpleString()
@@ -204,18 +209,18 @@ def node2vec_walks_auto(
     """Size-dispatched ``node2vec_walks`` — same contract as
     ``random_walks_auto``; the all-integer md5_score * {p_cost, 1,
     q_cost} pick rule makes the driver twin bit-identical to the
-    distributed dual-layout implementation (parity-tested)."""
+    distributed dual-layout implementation (parity-tested). Dispatch
+    bounds both the input collect and the amplified walk output, and
+    the above-threshold path reuses the distinct pair set (see
+    random_walks_auto)."""
     und = _undirected(edges).localCheckpoint()
     if local_threshold is None:
         local_threshold = local_dispatch_rows(und.schema)
-    if 2 * und.count() > local_threshold:
-        return node2vec_walks(
-            und.select(F.col("u").alias("src"), F.col("v").alias("dst")),
-            walk_len,
-            walks_per_node,
-            p_cost,
-            q_cost,
-            seed,
+    n_und = und.count()
+    est_out = 2 * n_und * walks_per_node * (walk_len + 1)
+    if max(2 * n_und, est_out) > local_threshold:
+        return _node2vec_from_und(
+            und, walk_len, walks_per_node, p_cost, q_cost, seed
         )
 
     spark = edges.sparkSession
@@ -286,13 +291,21 @@ def node2vec_walks(
     breaks every step. Output is the long format of ``random_walks``:
     (start_id, walk, step, node_id), step 0 = start.
     """
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
+    return _node2vec_from_und(
+        _undirected(edges), walk_len, walks_per_node, p_cost, q_cost, seed
     )
+
+
+def _node2vec_from_und(
+    und: DataFrame,
+    walk_len: int,
+    walks_per_node: int,
+    p_cost: int,
+    q_cost: int,
+    seed: int,
+) -> DataFrame:
+    """Loop body over an already-distinct (u < v) pair set (see
+    _random_walks_from_und)."""
     e = (
         und.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))

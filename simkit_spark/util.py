@@ -79,3 +79,10 @@ def local_dispatch_rows(
     driver collect is bounded in BYTES regardless of schema."""
     bytes_per_row = max(1, sum(_est_width(f.dataType) for f in schema.fields))
     return max(1_000, min(default_rows, byte_budget // bytes_per_row))
+
+
+def py_scalar(x):
+    """numpy scalar -> Python native (ids collected via pandas/numpy
+    hard-error in createDataFrame under Arrow-disabled row verification
+    — the CORRECTNESS_r02 kmeans lesson). No-op on natives."""
+    return x.item() if hasattr(x, "item") else x
