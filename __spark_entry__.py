@@ -313,6 +313,19 @@ def _laplacian_ad(spark, sf_dir):
     )
 
 
+
+DUP_SPAN_WIN = 24
+
+
+def _dup_spans(spark, sf_dir):
+    from simkit_spark.functions.dedup import duplicate_spans
+
+    # ExactSubstr-style cross-document duplicate spans (Lee et al.,
+    # ACL'22 re-expressed as windowed hashes): maximal char intervals
+    # whose 24-char windows all repeat across >= 2 docs — the span-level
+    # complement to exact/minhash doc-level dedup
+    return duplicate_spans(_docs(spark, sf_dir), win=DUP_SPAN_WIN)
+
 def _silhouette_labels(spark, sf_dir):
     from simkit_spark.operators.kmeans import silhouette_points
 
@@ -1355,6 +1368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _kmv_distinct,
         "weighted_pagerank_affinity": _weighted_pagerank_affinity,
         "attribution_pairs": _attribution_pairs,
+        # dup_spans is new in r4e: first position PAST the 50-entry
+        # window (the window exactly fits the never-driver-checked
+        # block); locally oracle-verified, rotate it in next round
+        "dup_spans": _dup_spans,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4c queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
@@ -3099,6 +3116,28 @@ p AS (
 SELECT a, b, n_inter, n_union FROM p WHERE n_inter * 10 >= n_union * 9"""
 
 
+_DUP_SPANS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         unnest(range(0, length(text) - {DUP_SPAN_WIN} + 1))::int AS off
+  FROM documents WHERE length(text) >= {DUP_SPAN_WIN}
+), flat AS (
+  SELECT doc_id, off, substr(text, off + 1, {DUP_SPAN_WIN}) AS sub FROM base
+), dup AS (
+  SELECT sub FROM flat GROUP BY sub HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT f.doc_id, f.off FROM flat f WHERE f.sub IN (SELECT sub FROM dup)
+), isl AS (
+  SELECT doc_id, off,
+         off - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off) AS grp
+  FROM hits
+)
+SELECT doc_id, MIN(off)::BIGINT AS span_start,
+       (MAX(off) + {DUP_SPAN_WIN})::BIGINT AS span_end,
+       COUNT(*)::BIGINT AS n_windows
+FROM isl GROUP BY doc_id, grp
+"""
+
 def oracle_sql() -> dict[str, str]:
     # Order mirrors queries() (minus the rows-only entries) — see the
     # coverage-schedule comment there: r3's never-driver-checked
@@ -3175,6 +3214,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _KMV_SQL,
         "weighted_pagerank_affinity": _wpr_sql(),
         "attribution_pairs": _ATTRIBUTION_SQL,
+        "dup_spans": _DUP_SPANS_SQL,
         "silhouette_labels": _SILHOUETTE_SQL,
         "laplacian_sym": _LAP_SYM_SQL,
         "ivf_topk": _IVF_SQL,

@@ -90,6 +90,7 @@ HEADLINE = [
     "kmv_distinct",
     "weighted_pagerank_affinity",
     "attribution_pairs",
+    "dup_spans",
     "node2vec_walks_knn",
     "harmonic_centrality_knn",
     "bm25_topk",

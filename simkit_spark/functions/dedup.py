@@ -246,3 +246,89 @@ def ngram_jaccard_pairs(
             F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    win: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style cross-document duplicate-span detection (the
+    windowed-hash Spark re-expression of Lee et al., ACL'22 — their
+    suffix array is a single-machine structure; fixed-length windows +
+    a distributed group-by find the same >= win-char cross-doc repeats
+    with per-window granularity): every maximal character span whose
+    length-``win`` windows each occur in >= 2 DISTINCT documents,
+    merged into per-doc intervals.
+
+    Returns (doc_id, span_start, span_end, n_windows): 0-based char
+    offsets, end exclusive (= last duplicated window start + win),
+    n_windows = duplicated windows merged into the span. Within-doc
+    repeats alone do NOT qualify (cross-document only — the training-
+    data dedup definition). Docs shorter than ``win`` drop out.
+
+    Scale shape (100 TB): window enumeration is linear in corpus bytes
+    and stays inside one codegen stage (explode of an offset sequence +
+    substring on the row's own text — no re-evaluated expensive
+    expression, the shingles() inlining lesson). The FIRST shuffle
+    carries only (doc_id, off, xxhash64) — never the window text; the
+    window text is re-derived from the doc row ONLY for candidate
+    offsets whose 64-bit hash collides across docs, then verified by
+    exact string equality (zero false positives from hash collisions —
+    the neardup_resolve xxhash lesson). Island-merge windows partition
+    by doc_id (never global). Output is intervals, not windows, so the
+    result stays compact even on template-heavy corpora where most
+    windows are duplicated. The window enumeration is evaluated twice
+    (hot-hash agg + candidate probe) BY DESIGN: it is stateless codegen
+    over the pruned column scan, and at corpus scale recomputing beats
+    persisting a corpus-sized (doc, off, hash) working set.
+    """
+    if win < 1:
+        raise ValueError(f"win must be >= 1, got {win}")
+    from pyspark.sql import Window
+
+    d = docs.select(F.col(id_col).alias("_did"), F.col(text_col).alias("_txt")).where(
+        F.length("_txt") >= win
+    )
+    wins = d.select(
+        "_did",
+        "_txt",
+        F.explode(F.sequence(F.lit(0), F.length("_txt") - win)).alias("off"),
+    ).select(
+        "_did",
+        "off",
+        F.xxhash64(F.expr(f"substring(_txt, off + 1, {win})")).alias("h"),
+    )
+    hot = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("_did").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    cand = wins.join(hot.hint("shuffle_hash"), "h", "leftsemi").select("_did", "off")
+    cand_sub = cand.join(d, "_did").select(
+        "_did", "off", F.expr(f"substring(_txt, off + 1, {win})").alias("sub")
+    )
+    dup = (
+        cand_sub.groupBy("sub")
+        .agg(F.count_distinct("_did").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("sub")
+    )
+    hits = cand_sub.join(dup.hint("shuffle_hash"), "sub", "leftsemi").select(
+        "_did", "off"
+    )
+    w = Window.partitionBy("_did").orderBy("off")
+    isl = hits.withColumn("grp", F.col("off") - F.row_number().over(w))
+    return (
+        isl.groupBy("_did", "grp")
+        .agg(
+            F.min("off").cast("long").alias("span_start"),
+            (F.max("off") + win).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("_did").alias(id_col), "span_start", "span_end", "n_windows"
+        )
+    )

@@ -197,3 +197,23 @@ def test_round4d_plans(spark):
     plan = _plan(e.queries()["harmonic_centrality_knn"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_spans_plan(spark):
+    """ExactSubstr windowed-hash spans: no quadratic join anywhere, the
+    island-merge window is per-doc (never a partition-free global
+    window), and the text column never reaches the hash-level shuffle
+    (first exchanges carry (doc, off, hash), re-deriving sub later)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["dup_spans"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # every window spec is doc-partitioned
+    for line in plan.split("\n"):
+        if "windowspecdefinition" in line:
+            assert "_did" in line, line
+    # the h-level exchanges must not carry the window text column
+    for line in plan.split("\n"):
+        if "Exchange hashpartitioning(h#" in line:
+            assert "sub" not in line, line

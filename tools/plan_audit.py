@@ -15,6 +15,9 @@ from simkit_spark.session import get_spark  # noqa: E402
 SF = "/root/testdata/sf0.01"
 
 AUDITED = {
+    "dup_spans": "ExactSubstr windowed-hash spans: first shuffle carries "
+    "(doc_id, off, hash64) only — window text re-derived just for hash-hot "
+    "candidates; island merge windows per doc_id, never global",
     "pairwise_euclidean": "block fan-out is a pure column explode (no join); "
     "kernel matrices exist only inside applyInPandas tasks",
     "knn_graph": "per-block top-k kernel: the window ranks n*B*k candidate rows, "
