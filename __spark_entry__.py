@@ -489,6 +489,45 @@ def _events_rollup(spark, sf_dir):
     )
 
 
+def _events_funnel(spark, sf_dir):
+    # view -> click -> purchase conversion, each step chained within
+    # 24h of the previous step's earliest completion (strict lower /
+    # closed upper bound — tested at the exact boundary)
+    from simkit_spark.functions.events import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, ["view", "click", "purchase"], horizon_s=86400)
+
+
+def _events_transitions(spark, sf_dir):
+    # first-order Markov transition matrix between consecutive event
+    # types per user ((ts, event_id) order), row-normalized at 6dp
+    from simkit_spark.functions.events import transition_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transition_counts(ev)
+
+
+def _events_retention(spark, sf_dir):
+    # cohort retention triangle: distinct users active N days after
+    # their first active calendar day
+    from simkit_spark.functions.events import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev)
+
+
+def _kg_closure(spark, sf_dir):
+    # unbounded semi-naive transitive closure over the foreign-key
+    # DAG (order -> customer -> nation -> region; supplier -> nation):
+    # runs to convergence, returns (subj, obj, min hops)
+    from simkit_spark.kg import transitive_closure
+
+    return transitive_closure(
+        _kg_rel(spark, sf_dir), preds=["placed_by", "located_in", "part_of"]
+    )
+
+
 def _link_prediction(spark, sf_dir):
     from simkit_spark.operators.linkpred import link_prediction
 
@@ -1347,12 +1386,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _lsh_topk,
         "pq_topk": _pq_topk,
         "media_features": _media_features,
-        # --- driver-green in r3; re-checked this round (window fill,
-        # includes every query whose implementation changed in r4) ---
-        "pagerank_knn": _pagerank_knn,
-        "communities_knn": _communities_knn,
-        "modularity_knn": _modularity_knn,
-        "sssp_knn": _sssp_knn,
+        # new in r4e/r4f (never driver-checked -> in-window; the four
+        # r3-green fillers pagerank/communities/modularity/sssp rotate
+        # to the tail to make room)
+        "dup_spans": _dup_spans,
+        "kg_closure": _kg_closure,
+        "events_funnel": _events_funnel,
+        "events_transitions": _events_transitions,
         # new in r4 (never driver-checked -> in-window)
         "setsim_pairs": _setsim_pairs,
         "kg_transe_rank": _kg_transe_rank,
@@ -1368,13 +1408,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _kmv_distinct,
         "weighted_pagerank_affinity": _weighted_pagerank_affinity,
         "attribution_pairs": _attribution_pairs,
-        # dup_spans is new in r4e: first position PAST the 50-entry
-        # window (the window exactly fits the never-driver-checked
-        # block); locally oracle-verified, rotate it in next round
-        "dup_spans": _dup_spans,
+        # events_retention is new in r4f: first position PAST the
+        # 50-entry window (the window exactly fits the other
+        # never-driver-checked entries); locally oracle-verified,
+        # rotate it in next round
+        "events_retention": _events_retention,
         # --- rotated out of the 50-entry window to admit the newest
-        # round-4c queries: driver-green in r3 AND in the r4a full
+        # round-4 queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
+        "pagerank_knn": _pagerank_knn,
+        "communities_knn": _communities_knn,
+        "modularity_knn": _modularity_knn,
+        "sssp_knn": _sssp_knn,
         "silhouette_labels": _silhouette_labels,
         "laplacian_sym": _laplacian("sym"),
         "ivf_topk": _ivf_topk,
@@ -2666,6 +2711,46 @@ WITH e AS (SELECT event_type, date_trunc('day', ts) AS day, value FROM events)
 SELECT event_type, day, count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM e GROUP BY ROLLUP(event_type, day)"""
 
+# chained-horizon funnel: each stage's min(ts) is taken over events
+# STRICTLY after the previous stage and at most 86400 s later (closed
+# upper bound); a NULL t2 nulls the s3 join predicate, so t3 stays
+# NULL — same short-circuit the Spark conditional min performs
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id AND e.event_type = 'click'
+    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+  GROUP BY s1.user_id, s1.t1),
+s3 AS (
+  SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+    AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 86400 SECOND
+  GROUP BY s2.user_id, s2.t1, s2.t2)
+SELECT user_id, t1, t2, t3,
+  (1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END)::INT AS depth
+FROM s3"""
+
+_TRANSITIONS_SQL = """
+WITH p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events),
+c AS (SELECT prev_type, event_type, count(*) AS n FROM p
+      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, event_type, n,
+       round(n / (sum(n) OVER (PARTITION BY prev_type)), 6) AS prob
+FROM c"""
+
+_RETENTION_SQL = """
+WITH a AS (SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day FROM events),
+c AS (SELECT u, day, min(day) OVER (PARTITION BY u) AS cohort_day FROM a)
+SELECT cohort_day, date_diff('day', cohort_day, day)::INT AS offset_days,
+       count(DISTINCT u) AS n_users
+FROM c GROUP BY 1, 2"""
+
 _LINKPRED_SQL = (
     _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
     + f""",
@@ -2761,6 +2846,24 @@ reach(entity, hop) AS (
   WHERE r.hop < 3
 )
 SELECT entity, CAST(min(hop) AS INT) AS hop FROM reach GROUP BY entity"""
+
+# unbounded reachability closure over the foreign-key DAG: the
+# recursive UNION dedups exact (src, dst, hops) triples, min(hops)
+# collapses multi-path derivations to the semi-naive layer number;
+# hops < 8 is a safety cap far above the DAG's diameter (3) and does
+# not affect min-hops
+_KG_CLOSURE_SQL = f"""
+WITH RECURSIVE triples AS ({_KG_T}),
+e AS (SELECT subj AS src, obj AS dst FROM triples
+      WHERE pred IN ('placed_by', 'located_in', 'part_of')),
+tc(src, dst, hops) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT tc.src, e.dst, tc.hops + 1 FROM tc JOIN e ON tc.dst = e.src
+  WHERE tc.hops < 8
+)
+SELECT src AS subj, dst AS obj, CAST(min(hops) AS INT) AS hops
+FROM tc GROUP BY 1, 2"""
 
 _KG_HUBS_SQL = (
     _KG_CTE
@@ -3187,17 +3290,14 @@ def oracle_sql() -> dict[str, str]:
         "edit1_pairs": _EDIT1_SQL,
         "wl_colors_knn": _wl_sql(),
         "gnn_neighborhoods_knn": _gnn_sample_sql(),
-        # --- driver-green in r3 ---
-        # fixed-iteration PageRank: unrolled-CTE power sweeps over
-        # exact-integer rank numerators (bit parity, no rounding)
-        "pagerank_knn": _pagerank_sql(),
-        # synchronous LPA: unrolled sweeps, all-integer — exact parity
-        "communities_knn": _lpa_sql(),
-        # modularity of those communities: same unrolled sweeps + exact
-        # integer-derived per-community formula
-        "modularity_knn": _modularity_sql(),
-        # bounded Bellman-Ford: unrolled min-relaxation sweeps, 12dp
-        "sssp_knn": _sssp_sql(),
+        # new in r4e/r4f (never driver-checked -> in-window): the four
+        # r3-green fillers pagerank/communities/modularity/sssp rotate
+        # to the tail to make room
+        "dup_spans": _DUP_SPANS_SQL,
+        # unbounded semi-naive datalog TC vs recursive-CTE min-hop
+        "kg_closure": _KG_CLOSURE_SQL,
+        "events_funnel": _FUNNEL_SQL,
+        "events_transitions": _TRANSITIONS_SQL,
         # brute-force exact twin of the prefix-filtered join: the
         # filter is an optimization, the OUTPUT contract is all pairs
         "setsim_pairs": _SETSIM_SQL,
@@ -3214,7 +3314,19 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _KMV_SQL,
         "weighted_pagerank_affinity": _wpr_sql(),
         "attribution_pairs": _ATTRIBUTION_SQL,
-        "dup_spans": _DUP_SPANS_SQL,
+        # first entry PAST the 50-window (rotate in next round)
+        "events_retention": _RETENTION_SQL,
+        # --- driver-green in r3 (rotated to the tail in r4f) ---
+        # fixed-iteration PageRank: unrolled-CTE power sweeps over
+        # exact-integer rank numerators (bit parity, no rounding)
+        "pagerank_knn": _pagerank_sql(),
+        # synchronous LPA: unrolled sweeps, all-integer — exact parity
+        "communities_knn": _lpa_sql(),
+        # modularity of those communities: same unrolled sweeps + exact
+        # integer-derived per-community formula
+        "modularity_knn": _modularity_sql(),
+        # bounded Bellman-Ford: unrolled min-relaxation sweeps, 12dp
+        "sssp_knn": _sssp_sql(),
         "silhouette_labels": _SILHOUETTE_SQL,
         "laplacian_sym": _LAP_SYM_SQL,
         "ivf_topk": _IVF_SQL,

@@ -97,6 +97,10 @@ HEADLINE = [
     "edit1_pairs",
     "wl_colors_knn",
     "gnn_neighborhoods_knn",
+    "kg_closure",
+    "events_funnel",
+    "events_transitions",
+    "events_retention",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

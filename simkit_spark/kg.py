@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .functions.dedup import _md5_long
+from .util import local_dispatch_rows
 
 
 def _iri(kind: str, key: Column) -> Column:
@@ -246,6 +247,143 @@ def khop_reachability(
         return out
     finally:
         edges.unpersist()
+
+
+def transitive_closure(
+    triples: DataFrame,
+    preds: list[str] | None = None,
+    local_threshold: int | None = None,
+    max_iter: int = 64,
+    broadcast_rows: int = 1_000_000,
+    dedup_edges: bool = False,
+) -> DataFrame:
+    """Unbounded reachability closure: every (subj, obj) pair connected
+    by a directed path through the ``preds``-filtered edge set, with
+    ``hops`` = minimum path length. The datalog ``tc(x,y) :- e(x,y);
+    tc(x,y) :- tc(x,z), e(z,y)`` fixpoint, run SEMI-NAIVE: each sweep
+    joins only the previous sweep's NEW pairs (the delta) against the
+    base edges, never the accumulated closure — the naive variant
+    re-derives every known pair every sweep and is quadratically more
+    join work on deep graphs. Unlike :func:`khop_reachability` this is
+    seedless and unbounded: it runs to convergence (empty delta), not
+    to a fixed k, and returns pairs, not a per-entity hop map.
+
+    Scale: the base edge list is persisted once and never reshuffled;
+    each sweep's delta is a just-checkpointed table with a known row
+    count, so delta and prior layers get explicit broadcast hints
+    under ``broadcast_rows`` (checkpointed plans carry no stats — the
+    khop lesson; without the hint the static planner sort-merge-joins
+    and reshuffles the base every sweep). New pairs are anti-joined
+    against prior layers keyed by the full (subj, obj) pair, so work
+    per sweep is proportional to the frontier of NEW pairs. Sweeps are
+    bounded by the graph's diameter; ``max_iter`` is a loud backstop
+    (RuntimeError, never silent truncation) for adversarial inputs.
+    Cycles are safe: the pair space is finite and the anti-join stops
+    re-deriving a pair once it exists, so the delta empties. On a
+    graph whose closure is dense (|TC| ~ V^2) the output itself is the
+    bottleneck — that regime wants the components operator (one label
+    per node), not materialized pairs; the docholder here is the
+    shallow foreign-key DAG of the relational triple map
+    (kg.relational_triples), diameter <= 4.
+
+    Below ``local_threshold`` edges (byte-budgeted default) the graph
+    is driver-sized: one collect, per-source BFS over an adjacency
+    dict, one createDataFrame back — Arrow-optional (plain Python
+    lists, the CORRECTNESS_r02 kmeans lesson). Same min-hop semantics
+    by construction (BFS layers == semi-naive layers).
+
+    Reference semantics: transitive reachability over the entity graph
+    mirrors the reference's connected-entity expansion
+    (simkit SimKitProcedures nodePropertiesToGraph + connected
+    components chain); the reference bounds expansion by matrix
+    powers, this runs the same fixpoint declaratively.
+    """
+    spark = triples.sparkSession
+    e = triples
+    if preds is not None:
+        e = e.where(F.col("pred").isin(list(preds)))
+    e = e.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    if dedup_edges:
+        e = e.distinct()
+    if local_threshold is None:
+        local_threshold = local_dispatch_rows(e.schema)
+    e = e.persist()
+    try:
+        n_edges = e.count()
+        if n_edges <= local_threshold:
+            rows = e.collect()
+            adj: dict = {}
+            for r in rows:
+                adj.setdefault(r["src"], set()).add(r["dst"])
+            out_rows: list[tuple] = []
+            for s in adj:
+                # dist records first (= shortest) arrival, INCLUDING a
+                # cyclic return to s itself; expanded gates re-expansion
+                # so the source's successors are walked exactly once
+                dist: dict = {}
+                expanded = {s}
+                frontier = [s]
+                hop = 0
+                while frontier:
+                    hop += 1
+                    nxt = []
+                    for u in frontier:
+                        for v in adj.get(u, ()):
+                            if v not in dist:
+                                dist[v] = hop
+                            if v not in expanded:
+                                expanded.add(v)
+                                nxt.append(v)
+                    frontier = nxt
+                out_rows.extend((s, d, h) for d, h in dist.items())
+            return spark.createDataFrame(
+                out_rows, "subj string, obj string, hops int"
+            )
+        paths = (
+            e.select("src", "dst").distinct()
+            .withColumn("hops", F.lit(1))
+            .localCheckpoint()
+        )
+        layers = [(paths, paths.count())]
+        delta, d_cnt = paths, layers[0][1]
+        for i in range(2, max_iter + 2):
+            # rename the delta's columns up front: delta descends from e,
+            # and Spark's dataset-id ambiguity check rejects d["dst"] ==
+            # e["src"] even across a checkpoint boundary
+            d = delta.select(
+                F.col("src").alias("d_src"), F.col("dst").alias("d_dst")
+            )
+            if d_cnt <= broadcast_rows:
+                d = F.broadcast(d)
+            new = (
+                d.join(e, F.col("d_dst") == F.col("src"))
+                .select(F.col("d_src").alias("src"), F.col("dst"))
+                .distinct()
+            )
+            for prev, pc in layers:
+                p = prev.select("src", "dst")
+                if pc <= broadcast_rows:
+                    p = F.broadcast(p)
+                new = new.join(p, on=["src", "dst"], how="left_anti")
+            new = new.withColumn("hops", F.lit(i)).localCheckpoint()
+            d_cnt = new.count()
+            if d_cnt == 0:
+                break
+            layers.append((new, d_cnt))
+            delta = new
+        else:
+            raise RuntimeError(
+                f"transitive_closure did not converge in {max_iter} sweeps "
+                f"(last delta {d_cnt} pairs) — diameter exceeds the backstop"
+            )
+        out = layers[0][0]
+        for layer, _ in layers[1:]:
+            out = out.unionByName(layer)
+        return out.select(
+            F.col("src").alias("subj"), F.col("dst").alias("obj"), "hops"
+        )
+    finally:
+        e.unpersist()
 
 
 def top_hubs(triples: DataFrame, n: int = 20) -> DataFrame:
