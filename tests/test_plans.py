@@ -217,3 +217,54 @@ def test_dup_spans_plan(spark):
     for line in plan.split("\n"):
         if "Exchange hashpartitioning(h#" in line:
             assert "sub" not in line, line
+
+
+def test_round4f_event_plans(spark):
+    """events_funnel: stage joins are hash joins keyed on user_id and
+    the event_type stage filters reach the parquet scan (pushdown) —
+    no nested-loop, no cartesian; events_transitions: the lag window
+    is user-partitioned and the row-normalizing window runs over the
+    post-aggregation (|types|^2-row) side only; events_retention: no
+    join anywhere — dedup + per-user window + one aggregate."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["events_funnel"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the stage subsets are filtered before the join: pushdown reaches
+    # the file scan as an event_type IsNotNull/Equal pushed filter
+    assert "PushedFilters: [" in plan and "event_type" in plan
+
+    plan = _plan(e.queries()["events_transitions"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.split("\n"):
+        if "windowspecdefinition(user_id" in line:
+            assert "lag(" in line, line  # per-user window only lags
+
+    plan = _plan(e.queries()["events_retention"](spark, SF))
+    assert "Join" not in plan  # dedup + window + agg, no join at all
+    assert "CartesianProduct" not in plan
+
+
+def test_kg_closure_local_dispatch_and_distributed_joins(spark):
+    """At sf0.01 the FK edge set (~17k rows) is driver-sized, so the
+    auto path must dispatch local (LocalTableScan / parallelized rows,
+    not an iterative join plan); the forced-distributed path's output
+    must be layer unions of checkpointed deltas (scans, no residual
+    join in the RESULT plan — the sweeps already ran eagerly)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["kg_closure"](spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan  # local twin: one createDataFrame back
+
+    from simkit_spark.kg import transitive_closure
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")], "subj string, pred string, obj string"
+    )
+    out = transitive_closure(t, local_threshold=0)
+    assert {(r["subj"], r["obj"], r["hops"]) for r in out.collect()} == {
+        ("a", "b", 1), ("b", "c", 1), ("a", "c", 2)
+    }

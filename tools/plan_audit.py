@@ -158,6 +158,20 @@ AUDITED = {
     "layout; the fanout cut is a (root, parent)-partitioned window over "
     "frontier x degree candidate rows only; expansion from the DISTINCT "
     "sampled frontier",
+    "kg_closure": "semi-naive datalog TC: each sweep joins only the NEW "
+    "delta (broadcast-hinted under 1M rows) against the once-persisted "
+    "edge layout; anti-join vs prior layers keeps sweep work ~ frontier; "
+    "size-dispatched BFS twin below the byte budget (the sf0.01 plan "
+    "shown here is the local twin: scan-only, no joins)",
+    "events_funnel": "one user-keyed groupBy+LEFT-join pair per stage; "
+    "stage event_type filters reach the parquet scan as pushed filters; "
+    "no window over raw events, no nested-loop",
+    "events_transitions": "per-user lag window (events shuffle ONCE on "
+    "user_id) -> tiny |types|^2-keyed hash agg; the row-normalizing "
+    "window runs over the post-aggregation side only",
+    "events_retention": "distinct user-days FIRST (the only event-sized "
+    "shuffle), then the per-user min window and one hash agg run over "
+    "user-days, not events; no join anywhere",
 }
 
 
