@@ -517,6 +517,82 @@ def _events_retention(spark, sf_dir):
     return cohort_retention(ev)
 
 
+def _cms_counts(spark, sf_dir):
+    # Count-Min sketch (4 x 2048, md5/multiply-shift buckets) over all
+    # document token occurrences, point-queried for the 20 highest
+    # exact-frequency tokens — est >= exact always (CM only
+    # over-counts); both the buckets and the minima are bit-exact in
+    # the DuckDB twin
+    from simkit_spark.functions.sketch import cms_build, cms_estimate
+    from simkit_spark.functions.text import tokens
+
+    occ = _docs(spark, sf_dir).select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    exact = (
+        occ.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("term"))
+        .limit(20)
+        .localCheckpoint()  # consumed as probe set AND in the result join
+    )
+    sketch = cms_build(occ, "term", depth=4, width=2048)
+    est = cms_estimate(sketch, exact, "term", depth=4, width=2048)
+    return (
+        exact.join(est, "term")
+        .select("term", "exact", "est")
+        .orderBy(F.desc("exact"), F.asc("term"))
+    )
+
+
+def _bloom_semijoin(spark, sf_dir):
+    # Bloomjoin reduction: filter the orders fact by a 2^11-bit / 4-hash
+    # signature of the low-nation customers, then report every passing
+    # customer key with its exact-membership flag — the false-positive
+    # rows are a direct function of every md5/mix/mod bit, so the
+    # oracle check is maximally discriminating
+    from simkit_spark.functions.bloomjoin import bloom_build, bloom_semijoin
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    build = cust.where(F.col("c_nationkey") < 5).select("c_custkey")
+    bloom = bloom_build(build, "c_custkey", m_bits=2048, k_hashes=4).localCheckpoint()
+    reduced = bloom_semijoin(orders, bloom, "o_custkey", k_hashes=4, m_bits=2048)
+    return (
+        reduced.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(
+            F.broadcast(build.select(F.col("c_custkey").alias("o_custkey"))
+                        .withColumn("is_member", F.lit(1))),
+            "o_custkey",
+            "left",
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.coalesce("is_member", F.lit(0)).cast("long").alias("is_member"),
+            "n_orders",
+        )
+        .orderBy("custkey")
+    )
+
+
+def _hybrid_rrf(spark, sf_dir):
+    # hybrid retrieval: token-set-Jaccard (lexical) + embedding-cosine
+    # (dense) top lists fused by reciprocal-rank fusion over the
+    # docs-with-embeddings corpus; ranks are engine-reproducible
+    # (single-division Jaccard, left-fold cosine, doc-id ties)
+    from simkit_spark.functions.hybrid import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        _docs(spark, sf_dir),
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        n_queries=10,
+        k_lex=50,
+        k_dense=50,
+        k=10,
+    )
+
+
 def _kg_closure(spark, sf_dir):
     # unbounded semi-naive transitive closure over the foreign-key
     # DAG (order -> customer -> nation -> region; supplier -> nation):
@@ -1408,11 +1484,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _kmv_distinct,
         "weighted_pagerank_affinity": _weighted_pagerank_affinity,
         "attribution_pairs": _attribution_pairs,
-        # events_retention is new in r4f: first position PAST the
-        # 50-entry window (the window exactly fits the other
-        # never-driver-checked entries); locally oracle-verified,
-        # rotate it in next round
+        # events_retention + the r4g sketches/retrieval ops are new in
+        # r4: first positions PAST the 50-entry window (the window
+        # exactly fits the other never-driver-checked entries); locally
+        # oracle-verified, rotate them in next round
         "events_retention": _events_retention,
+        "cms_counts": _cms_counts,
+        "bloom_semijoin": _bloom_semijoin,
+        "hybrid_rrf": _hybrid_rrf,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4 queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
@@ -2340,6 +2419,106 @@ FROM deg d LEFT JOIN t USING (id)"""
 
 # KMV sketch twin: identical md5 bottom-k, identical one-division
 # estimate
+# Count-Min twin: identical md5 base, multiply-shift rows, mod-width
+# buckets; min over the 4 rows' cells. All integers -> bit-exact.
+_CMS_SQL = f"""
+WITH occ AS (
+  SELECT unnest({_LTOKENS}) AS term FROM documents WHERE trim(text) <> ''),
+exact AS MATERIALIZED (
+  SELECT term, count(*)::BIGINT AS exact FROM occ GROUP BY term
+  ORDER BY exact DESC, term ASC LIMIT 20),
+hs AS (SELECT unnest(range(0, 4)) AS h),
+ob AS (SELECT {_MD5_LONG.format(arg="concat_ws(':', term, '42')")} AS s FROM occ),
+cells AS MATERIALIZED (
+  SELECT h, ({_MIX}) % 2048 AS cell, count(*)::BIGINT AS cnt
+  FROM ob CROSS JOIN hs GROUP BY 1, 2),
+pb AS (SELECT term, {_MD5_LONG.format(arg="concat_ws(':', term, '42')")} AS s FROM exact),
+probes AS (SELECT term, h, ({_MIX}) % 2048 AS cell FROM pb CROSS JOIN hs),
+est AS (
+  SELECT term, min(coalesce(cnt, 0))::BIGINT AS est
+  FROM probes LEFT JOIN cells USING (h, cell) GROUP BY term)
+SELECT exact.term, exact.exact, est.est
+FROM exact JOIN est USING (term)
+ORDER BY exact DESC, term ASC"""
+
+# Bloomjoin twin: same md5/mix/mod bit positions; a probe key passes
+# iff all 4 hash rows find their bit (count(*) = 4 after the bit join
+# == the engine's 4 successive broadcast left-semi joins).
+_BLOOM_SQL = f"""
+WITH build AS MATERIALIZED (SELECT c_custkey FROM customer WHERE c_nationkey < 5),
+hs AS (SELECT unnest(range(0, 4)) AS h),
+bs AS (SELECT {_MD5_LONG.format(arg="concat_ws(':', c_custkey, '42')")} AS s FROM build),
+bbits AS MATERIALIZED (
+  SELECT DISTINCT ({_MIX}) % 2048 AS bit FROM bs CROSS JOIN hs),
+pk AS (SELECT DISTINCT o_custkey FROM orders),
+ps AS (SELECT o_custkey, {_MD5_LONG.format(arg="concat_ws(':', o_custkey, '42')")} AS s FROM pk),
+ppos AS (SELECT o_custkey, h, ({_MIX}) % 2048 AS bit FROM ps CROSS JOIN hs),
+pass AS (
+  SELECT o_custkey FROM ppos JOIN bbits USING (bit)
+  GROUP BY o_custkey HAVING count(*) = 4),
+red AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_orders
+  FROM orders JOIN pass USING (o_custkey) GROUP BY o_custkey)
+SELECT o_custkey AS custkey,
+       (CASE WHEN o_custkey IN (SELECT c_custkey FROM build) THEN 1 ELSE 0 END)::BIGINT AS is_member,
+       n_orders
+FROM red ORDER BY custkey"""
+
+# Hybrid-RRF twin: same corpus join, md5-ordered query set, postings
+# Jaccard (one small-int division), left-fold cosine, and the fixed
+# two-term RRF expression; ranks tie-break on doc id in both engines.
+_HYBRID_SQL = """
+WITH corpus AS MATERIALIZED (
+  SELECT d.doc_id AS id,
+         list_distinct(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS toks,
+         e.embedding::DOUBLE[] AS vec
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE trim(d.text) <> ''),
+c2 AS MATERIALIZED (SELECT id, toks, len(toks) AS sz, vec FROM corpus),
+q AS MATERIALIZED (
+  SELECT * FROM c2 ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 10),
+qtok AS (SELECT id AS q, sz AS qsz, unnest(toks) AS tok FROM q),
+dtok AS (SELECT id, sz, unnest(toks) AS tok FROM c2),
+lexagg AS (
+  SELECT qtok.q, qtok.qsz, dtok.id, dtok.sz, count(*) AS ni
+  FROM dtok JOIN qtok USING (tok) WHERE dtok.id <> qtok.q
+  GROUP BY 1, 2, 3, 4),
+lexrk AS (
+  SELECT q, id, row_number() OVER (
+    PARTITION BY q
+    ORDER BY (ni::DOUBLE / (qsz + sz - ni)::DOUBLE) DESC, id ASC) AS lex_rank
+  FROM lexagg),
+lex AS MATERIALIZED (SELECT q, id, lex_rank FROM lexrk WHERE lex_rank <= 50),
+dense0 AS (
+  SELECT q.id AS q, c2.id AS id,
+    CASE WHEN sqrt(list_reduce(list_transform(q.vec, x -> x*x), (p,s) -> p+s)) = 0
+           OR sqrt(list_reduce(list_transform(c2.vec, x -> x*x), (p,s) -> p+s)) = 0 THEN 0.0
+    ELSE list_reduce(list_transform(list_zip(q.vec, c2.vec), x -> x[1]*x[2]), (p,s) -> p+s)
+         / (sqrt(list_reduce(list_transform(q.vec, x -> x*x), (p,s) -> p+s))
+            * sqrt(list_reduce(list_transform(c2.vec, x -> x*x), (p,s) -> p+s))) END AS cos
+  FROM c2 CROSS JOIN q WHERE c2.id <> q.id),
+densrk AS (
+  SELECT q, id, row_number() OVER (
+    PARTITION BY q ORDER BY cos DESC, id ASC) AS cos_rank
+  FROM dense0),
+dens AS MATERIALIZED (SELECT q, id, cos_rank FROM densrk WHERE cos_rank <= 50),
+fused AS (
+  SELECT coalesce(lex.q, dens.q) AS q, coalesce(lex.id, dens.id) AS id,
+         coalesce(lex.lex_rank, 0)::BIGINT AS lex_rank,
+         coalesce(dens.cos_rank, 0)::BIGINT AS cos_rank
+  FROM lex FULL OUTER JOIN dens ON lex.q = dens.q AND lex.id = dens.id),
+scored AS (
+  SELECT q, id, lex_rank, cos_rank,
+    ((CASE WHEN lex_rank > 0 THEN 1.0 / (60 + lex_rank)::DOUBLE ELSE 0.0 END)
+     + (CASE WHEN cos_rank > 0 THEN 1.0 / (60 + cos_rank)::DOUBLE ELSE 0.0 END)) AS rrf
+  FROM fused),
+rk AS (
+  SELECT q, id, lex_rank, cos_rank, rrf,
+         row_number() OVER (PARTITION BY q ORDER BY rrf DESC, id ASC) AS rank
+  FROM scored)
+SELECT q, id AS doc_id, lex_rank, cos_rank, round(rrf, 9) AS rrf, rank::BIGINT AS rank
+FROM rk WHERE rank <= 10"""
+
 _KMV_SQL = f"""
 WITH h AS (
   SELECT DISTINCT {_MD5_LONG.format(arg="concat_ws(':', concat_ws(':', l_orderkey, l_partkey), '42')")} AS h
@@ -3316,6 +3495,9 @@ def oracle_sql() -> dict[str, str]:
         "attribution_pairs": _ATTRIBUTION_SQL,
         # first entry PAST the 50-window (rotate in next round)
         "events_retention": _RETENTION_SQL,
+        "cms_counts": _CMS_SQL,
+        "bloom_semijoin": _BLOOM_SQL,
+        "hybrid_rrf": _HYBRID_SQL,
         # --- driver-green in r3 (rotated to the tail in r4f) ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)

@@ -24,9 +24,9 @@ filtering before the distinct; not automated here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import _md5_long
+from .dedup import _md5_long, _mix
 
 _HASH_SPACE = 4294967296  # 2^32, the md5-prefix hash space
 
@@ -68,3 +68,71 @@ def kmv_distinct(
         )
         .alias("est_distinct"),
     )
+
+
+def _cms_cell(col: Column, row: int | Column, width: int, seed: int) -> Column:
+    """Row-``row`` CMS bucket of a value: one md5 per value feeds all
+    depth rows through the multiply-shift family (the minhash
+    convention — _mix members are bijections mod 2^32, so rows stay
+    pairwise-independent enough for the CM guarantee while the SQL twin
+    reproduces every bucket bit-for-bit)."""
+    base = _md5_long(F.concat_ws(":", col.cast("string"), F.lit(str(seed))))
+    return F.pmod(_mix(base, row), F.lit(width))
+
+
+def cms_build(
+    values: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05) over a
+    value column, one input row = one occurrence. Returns the sketch as
+    (row, cell, cnt) — depth x width cells, never the values.
+
+    Why this shape at 100 TB: frequency estimation with FIXED memory
+    (depth*width counters) and one hash aggregation — partial
+    aggregation collapses each task's occurrences into <= depth*width
+    cells before the exchange, so the shuffle carries the sketch, not
+    the corpus, and sketches merge by cell-wise addition (the same
+    reason the sketch works for streams). Estimates only ever
+    OVER-count (collisions add), by <= 2*N/width with probability
+    1 - 2^-depth — the standard CM bound.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
+    return (
+        values.select(F.col(col).alias("v"), rows)
+        .select("row", _cms_cell(F.col("v"), F.col("row"), width, seed).alias("cell"))
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-query the sketch for each value in ``terms[col]``: the
+    estimate is min over rows of the value's cell counter (0 when a
+    cell is absent — an empty cell means nothing hashed there). The
+    terms side is a small query set, so its depth-expanded probes
+    broadcast onto the sketch; the sketch itself is depth*width rows,
+    also broadcastable — either way no corpus-sized shuffle."""
+    probes = terms.select(F.col(col).alias("term")).distinct()
+    probes = probes.select(
+        "term",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row"),
+    ).select(
+        "term", "row", _cms_cell(F.col("term"), F.col("row"), width, seed).alias("cell")
+    )
+    joined = probes.join(F.broadcast(sketch), ["row", "cell"], "left").select(
+        "term", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("term").agg(F.min("cnt").alias("est"))

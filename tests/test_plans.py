@@ -268,3 +268,33 @@ def test_kg_closure_local_dispatch_and_distributed_joins(spark):
     assert {(r["subj"], r["obj"], r["hops"]) for r in out.collect()} == {
         ("a", "b", 1), ("b", "c", 1), ("a", "c", 2)
     }
+
+
+def test_round4g_sketch_and_fusion_plans(spark):
+    """bloom_semijoin: the probe side joins ONLY via broadcast hash
+    joins (the 4 per-hash left-semis + the membership flag) — zero
+    sort-merge, zero nested-loop, so the fact table never shuffles;
+    cms_counts: sketch build + probe are hash aggregations and
+    broadcast joins only; hybrid_rrf: every per-query top-k window
+    carries a WindowGroupLimit (per-partition rank pruning before the
+    exchange), the dense scan is the one intentional broadcast
+    nested-loop (10 broadcast queries x corpus — a by-design linear
+    scan, not an accident), and the only sort-merge join is the
+    k-capped fusion full-outer."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["bloom_semijoin"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+
+    plan = _plan(e.queries()["cms_counts"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(e.queries()["hybrid_rrf"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the dense scan
+    assert plan.count("SortMergeJoin") <= 1  # the k-capped fusion join
+    assert plan.count("WindowGroupLimit") >= 4  # rank<=k pruned pre-shuffle
