@@ -2419,8 +2419,13 @@ FROM deg d LEFT JOIN t USING (id)"""
 
 # KMV sketch twin: identical md5 bottom-k, identical one-division
 # estimate
-# Count-Min twin: identical md5 base, multiply-shift rows, mod-width
-# buckets; min over the 4 rows' cells. All integers -> bit-exact.
+# Kirsch-Mitzenmacher double-hashing probe over two independent md5
+# words — mirrors bloomjoin._pos / sketch._cms_cell exactly
+_MD5_W1 = "CAST(concat('0x', substring(md5({arg}), 9, 8)) AS BIGINT)"
+_KM_POS = "((s1 + h * (2 * s2 + 1)) % 4294967296)"
+
+# Count-Min twin: identical md5 words, KM rows, mod-width buckets; min
+# over the 4 rows' cells. All integers -> bit-exact.
 _CMS_SQL = f"""
 WITH occ AS (
   SELECT unnest({_LTOKENS}) AS term FROM documents WHERE trim(text) <> ''),
@@ -2428,12 +2433,14 @@ exact AS MATERIALIZED (
   SELECT term, count(*)::BIGINT AS exact FROM occ GROUP BY term
   ORDER BY exact DESC, term ASC LIMIT 20),
 hs AS (SELECT unnest(range(0, 4)) AS h),
-ob AS (SELECT {_MD5_LONG.format(arg="concat_ws(':', term, '42')")} AS s FROM occ),
+ob AS (SELECT {_MD5_LONG.format(arg="concat_ws(':', term, '42')")} AS s1,
+              {_MD5_W1.format(arg="concat_ws(':', term, '42')")} AS s2 FROM occ),
 cells AS MATERIALIZED (
-  SELECT h, ({_MIX}) % 2048 AS cell, count(*)::BIGINT AS cnt
+  SELECT h, {_KM_POS} % 2048 AS cell, count(*)::BIGINT AS cnt
   FROM ob CROSS JOIN hs GROUP BY 1, 2),
-pb AS (SELECT term, {_MD5_LONG.format(arg="concat_ws(':', term, '42')")} AS s FROM exact),
-probes AS (SELECT term, h, ({_MIX}) % 2048 AS cell FROM pb CROSS JOIN hs),
+pb AS (SELECT term, {_MD5_LONG.format(arg="concat_ws(':', term, '42')")} AS s1,
+               {_MD5_W1.format(arg="concat_ws(':', term, '42')")} AS s2 FROM exact),
+probes AS (SELECT term, h, {_KM_POS} % 2048 AS cell FROM pb CROSS JOIN hs),
 est AS (
   SELECT term, min(coalesce(cnt, 0))::BIGINT AS est
   FROM probes LEFT JOIN cells USING (h, cell) GROUP BY term)
@@ -2441,18 +2448,20 @@ SELECT exact.term, exact.exact, est.est
 FROM exact JOIN est USING (term)
 ORDER BY exact DESC, term ASC"""
 
-# Bloomjoin twin: same md5/mix/mod bit positions; a probe key passes
+# Bloomjoin twin: same md5-word/KM bit positions; a probe key passes
 # iff all 4 hash rows find their bit (count(*) = 4 after the bit join
 # == the engine's 4 successive broadcast left-semi joins).
 _BLOOM_SQL = f"""
 WITH build AS MATERIALIZED (SELECT c_custkey FROM customer WHERE c_nationkey < 5),
 hs AS (SELECT unnest(range(0, 4)) AS h),
-bs AS (SELECT {_MD5_LONG.format(arg="concat_ws(':', c_custkey, '42')")} AS s FROM build),
+bs AS (SELECT {_MD5_LONG.format(arg="concat_ws(':', c_custkey, '42')")} AS s1,
+              {_MD5_W1.format(arg="concat_ws(':', c_custkey, '42')")} AS s2 FROM build),
 bbits AS MATERIALIZED (
-  SELECT DISTINCT ({_MIX}) % 2048 AS bit FROM bs CROSS JOIN hs),
+  SELECT DISTINCT {_KM_POS} % 2048 AS bit FROM bs CROSS JOIN hs),
 pk AS (SELECT DISTINCT o_custkey FROM orders),
-ps AS (SELECT o_custkey, {_MD5_LONG.format(arg="concat_ws(':', o_custkey, '42')")} AS s FROM pk),
-ppos AS (SELECT o_custkey, h, ({_MIX}) % 2048 AS bit FROM ps CROSS JOIN hs),
+ps AS (SELECT o_custkey, {_MD5_LONG.format(arg="concat_ws(':', o_custkey, '42')")} AS s1,
+               {_MD5_W1.format(arg="concat_ws(':', o_custkey, '42')")} AS s2 FROM pk),
+ppos AS (SELECT o_custkey, h, {_KM_POS} % 2048 AS bit FROM ps CROSS JOIN hs),
 pass AS (
   SELECT o_custkey FROM ppos JOIN bbits USING (bit)
   GROUP BY o_custkey HAVING count(*) = 4),

@@ -28,17 +28,29 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import _md5_long, _mix
+from .dedup import _md5_word
+
+
+def _pos(col: Column, h: int, m_bits: int, seed: int) -> Column:
+    """The value's h-th bit position via Kirsch-Mitzenmacher double
+    hashing: pos_h = (w1 + h*(2*w2+1)) mod 2^32 mod m_bits, with w1/w2
+    two INDEPENDENT 32-bit md5 words (the odd stride keeps the probe
+    sequence full-period mod power-of-two sizes). KM'06 proves this
+    preserves the asymptotic Bloom FP rate of k independent hashes;
+    k affine mixes of ONE word do not — a single word collision mod
+    m_bits flips all k probes together (measured 5.9% FP vs the 0.2%
+    analytic bound at 1M keys / 2^24 bits before this construction).
+    Plain int64 arithmetic — the SQL twin reproduces every position."""
+    key = F.concat_ws(":", col.cast("string"), F.lit(str(seed)))
+    w1, w2 = _md5_word(key, 0), _md5_word(key, 1)
+    return F.pmod(
+        F.pmod(w1 + F.lit(h) * (w2 * 2 + 1), F.lit(4294967296)), F.lit(m_bits)
+    )
 
 
 def _positions(col: Column, k_hashes: int, m_bits: int, seed: int) -> Column:
-    """Array of the value's k bit positions: one md5, k multiply-shift
-    mixes (bijections mod 2^32), each reduced mod m_bits — the exact
-    arithmetic a SQL twin reproduces."""
-    base = _md5_long(F.concat_ws(":", col.cast("string"), F.lit(str(seed))))
-    return F.array(
-        *[F.pmod(_mix(base, h), F.lit(m_bits)) for h in range(k_hashes)]
-    )
+    """Array of the value's k bit positions (see _pos)."""
+    return F.array(*[_pos(col, h, m_bits, seed) for h in range(k_hashes)])
 
 
 def bloom_build(
@@ -79,14 +91,11 @@ def bloom_semijoin(
     the bit set cannot). Output = the probe rows, bloom-reduced (a
     superset of the true semi-join by exactly the false-positive
     keys)."""
-    base = _md5_long(
-        F.concat_ws(":", F.col(key).cast("string"), F.lit(str(seed)))
-    )
     pcols = [f"_bloom_p{h}" for h in range(k_hashes)]
     out = probe.select(
         "*",
         *[
-            F.pmod(_mix(base, h), F.lit(m_bits)).alias(c)
+            _pos(F.col(key), h, m_bits, seed).alias(c)
             for h, c in enumerate(pcols)
         ],
     )

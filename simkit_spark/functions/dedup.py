@@ -28,6 +28,17 @@ def _md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _md5_word(col: Column, word: int) -> Column:
+    """The ``word``-th independent 32-bit word of the md5 digest (0-3)
+    as a bigint in [0, 2^32). Bloom/CMS probes need genuinely
+    independent hash rows: k affine mixes of ONE word share every
+    collision (a base collision mod a power-of-two width flips ALL k
+    probes at once), whereas distinct digest words do not."""
+    if not 0 <= word <= 3:
+        raise ValueError(f"md5 has 4 32-bit words, got index {word}")
+    return F.conv(F.substring(F.md5(col), 1 + 8 * word, 8), 16, 10).cast("long")
+
+
 def _mix(s: Column, h) -> Column:
     """h-th member of a multiply-shift hash family over [0, 2^32):
     (s * (2h+1) + h * 2654435761) mod 2^32. Odd multipliers are

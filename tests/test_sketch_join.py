@@ -14,16 +14,18 @@ from simkit_spark.functions.bloomjoin import bloom_build, bloom_semijoin
 from simkit_spark.functions.sketch import cms_build, cms_estimate
 
 
-def _md5_32(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+def _md5_word(s: str, w: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[8 * w : 8 * w + 8], 16)
 
 
-def _mix(s: int, h: int) -> int:
-    return (s * (2 * h + 1) + h * 2654435761) % 4294967296
+def _km_pos(v: str, h: int, m: int, seed: int = 42) -> int:
+    # Kirsch-Mitzenmacher double hashing over two independent md5 words
+    s1, s2 = _md5_word(f"{v}:{seed}", 0), _md5_word(f"{v}:{seed}", 1)
+    return ((s1 + h * (2 * s2 + 1)) % 4294967296) % m
 
 
 def _cms_cell_py(v: str, row: int, width: int, seed: int = 42) -> int:
-    return _mix(_md5_32(f"{v}:{seed}"), row) % width
+    return _km_pos(v, row, width, seed)
 
 
 def test_cms_never_undercounts_and_matches_replica(spark):
@@ -82,14 +84,12 @@ def test_bloom_no_false_negatives_and_replica_parity(spark):
     )
 
     bits = {
-        _mix(_md5_32(f"{m}:42"), h) % m_bits
-        for m in members
-        for h in range(k_hashes)
+        _km_pos(str(m), h, m_bits) for m in members for h in range(k_hashes)
     }
     want = sorted(
         p
         for p in probes
-        if all(_mix(_md5_32(f"{p}:42"), h) % m_bits in bits for h in range(k_hashes))
+        if all(_km_pos(str(p), h, m_bits) in bits for h in range(k_hashes))
     )
     assert passed == want
     # every true member that appears in the probe set must pass
