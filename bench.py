@@ -101,6 +101,9 @@ HEADLINE = [
     "events_funnel",
     "events_transitions",
     "events_retention",
+    "cms_counts",
+    "bloom_semijoin",
+    "hybrid_rrf",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

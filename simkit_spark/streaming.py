@@ -238,3 +238,54 @@ def streaming_attribution(
         & (v[view_ts] > c[click_ts] - F.expr(f"INTERVAL {horizon}"))
     )
     return c.join(v, cond, "inner").drop(v[key])
+
+
+def streaming_cms(
+    value_stream: DataFrame,
+    col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "event_ts",
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Windowed Count-Min sketch over a stream — frequency monitoring
+    (trending terms, hot keys, skew alarms) with FIXED state per
+    window: the sketch is a groupBy count over (window, row, cell), so
+    streaming state is <= depth*width counters per open window, evicted
+    once the watermark passes the window end. This works BECAUSE CM
+    cells merge by addition — each micro-batch's partial counts fold
+    into the state store exactly like map-side partial aggregation does
+    in batch (the mergeability that makes the sketch a sketch).
+
+    Emits (window_start, window_end, row, cell, cnt); point-query a
+    collected window's cells with functions.sketch.cms_estimate.
+    Works identically on a batch DataFrame (stream == batch tested) —
+    the batch result equals cms_build per tumbling window.
+    """
+    from .functions.sketch import _cms_cell
+
+    wm = (
+        value_stream.withWatermark(ts_col, watermark)
+        if value_stream.isStreaming
+        else value_stream
+    )
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
+    return (
+        wm.select(F.col(ts_col), F.col(col).alias("v"), rows)
+        .select(
+            ts_col,
+            "row",
+            _cms_cell(F.col("v"), F.col("row"), width, seed).alias("cell"),
+        )
+        .groupBy(F.window(F.col(ts_col), window), "row", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "row",
+            "cell",
+            "cnt",
+        )
+    )
