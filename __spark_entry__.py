@@ -2420,7 +2420,8 @@ FROM deg d LEFT JOIN t USING (id)"""
 # KMV sketch twin: identical md5 bottom-k, identical one-division
 # estimate
 # Kirsch-Mitzenmacher double-hashing probe over two independent md5
-# words — mirrors bloomjoin._pos / sketch._cms_cell exactly
+# words — mirrors sketch.km_pos over sketch.km_words exactly (the ONE
+# Spark-side copy of the formula; bloomjoin/_cms_cell route through it)
 _MD5_W1 = "CAST(concat('0x', substring(md5({arg}), 9, 8)) AS BIGINT)"
 _KM_POS = "((s1 + h * (2 * s2 + 1)) % 4294967296)"
 

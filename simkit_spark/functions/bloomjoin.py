@@ -28,24 +28,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import _md5_word
+from .sketch import km_pos, km_words
 
 
 def _pos(col: Column, h: int, m_bits: int, seed: int) -> Column:
     """The value's h-th bit position via Kirsch-Mitzenmacher double
-    hashing: pos_h = (w1 + h*(2*w2+1)) mod 2^32 mod m_bits, with w1/w2
-    two INDEPENDENT 32-bit md5 words (the odd stride keeps the probe
-    sequence full-period mod power-of-two sizes). KM'06 proves this
-    preserves the asymptotic Bloom FP rate of k independent hashes;
-    k affine mixes of ONE word do not — a single word collision mod
-    m_bits flips all k probes together (measured 5.9% FP vs the 0.2%
-    analytic bound at 1M keys / 2^24 bits before this construction).
-    Plain int64 arithmetic — the SQL twin reproduces every position."""
-    key = F.concat_ws(":", col.cast("string"), F.lit(str(seed)))
-    w1, w2 = _md5_word(key, 0), _md5_word(key, 1)
-    return F.pmod(
-        F.pmod(w1 + F.lit(h) * (w2 * 2 + 1), F.lit(4294967296)), F.lit(m_bits)
-    )
+    hashing (sketch.km_pos over sketch.km_words — the repo's ONE copy
+    of the probe formula): pos_h = (w1 + h*(2*w2+1)) mod 2^32 mod
+    m_bits, with w1/w2 two INDEPENDENT 32-bit md5 words. KM'06 proves
+    this preserves the asymptotic Bloom FP rate of k independent
+    hashes; k affine mixes of ONE word do not — a single word collision
+    mod m_bits flips all k probes together (measured 5.9% FP vs the
+    0.2% analytic bound at 1M keys / 2^24 bits before this
+    construction). The SQL twin reproduces every position."""
+    w1, w2 = km_words(col, seed)
+    return km_pos(w1, w2, h, m_bits)
 
 
 def _positions(col: Column, k_hashes: int, m_bits: int, seed: int) -> Column:

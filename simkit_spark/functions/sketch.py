@@ -70,20 +70,38 @@ def kmv_distinct(
     )
 
 
-def _cms_cell(col: Column, row: int | Column, width: int, seed: int) -> Column:
-    """Row-``row`` CMS bucket of a value via Kirsch-Mitzenmacher double
-    hashing over two INDEPENDENT 32-bit md5 words: cell_r = (w1 +
-    r*(2*w2+1)) mod 2^32 mod width. One md5 still feeds all depth rows,
-    but — unlike affine mixes of a single word — a base collision mod a
-    power-of-two width no longer collapses every row at once, so the
-    min-over-rows bound keeps its 1-2^-depth failure probability. Plain
-    int64 arithmetic; the SQL twin reproduces every bucket."""
+def km_words(col: Column, seed: int) -> tuple[Column, Column]:
+    """The two INDEPENDENT 32-bit md5 words (w1, w2) that seed every
+    Kirsch-Mitzenmacher probe in this repo (Bloom bits, CMS cells,
+    batch and streaming). ONE md5 per value feeds all probe rows; the
+    words must be independent because affine mixes of a single word
+    share every collision (see dedup._md5_word). Any edit here desyncs
+    the shared _KM_POS SQL twin in __spark_entry__ — change both."""
     key = F.concat_ws(":", col.cast("string"), F.lit(str(seed)))
-    w1, w2 = _md5_word(key, 0), _md5_word(key, 1)
+    return _md5_word(key, 0), _md5_word(key, 1)
+
+
+def km_pos(w1: Column, w2: Column, row: int | Column, m: int) -> Column:
+    """Kirsch-Mitzenmacher probe row ``row`` into a table of size
+    ``m``: (w1 + r*(2*w2+1)) mod 2^32 mod m (Kirsch & Mitzenmacher,
+    ESA'06). The odd stride 2*w2+1 keeps rows distinct mod the
+    power-of-two hash space; unlike affine mixes of one word, a base
+    collision mod a power-of-two ``m`` no longer collapses every row at
+    once, so min-over-rows bounds keep their 1-2^-depth failure
+    probability. Plain int64 arithmetic — the SQL twin reproduces every
+    probe bit-for-bit. THE single copy of the formula: bloomjoin and
+    the batch/streaming CMS all route through here."""
     r = F.lit(row) if isinstance(row, int) else row
-    return F.pmod(
-        F.pmod(w1 + r * (w2 * 2 + 1), F.lit(_HASH_SPACE)), F.lit(width)
-    )
+    return F.pmod(F.pmod(w1 + r * (w2 * 2 + 1), F.lit(_HASH_SPACE)), F.lit(m))
+
+
+def _cms_cell(col: Column, row: int | Column, width: int, seed: int) -> Column:
+    """Row-``row`` CMS bucket of a value: km_pos over km_words. Hashes
+    the value anew per call — when one value feeds several rows (batch
+    cms_build, streaming_cms), compute km_words ONCE and explode the
+    rows over km_pos instead (md5 is the dominant per-row cost)."""
+    w1, w2 = km_words(col, seed)
+    return km_pos(w1, w2, row, width)
 
 
 def cms_build(
@@ -112,23 +130,14 @@ def cms_build(
     # the dominant per-row cost and the post-explode work is plain
     # integer arithmetic (measured 168 s -> md5-bound no more at 50M
     # occurrences x depth 4 when the digest rode through the explode)
-    key = F.concat_ws(":", F.col(col).cast("string"), F.lit(str(seed)))
-    digest = values.select(F.md5(key).alias("d")).select(
-        F.conv(F.substring("d", 1, 8), 16, 10).cast("long").alias("w1"),
-        F.conv(F.substring("d", 9, 8), 16, 10).cast("long").alias("w2"),
-    )
+    w1, w2 = km_words(F.col(col), seed)
+    digest = values.select(w1.alias("w1"), w2.alias("w2"))
     rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
     return (
         digest.select("w1", "w2", rows)
         .select(
             "row",
-            F.pmod(
-                F.pmod(
-                    F.col("w1") + F.col("row") * (F.col("w2") * 2 + 1),
-                    F.lit(_HASH_SPACE),
-                ),
-                F.lit(width),
-            ).alias("cell"),
+            km_pos(F.col("w1"), F.col("w2"), F.col("row"), width).alias("cell"),
         )
         .groupBy("row", "cell")
         .agg(F.count(F.lit(1)).alias("cnt"))

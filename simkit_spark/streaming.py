@@ -264,20 +264,24 @@ def streaming_cms(
     Works identically on a batch DataFrame (stream == batch tested) —
     the batch result equals cms_build per tumbling window.
     """
-    from .functions.sketch import _cms_cell
+    from .functions.sketch import km_pos, km_words
 
     wm = (
         value_stream.withWatermark(ts_col, watermark)
         if value_stream.isStreaming
         else value_stream
     )
+    # hash ONCE per event, THEN expand the depth rows (the cms_build
+    # contract): every micro-batch pays one md5 per event, not depth
+    w1, w2 = km_words(F.col(col), seed)
     rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
     return (
-        wm.select(F.col(ts_col), F.col(col).alias("v"), rows)
+        wm.select(F.col(ts_col), w1.alias("w1"), w2.alias("w2"))
+        .select(ts_col, "w1", "w2", rows)
         .select(
             ts_col,
             "row",
-            _cms_cell(F.col("v"), F.col("row"), width, seed).alias("cell"),
+            km_pos(F.col("w1"), F.col("w2"), F.col("row"), width).alias("cell"),
         )
         .groupBy(F.window(F.col(ts_col), window), "row", "cell")
         .agg(F.count(F.lit(1)).alias("cnt"))
