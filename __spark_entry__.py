@@ -33,6 +33,9 @@ PAGERANK_ITER = 10
 LPA_ITER = 5
 KCORE_K = 3
 KCORE_ITER = 8
+KTRUSS_K = 4
+KTRUSS_ITER = 6
+MIS_ITER = 8
 WALK_LEN = 4
 WALKS_PER_NODE = 2
 SKIPGRAM_WINDOW = 2
@@ -909,6 +912,54 @@ def _kcore_knn(spark, sf_dir):
     return kcore_auto(edges, k=KCORE_K, n_iter=KCORE_ITER)
 
 
+def _mutual_knn_k(spark, sf_dir):
+    """Mutual kNN graph at k=KNN_K (both orientations kept — callers
+    canonicalize) derived from the shared cached kernel: (a, b) stays
+    iff (b, a) is also a top-KNN_K edge — identical to the kcore
+    oracle's `kn` CTE."""
+    knn = _knn_topk(spark, sf_dir).select("src", "dst")
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return knn.join(rev, ["src", "dst"], "leftsemi")
+
+
+def _ktruss_knn(spark, sf_dir):
+    from simkit_spark.operators.truss import ktruss_auto
+
+    # edge-cohesion nucleus of the similarity graph: fixed KTRUSS_ITER
+    # support-peeling sweeps at k=KTRUSS_K (every surviving edge closes
+    # >= k-2 triangles among survivors; converged = exact k-truss).
+    # Over the PLAIN symmetrized kNN graph: at sf0.01 k=4 peels in TWO
+    # real sweeps (47 -> 6 edges), so the check discriminates the
+    # iteration, not just the first support pass (the mutual graph's
+    # truss converges in one sweep). All-integer -> exact oracle parity.
+    return ktruss_auto(
+        _knn_edges(spark, sf_dir).select("src", "dst"),
+        k=KTRUSS_K,
+        n_iter=KTRUSS_ITER,
+    )
+
+
+def _mis_knn(spark, sf_dir):
+    from simkit_spark.operators.mis import maximal_independent_set_auto
+
+    # deterministic Luby MIS (md5-priority coins) over the mutual kNN
+    # graph — the conflict-free entity-merge batch selector; (id,
+    # sweep) output makes the check discriminate the sweep schedule,
+    # not just the final set
+    return maximal_independent_set_auto(
+        _mutual_knn_k(spark, sf_dir), n_iter=MIS_ITER, seed=42
+    )
+
+
+def _assortativity_knn(spark, sf_dir):
+    from simkit_spark.operators.graphstats import degree_assortativity
+
+    # Newman degree assortativity of the kNN similarity graph — the
+    # skew early-warning gauge (exact integer sums + one per-row IEEE
+    # division, the conductance/modularity pattern)
+    return degree_assortativity(_knn_edges(spark, sf_dir).select("src", "dst"))
+
+
 def _importance_sample(spark, sf_dir):
     from simkit_spark.functions.curation import importance_sample
 
@@ -1492,6 +1543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": _cms_counts,
         "bloom_semijoin": _bloom_semijoin,
         "hybrid_rrf": _hybrid_rrf,
+        "ktruss_knn": _ktruss_knn,
+        "mis_knn": _mis_knn,
+        "assortativity_knn": _assortativity_knn,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4 queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
@@ -2113,6 +2167,119 @@ SELECT a.id, coalesce(fd.deg, 0)::BIGINT AS core_deg
 FROM a{n_iter} a LEFT JOIN fd USING (id)"""
     )
     return "".join(parts)
+
+
+def _mutual_ue_head(e0: str = "e0") -> str:
+    """Shared CTE prefix: the undirected dedup'd MUTUAL kNN graph as
+    ``e0(u, v)`` with u < v — the graph ktruss_knn/mis_knn run over
+    (same construction as _kcore_sql's head)."""
+    return (
+        _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+kn0 AS (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+kn AS (SELECT a.src, a.dst FROM kn0 a JOIN kn0 b ON a.src = b.dst AND a.dst = b.src),
+{e0} AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM kn WHERE src <> dst)"""
+    )
+
+
+def _ktruss_sql(k: int = KTRUSS_K, n_iter: int = KTRUSS_ITER) -> str:
+    """Fixed-sweep k-truss support peeling as unrolled MATERIALIZED CTE
+    sweeps over the mutual kNN graph (operators/truss.py contract).
+    All-integer: sup(u,v) = |N(u) ∩ N(v)| within the current edge set
+    (the wedge join), edges survive iff sup >= k-2; support-0 edges
+    have no sup row, which IS the peel for k >= 3. Final row set =
+    e_{n} with its support inside e_{n} (a not-yet-converged support-0
+    survivor reports 0) — exactly the operator's final-sweep contract.
+    Over the PLAIN symmetrized kNN graph (see _ktruss_knn: two real
+    peeling sweeps at sf0.01, vs one on the mutual graph)."""
+    parts = [
+        _sym_knn_edges_head()
+        + ",\ne0 AS MATERIALIZED (SELECT u, v FROM ue)"
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+ad{p} AS (SELECT u AS a, v AS b FROM e{p} UNION ALL SELECT v AS a, u AS b FROM e{p}),
+s{p} AS (SELECT e.u, e.v, count(*) AS sup
+  FROM e{p} e JOIN ad{p} x ON x.a = e.u JOIN ad{p} y ON y.a = e.v AND y.b = x.b
+  GROUP BY e.u, e.v),
+e{i} AS MATERIALIZED (SELECT u, v FROM s{p} WHERE sup >= {k - 2})"""
+        )
+    n = n_iter
+    parts.append(
+        f""",
+adf AS (SELECT u AS a, v AS b FROM e{n} UNION ALL SELECT v AS a, u AS b FROM e{n}),
+sf AS (SELECT e.u, e.v, count(*) AS sup
+  FROM e{n} e JOIN adf x ON x.a = e.u JOIN adf y ON y.a = e.v AND y.b = x.b
+  GROUP BY e.u, e.v)
+SELECT e.u, e.v, coalesce(sf.sup, 0)::BIGINT AS sup
+FROM e{n} e LEFT JOIN sf ON e.u = sf.u AND e.v = sf.v"""
+    )
+    return "".join(parts)
+
+
+def _mis_sql(n_iter: int = MIS_ITER, seed: int = 42) -> str:
+    """Deterministic Luby MIS as unrolled MATERIALIZED CTE sweeps over
+    the mutual kNN graph (operators/mis.py contract): priority =
+    (md5_32('seed:id'), id), a node is selected iff strictly smaller
+    than every ALIVE neighbor's priority (no alive neighbor ->
+    selected); selected + their neighbors leave the alive set. The
+    lexicographic neighbor minimum is computed as min(h) then min(id)
+    among h-ties — exactly Spark's min(struct(h, id)). All-integer
+    comparisons, no rounding contract."""
+    h_expr = _MD5_LONG.format(arg=f"concat('{seed}:', CAST(id AS VARCHAR))")
+    parts = [
+        _mutual_ue_head("ue")
+        + f""",
+ad AS MATERIALIZED (SELECT u AS a, v AS b FROM ue UNION ALL SELECT v AS a, u AS b FROM ue),
+a0 AS MATERIALIZED (SELECT id, {h_expr} AS h FROM (SELECT DISTINCT a AS id FROM ad) t)"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+j{i} AS (SELECT ad.a AS id, al.h AS hb, al.id AS b
+  FROM ad JOIN a{p} al ON ad.b = al.id JOIN a{p} me ON ad.a = me.id),
+m{i} AS (SELECT id, min(hb) AS mn_h FROM j{i} GROUP BY id),
+m2{i} AS (SELECT j.id, j.hb AS mn_h, min(j.b) AS mn_id
+  FROM j{i} j JOIN m{i} m ON j.id = m.id AND j.hb = m.mn_h GROUP BY j.id, j.hb),
+s{i} AS MATERIALIZED (SELECT al.id, al.h FROM a{p} al LEFT JOIN m2{i} m ON al.id = m.id
+  WHERE m.id IS NULL OR al.h < m.mn_h OR (al.h = m.mn_h AND al.id < m.mn_id)),
+d{i} AS (SELECT id FROM s{i} UNION SELECT ad.b AS id FROM ad JOIN s{i} s ON ad.a = s.id),
+a{i} AS MATERIALIZED (SELECT al.id, al.h FROM a{p} al LEFT JOIN d{i} d ON al.id = d.id WHERE d.id IS NULL)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT id, {i} AS sweep FROM s{i}" for i in range(1, n_iter + 1)
+    )
+    parts.append(f"\nSELECT id, CAST(sweep AS INTEGER) AS sweep FROM ({selects}) u")
+    return "".join(parts)
+
+
+def _assort_sql() -> str:
+    """Newman degree assortativity over the undirected dedup'd kNN
+    graph: integer sums are the exactly-checked payload; r is the ONE
+    per-row IEEE expression over them, operand order mirrored from
+    operators/graphstats.py (4.0*M*S1 - S2d*S2 over
+    2.0*M*S3 - S2d*S2)."""
+    return (
+        _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+kn AS (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM kn WHERE src <> dst),
+deg AS (SELECT id, count(*) AS deg FROM (SELECT u AS id FROM ue UNION ALL SELECT v AS id FROM ue) t GROUP BY id),
+dec AS (SELECT d1.deg AS ju, d2.deg AS kv FROM ue JOIN deg d1 ON ue.u = d1.id JOIN deg d2 ON ue.v = d2.id),
+sums AS (SELECT count(*)::BIGINT AS n_edges, sum(ju * kv)::BIGINT AS s_jk,
+  sum(ju + kv)::BIGINT AS s_j_plus_k, sum(ju * ju + kv * kv)::BIGINT AS s_j2_plus_k2 FROM dec)
+SELECT n_edges, s_jk, s_j_plus_k, s_j2_plus_k2,
+  CASE WHEN (2.0 * n_edges * s_j2_plus_k2 - CAST(s_j_plus_k AS DOUBLE) * s_j_plus_k) <> 0.0
+       THEN round((4.0 * n_edges * s_jk - CAST(s_j_plus_k AS DOUBLE) * s_j_plus_k)
+                  / (2.0 * n_edges * s_j2_plus_k2 - CAST(s_j_plus_k AS DOUBLE) * s_j_plus_k), 9)
+  END AS assortativity
+FROM sums"""
+    )
 
 
 def _sym_knn_edges_head() -> str:
@@ -3508,6 +3675,16 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": _CMS_SQL,
         "bloom_semijoin": _BLOOM_SQL,
         "hybrid_rrf": _HYBRID_SQL,
+        # fixed-sweep k-truss support peeling: unrolled wedge-join CTE
+        # sweeps over the mutual kNN graph (all-integer, bit parity)
+        "ktruss_knn": _ktruss_sql(),
+        # deterministic Luby MIS: unrolled (hash, id)-priority sweeps
+        # (min-struct neighbor minimum replayed as min(h) + min(id)
+        # among ties; all-integer)
+        "mis_knn": _mis_sql(),
+        # Newman degree assortativity: exact integer sums + ONE
+        # operand-order-mirrored IEEE expression
+        "assortativity_knn": _assort_sql(),
         # --- driver-green in r3 (rotated to the tail in r4f) ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)

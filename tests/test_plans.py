@@ -298,3 +298,44 @@ def test_round4g_sketch_and_fusion_plans(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the dense scan
     assert plan.count("SortMergeJoin") <= 1  # the k-capped fusion join
     assert plan.count("WindowGroupLimit") >= 4  # rank<=k pruned pre-shuffle
+
+
+def test_round4h_graph_plans(spark):
+    """assortativity_knn: equi-joins + hash aggs only, one single-row
+    global agg, no window, no nested-loop (always distributed — no size
+    dispatch); ktruss/mis distributed sweep segments (the *_auto final
+    output is materialized, so the invariant is asserted on one sweep's
+    building blocks): the wedge-support join and the alive-neighbor
+    minimum are equi-joins — never BroadcastNestedLoopJoin, never
+    CartesianProduct."""
+    import __spark_entry__ as e
+    from simkit_spark.operators.mis import _priority
+    from simkit_spark.operators.truss import _edge_support
+
+    plan = _plan(e.queries()["assortativity_knn"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+    edges = e._knn_edges(spark, SF).select("src", "dst")
+    und = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    plan = _plan(_edge_support(und))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    alive = und.select(F.col("u").alias("id")).distinct().select(
+        "id", _priority(F.col("id"), 42).alias("h")
+    )
+    both = und.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    nb_min = (
+        both.join(alive.select(F.col("id").alias("b"), F.col("h").alias("hb")), "b")
+        .groupBy("a")
+        .agg(F.min(F.struct("hb", "b")).alias("mn"))
+    )
+    plan = _plan(nb_min)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -172,6 +172,19 @@ AUDITED = {
     "events_retention": "distinct user-days FIRST (the only event-sized "
     "shuffle), then the per-user min window and one hash agg run over "
     "user-days, not events; no join anywhere",
+    "ktruss_knn": "per sweep = degree-ordered oriented wedge join "
+    "(fan-out sum(outdeg^2) under the orientation — arboricity-bounded, "
+    "never sum(deg^2)) + one hash agg over exploded triangle sides; the "
+    "edge set is materialized per sweep (lineage break). Size-dispatched: "
+    "the sf0.01 plan shown is the local twin (scan-only, no joins)",
+    "mis_knn": "per sweep = one join of the once-partitioned 2|E| edge "
+    "layout against the shrinking node-sized alive set + a min-struct "
+    "hash agg + one anti-join; alive/selected materialized per sweep. "
+    "Size-dispatched: the sf0.01 plan shown is the local twin",
+    "assortativity_knn": "one node-sized degree agg, two node-sized "
+    "joins decorating the edge endpoints, ONE single-row global agg of "
+    "exact integer sums; r is a per-row IEEE expression — no window, no "
+    "nested-loop, nothing driver-sized (always distributed, no dispatch)",
 }
 
 
