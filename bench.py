@@ -104,6 +104,9 @@ HEADLINE = [
     "cms_counts",
     "bloom_semijoin",
     "hybrid_rrf",
+    "ktruss_knn",
+    "mis_knn",
+    "assortativity_knn",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
