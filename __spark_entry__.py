@@ -36,6 +36,7 @@ KCORE_ITER = 8
 KTRUSS_K = 4
 KTRUSS_ITER = 6
 MIS_ITER = 8
+MATCH_ITER = 8
 WALK_LEN = 4
 WALKS_PER_NODE = 2
 SKIPGRAM_WINDOW = 2
@@ -951,6 +952,24 @@ def _mis_knn(spark, sf_dir):
     )
 
 
+def _matching_knn(spark, sf_dir):
+    from simkit_spark.operators.matching import maximal_matching_auto
+
+    # heavy-edge (here: CLOSEST-pair, weight = 6dp euclidean distance
+    # ascending) deterministic maximal matching over the mutual kNN
+    # graph — the multilevel-coarsening / pairwise-merge step of entity
+    # canonicalization; confluent with sequential greedy in ascending
+    # (w_q, h, u, v) order, so the oracle replays it exactly
+    knn = _knn_topk(spark, sf_dir).select("src", "dst", "dist")
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = knn.join(rev, ["src", "dst"], "leftsemi").select(
+        "src", "dst", F.round("dist", 6).alias("weight")
+    )
+    return maximal_matching_auto(
+        edges, n_iter=MATCH_ITER, seed=42, weight_col="weight"
+    )
+
+
 def _assortativity_knn(spark, sf_dir):
     from simkit_spark.operators.graphstats import degree_assortativity
 
@@ -1546,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_knn": _ktruss_knn,
         "mis_knn": _mis_knn,
         "assortativity_knn": _assortativity_knn,
+        "matching_knn": _matching_knn,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4 queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
@@ -2254,6 +2274,60 @@ a{i} AS MATERIALIZED (SELECT al.id, al.h FROM a{p} al LEFT JOIN d{i} d ON al.id 
         f"SELECT id, {i} AS sweep FROM s{i}" for i in range(1, n_iter + 1)
     )
     parts.append(f"\nSELECT id, CAST(sweep AS INTEGER) AS sweep FROM ({selects}) u")
+    return "".join(parts)
+
+
+def _matching_sql(n_iter: int = MATCH_ITER, seed: int = 42) -> str:
+    """Deterministic weighted maximal matching as unrolled MATERIALIZED
+    CTE sweeps over the mutual kNN graph (operators/matching.py
+    contract): key = (w_q, h, u, v) ascending with w_q =
+    floor(round(dist,6)*1e6 + 0.5) (the weighted_pagerank quantization)
+    and h = md5_32('seed:u:v'); an edge is selected iff its key equals
+    the per-vertex minimum at BOTH endpoints (pure equality against
+    chained min CTEs — min(w_q), min(h) among w-ties, min(u), min(v) —
+    exactly Spark's min(struct)). Selected endpoints leave the alive
+    set. All-integer comparisons, no rounding contract beyond the 6dp
+    weight shared with sssp_knn."""
+    h_expr = _MD5_LONG.format(
+        arg=f"concat('{seed}:', CAST(u AS VARCHAR), ':', CAST(v AS VARCHAR))"
+    )
+    parts = [
+        _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        + f""",
+rk AS (SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+kn0 AS (SELECT src, dst, dist FROM rk WHERE rank <= {KNN_K}),
+kn AS (SELECT a.src, a.dst, a.dist FROM kn0 a JOIN kn0 b ON a.src = b.dst AND a.dst = b.src),
+uw AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v,
+  CAST(floor(round(dist, 6) * 1000000 + 0.5) AS BIGINT) AS w_q FROM kn WHERE src <> dst),
+a0 AS MATERIALIZED (SELECT u, v, min(w_q) AS w_q, {h_expr} AS h FROM uw GROUP BY u, v)"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+sd{p} AS (SELECT u AS vertex, w_q, h, u, v FROM a{p} UNION ALL SELECT v AS vertex, w_q, h, u, v FROM a{p}),
+v1_{i} AS (SELECT vertex, min(w_q) AS mw FROM sd{p} GROUP BY vertex),
+v2_{i} AS (SELECT s.vertex, s.w_q AS mw, min(s.h) AS mh FROM sd{p} s
+  JOIN v1_{i} m ON s.vertex = m.vertex AND s.w_q = m.mw GROUP BY s.vertex, s.w_q),
+v3_{i} AS (SELECT s.vertex, s.w_q AS mw, s.h AS mh, min(s.u) AS mu FROM sd{p} s
+  JOIN v2_{i} m ON s.vertex = m.vertex AND s.w_q = m.mw AND s.h = m.mh GROUP BY s.vertex, s.w_q, s.h),
+v4_{i} AS (SELECT s.vertex, s.w_q AS mw, s.h AS mh, s.u AS mu, min(s.v) AS mv FROM sd{p} s
+  JOIN v3_{i} m ON s.vertex = m.vertex AND s.w_q = m.mw AND s.h = m.mh AND s.u = m.mu
+  GROUP BY s.vertex, s.w_q, s.h, s.u),
+s{i} AS MATERIALIZED (SELECT a.u, a.v FROM a{p} a
+  JOIN v4_{i} x ON x.vertex = a.u AND x.mw = a.w_q AND x.mh = a.h AND x.mu = a.u AND x.mv = a.v
+  JOIN v4_{i} y ON y.vertex = a.v AND y.mw = a.w_q AND y.mh = a.h AND y.mu = a.u AND y.mv = a.v),
+mt{i} AS (SELECT u AS vertex FROM s{i} UNION SELECT v AS vertex FROM s{i}),
+a{i} AS MATERIALIZED (SELECT a.u, a.v, a.w_q, a.h FROM a{p} a
+  LEFT JOIN mt{i} x ON a.u = x.vertex LEFT JOIN mt{i} y ON a.v = y.vertex
+  WHERE x.vertex IS NULL AND y.vertex IS NULL)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT u, v, {i} AS sweep FROM s{i}" for i in range(1, n_iter + 1)
+    )
+    parts.append(
+        f"\nSELECT u, v, CAST(sweep AS INTEGER) AS sweep FROM ({selects}) z"
+    )
     return "".join(parts)
 
 
@@ -3685,6 +3759,9 @@ def oracle_sql() -> dict[str, str]:
         # Newman degree assortativity: exact integer sums + ONE
         # operand-order-mirrored IEEE expression
         "assortativity_knn": _assort_sql(),
+        # deterministic closest-pair maximal matching: unrolled
+        # (w_q, h, u, v)-priority sweeps, chained-min vertex minima
+        "matching_knn": _matching_sql(),
         # --- driver-green in r3 (rotated to the tail in r4f) ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)

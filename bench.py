@@ -107,6 +107,7 @@ HEADLINE = [
     "ktruss_knn",
     "mis_knn",
     "assortativity_knn",
+    "matching_knn",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

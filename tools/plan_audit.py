@@ -185,6 +185,11 @@ AUDITED = {
     "joins decorating the edge endpoints, ONE single-row global agg of "
     "exact integer sums; r is a per-row IEEE expression — no window, no "
     "nested-loop, nothing driver-sized (always distributed, no dispatch)",
+    "matching_knn": "per sweep = one explode of the alive edge set to "
+    "its two endpoint rows, one vertex-sized min-struct hash agg, two "
+    "equality semi-joins back, two anti-joins dropping matched "
+    "endpoints; alive/selected materialized per sweep. Size-dispatched: "
+    "the sf0.01 plan shown is the local twin",
 }
 
 
