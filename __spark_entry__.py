@@ -970,6 +970,30 @@ def _matching_knn(spark, sf_dir):
     )
 
 
+def _coarsen_knn(spark, sf_dir):
+    from simkit_spark.operators.coarsen import coarsen_graph
+
+    # one multilevel-coarsening level: contract the closest-pair
+    # matching (matching_knn) over the weighted mutual kNN graph; the
+    # contracted edge keeps the MIN cross-pair distance (the closest
+    # surviving link) + the merged multiplicity
+    knn = _knn_topk(spark, sf_dir).select("src", "dst", "dist")
+    rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    und = (
+        knn.join(rev, ["src", "dst"], "leftsemi")
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.round("dist", 6).alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("weight"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"), "weight")
+    )
+    matched = _matching_knn(spark, sf_dir).select("u", "v")
+    return coarsen_graph(und, matched, weight_col="weight", agg="min")
+
+
 def _assortativity_knn(spark, sf_dir):
     from simkit_spark.operators.graphstats import degree_assortativity
 
@@ -1566,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_knn": _mis_knn,
         "assortativity_knn": _assortativity_knn,
         "matching_knn": _matching_knn,
+        "coarsen_knn": _coarsen_knn,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4 queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
@@ -2329,6 +2354,35 @@ a{i} AS MATERIALIZED (SELECT a.u, a.v, a.w_q, a.h FROM a{p} a
         f"\nSELECT u, v, CAST(sweep AS INTEGER) AS sweep FROM ({selects}) z"
     )
     return "".join(parts)
+
+
+def _coarsen_sql() -> str:
+    """One contraction level over the weighted mutual kNN graph
+    (operators/coarsen.py): the full matching oracle runs as a nested
+    CTE, the alias map is pair-sized (both members -> least(u, v)),
+    endpoints rewrite via two LEFT joins + coalesce, and the contracted
+    multigraph aggregates min(weight) + multiplicity. min is a
+    SELECTION (no arithmetic), so parity is exact on the shared
+    6dp-rounded weights."""
+    return (
+        f"""
+WITH mt AS MATERIALIZED ({_matching_sql()}
+),
+ew0 AS ("""
+        + _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        + f""",
+rk AS (SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+kn0 AS (SELECT src, dst, dist FROM rk WHERE rank <= {KNN_K}),
+kn AS (SELECT a.src, a.dst, a.dist FROM kn0 a JOIN kn0 b ON a.src = b.dst AND a.dst = b.src),
+uw AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v, round(dist, 6) AS w FROM kn WHERE src <> dst)
+SELECT u, v, min(w) AS weight FROM uw GROUP BY u, v),
+rep AS (SELECT u AS node, least(u, v) AS rep FROM mt UNION ALL SELECT v AS node, least(u, v) AS rep FROM mt),
+mp AS (SELECT coalesce(r1.rep, e.u) AS a, coalesce(r2.rep, e.v) AS b, e.weight
+  FROM ew0 e LEFT JOIN rep r1 ON e.u = r1.node LEFT JOIN rep r2 ON e.v = r2.node),
+cn AS (SELECT least(a, b) AS u, greatest(a, b) AS v, weight FROM mp WHERE a <> b)
+SELECT u, v, min(weight) AS weight, count(*)::BIGINT AS n_merged
+FROM cn GROUP BY u, v"""
+    )
 
 
 def _assort_sql() -> str:
@@ -3762,6 +3816,9 @@ def oracle_sql() -> dict[str, str]:
         # deterministic closest-pair maximal matching: unrolled
         # (w_q, h, u, v)-priority sweeps, chained-min vertex minima
         "matching_knn": _matching_sql(),
+        # one multilevel contraction level: matching oracle nested as a
+        # CTE + pair-sized alias rewrite + min/multiplicity agg
+        "coarsen_knn": _coarsen_sql(),
         # --- driver-green in r3 (rotated to the tail in r4f) ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)

@@ -108,6 +108,7 @@ HEADLINE = [
     "mis_knn",
     "assortativity_knn",
     "matching_knn",
+    "coarsen_knn",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

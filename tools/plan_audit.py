@@ -190,6 +190,10 @@ AUDITED = {
     "equality semi-joins back, two anti-joins dropping matched "
     "endpoints; alive/selected materialized per sweep. Size-dispatched: "
     "the sf0.01 plan shown is the local twin",
+    "coarsen_knn": "pair-sized alias map, two endpoint-rewrite left "
+    "joins (broadcast-friendly — the map is matching-sized, never "
+    "node-sized), one hash agg for min-weight + multiplicity; no "
+    "iteration, no window, no nested-loop",
 }
 
 
