@@ -109,6 +109,7 @@ HEADLINE = [
     "assortativity_knn",
     "matching_knn",
     "coarsen_knn",
+    "nndescent_knn",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

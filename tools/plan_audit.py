@@ -194,6 +194,11 @@ AUDITED = {
     "joins (broadcast-friendly — the map is matching-sized, never "
     "node-sized), one hash agg for min-weight + multiplicity; no "
     "iteration, no window, no nested-loop",
+    "nndescent_knn": "per sweep = node-partitioned cap window (never "
+    "global), capped self-join bounded at n*cap^2 pairs, two "
+    "node-sized vector joins for the distinct new candidates, one "
+    "src-partitioned top-k window; total work LINEAR in n for fixed "
+    "k/cap — the quadratic kernel never runs; each sweep materialized",
 }
 
 
