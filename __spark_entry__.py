@@ -972,6 +972,22 @@ def _matching_knn(spark, sf_dir):
     )
 
 
+MIX_BUDGET = 300
+MIX_WEIGHTS = {f"src{i}": i + 1 for i in range(20)}
+
+
+def _mixture_sample(spark, sf_dir):
+    from simkit_spark.functions.curation import mixture_sample
+
+    # largest-remainder mixture balancing: linearly ramped source
+    # weights make the floors, the remainder top-ups, AND the
+    # availability cap all fire at sf0.01 (src19 allocation 28 > 25
+    # available -> capped rows; several sources get +1 top-ups)
+    return mixture_sample(
+        _docs(spark, sf_dir), budget=MIX_BUDGET, weights=MIX_WEIGHTS, seed=42
+    )
+
+
 def _nndescent_knn(spark, sf_dir):
     from simkit_spark.operators.nndescent import nn_descent
 
@@ -1612,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_knn": _matching_knn,
         "coarsen_knn": _coarsen_knn,
         "nndescent_knn": _nndescent_knn,
+        "mixture_sample": _mixture_sample,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4 queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
@@ -2375,6 +2392,27 @@ a{i} AS MATERIALIZED (SELECT a.u, a.v, a.w_q, a.h FROM a{p} a
         f"\nSELECT u, v, CAST(sweep AS INTEGER) AS sweep FROM ({selects}) z"
     )
     return "".join(parts)
+
+
+def _mixture_sql(budget: int = MIX_BUDGET, seed: int = 42) -> str:
+    """Largest-remainder allocation + md5-order draw, all-integer
+    (functions/curation.mixture_sample contract): the allocation is
+    computed IN SQL from the same VALUES weight table (floor, remainder
+    rank with (rem DESC, source ASC) tiebreak, +1 for the first r),
+    the draw reuses the stratified_sample skey."""
+    values = ", ".join(f"('{s}', {w})" for s, w in sorted(MIX_WEIGHTS.items()))
+    return f"""
+WITH w(source, wt) AS (VALUES {values}),
+tot AS (SELECT sum(wt) AS tw FROM w),
+fl AS (SELECT source, ({budget} * wt) // tw AS fl, ({budget} * wt) % tw AS rem FROM w CROSS JOIN tot),
+need AS (SELECT {budget} - sum(fl) AS r FROM fl),
+rk AS (SELECT source, fl, row_number() OVER (ORDER BY rem DESC, source ASC) AS rr FROM fl),
+al AS (SELECT source, (fl + CASE WHEN rr <= (SELECT r FROM need) THEN 1 ELSE 0 END)::BIGINT AS alloc FROM rk),
+keyed AS (SELECT d.doc_id, d.source, a.alloc, md5(d.doc_id::VARCHAR || ':{seed}') AS skey
+  FROM documents d JOIN al a ON d.source = a.source),
+sel AS (SELECT doc_id, source, alloc,
+  row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rank FROM keyed)
+SELECT doc_id, source, rank::BIGINT AS rank, alloc FROM sel WHERE rank <= alloc"""
 
 
 def _nndescent_sql(
@@ -3908,6 +3946,9 @@ def oracle_sql() -> dict[str, str]:
         # NN-descent: deterministic approximate-kNN sweeps, left-fold
         # bit-identical distances, (dist, dst) total-order selections
         "nndescent_knn": _nndescent_sql(),
+        # largest-remainder mixture allocation + md5-order draw, all
+        # integer (allocation recomputed in SQL from the same weights)
+        "mixture_sample": _mixture_sql(),
         # --- driver-green in r3 (rotated to the tail in r4f) ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)

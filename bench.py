@@ -110,6 +110,7 @@ HEADLINE = [
     "matching_knn",
     "coarsen_knn",
     "nndescent_knn",
+    "mixture_sample",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

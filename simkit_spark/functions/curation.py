@@ -400,3 +400,79 @@ def priority_sample(
         "priority",
         F.greatest(F.col("weight").cast("double"), F.col("tau")).alias("w_est"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    budget: int,
+    weights: dict[str, int],
+    source_col: str = "source",
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mixture balancing by largest-remainder allocation
+    (Hamilton's method — the standard way published LLM data recipes
+    turn target proportions like {web: 60%, code: 25%, books: 15%}
+    into integer document counts): source s gets
+
+        alloc_s = floor(budget * w_s / W)  (+1 for the r sources with
+                  the largest remainder (budget * w_s) mod W, ties by
+                  source name ascending),  r = budget - sum(floors),
+
+    then min(alloc_s, available_s) documents are drawn from s in md5
+    hash order (_sample_key — the stratified_sample key, so mixture
+    and stratified draws are consistent). Sources not in ``weights``
+    contribute nothing; a source with fewer documents than its
+    allocation is CAPPED with no redistribution (single-pass, exact,
+    documented — redistribution is a second mixture_sample over the
+    shortfall if wanted). All-integer arithmetic end to end, so the
+    DuckDB twin reproduces the allocation AND the draw bit-for-bit.
+
+    Returns (doc_id, <source_col>, rank, alloc): rank in [1, alloc]
+    per source, alloc the REQUESTED allocation (constant per source;
+    emitted rows per source = min(alloc, available) — the cap shows as
+    fewer rows, not a changed alloc value).
+
+    Scale: the allocation works on the |sources|-row count aggregate
+    (driver-safe — mixture recipes have tens of sources, never
+    corpus-sized); the draw reuses the two-pass window trick of
+    stratified_sample bounded by max(alloc), so no task ever sorts a
+    whole source.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-empty, non-negative, with a positive sum")
+    w_total = sum(weights.values())
+    floors = {s: (budget * w) // w_total for s, w in weights.items()}
+    rems = {s: (budget * w) % w_total for s, w in weights.items()}
+    r = budget - sum(floors.values())
+    topped = set(
+        sorted(weights, key=lambda s: (-rems[s], s))[:r]
+    )
+    alloc = {s: floors[s] + (1 if s in topped else 0) for s in weights}
+    max_alloc = max(alloc.values(), default=0)
+    spark = docs.sparkSession
+    alloc_df = F.broadcast(
+        spark.createDataFrame(
+            [(s, a) for s, a in sorted(alloc.items())], "source string, alloc long"
+        ).withColumnRenamed("source", source_col)
+    )
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col),
+        _sample_key(F.col(id_col), seed).alias("skey"),
+    ).join(alloc_df, source_col)
+    w1 = Window.partitionBy(source_col, "p").orderBy("skey", "doc_id")
+    local = (
+        keyed.withColumn("p", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= F.least(F.col("alloc"), F.lit(max_alloc)))
+        .drop("p", "rn")
+    )
+    w2 = Window.partitionBy(source_col).orderBy("skey", "doc_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= F.col("alloc"))
+        .select("doc_id", source_col, "rank", "alloc")
+    )

@@ -580,3 +580,52 @@ def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must"):
         kmv_distinct(big, "v", k=2)
+
+
+def test_mixture_sample_allocation_and_caps(spark):
+    """Largest-remainder allocation: floors + top-ups sum to the
+    budget; over-allocated sources cap at availability; the draw is
+    the stratified hash order; partition-invariant."""
+    import pytest as _pytest
+
+    from simkit_spark.functions.curation import mixture_sample
+
+    rows = [(f"d{i}", f"s{i % 4}") for i in range(40)]  # 10 docs/source
+    docs = spark.createDataFrame(rows, "doc_id string, source string")
+    # weights 1:1:3:5 of budget 17 -> quotas 1.7, 1.7, 5.1, 8.5;
+    # floors 1,1,5,8 (sum 15), remainders .7,.7,.1,.5 -> top-ups to
+    # s0, s1 (tie .7/.7 both topped; r=2) => alloc 2,2,5,8
+    out = mixture_sample(
+        docs, budget=17, weights={"s0": 1, "s1": 1, "s2": 3, "s3": 5}
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+        assert r["rank"] <= r["alloc"]
+    assert {s: len(v) for s, v in by_src.items()} == {
+        "s0": 2, "s1": 2, "s2": 5, "s3": 8}
+    assert {s: v[0]["alloc"] for s, v in by_src.items()} == {
+        "s0": 2, "s1": 2, "s2": 5, "s3": 8}
+    # cap: budget larger than a source -> min(alloc, available) rows
+    out2 = mixture_sample(docs, budget=40, weights={"s0": 9, "s1": 1}).collect()
+    n = {}
+    for r in out2:
+        n[r["source"]] = n.get(r["source"], 0) + 1
+    # alloc s0=36 capped at 10 available; s1=4
+    assert n == {"s0": 10, "s1": 4}
+    # sources not in weights contribute nothing
+    assert not any(r["source"] in ("s2", "s3") for r in out2)
+    # partition invariance
+    again = mixture_sample(
+        docs.repartition(7, "doc_id"), budget=17,
+        weights={"s0": 1, "s1": 1, "s2": 3, "s3": 5},
+    ).collect()
+    assert {(r["doc_id"], r["rank"]) for r in again} == {
+        (r["doc_id"], r["rank"]) for r in out}
+    # validation
+    with _pytest.raises(ValueError):
+        mixture_sample(docs, budget=-1, weights={"s0": 1})
+    with _pytest.raises(ValueError):
+        mixture_sample(docs, budget=5, weights={})
+    with _pytest.raises(ValueError):
+        mixture_sample(docs, budget=5, weights={"s0": 0})
