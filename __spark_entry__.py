@@ -988,6 +988,84 @@ def _mixture_sample(spark, sf_dir):
     )
 
 
+KG_RULE_SUPPORT = 100
+KG_RULE_CONF = 0.1
+KG_RULE_CAP = 1000
+
+
+def _kg_rules(spark, sf_dir):
+    # AMIE-style rule mining (kg.rule_mining) over the RDFS-entailed
+    # KG: entailment materializes the redundant predicates (involves,
+    # related_to, type) that make subsumption/composition rules
+    # minable — the direct-mapped schema alone has no redundancy, so
+    # every rule body would score support 0. The over-degree join
+    # guard (nations, classes) fires at this scale, exercising the
+    # no-silent-quadratic contract on real data.
+    from simkit_spark.kg import rdfs_entail, rule_mining
+
+    ent = rdfs_entail(_kg_rel(spark, sf_dir), _KG_ONTOLOGY)
+    return rule_mining(
+        ent,
+        min_support=KG_RULE_SUPPORT,
+        min_confidence=KG_RULE_CONF,
+        max_join_degree=KG_RULE_CAP,
+    )
+
+
+def _kg_golden(spark, sf_dir):
+    # survivorship merge (kg.golden_record) over a three-source
+    # located_in feed: source A = the direct-mapped truth, source B
+    # re-asserts a shifted nation for custkey%3==0 (1-vote tie ->
+    # lexicographic-min winner), source C repeats B's corruption for
+    # custkey%9==0 (2:1 majority -> the corrupt value wins) — both
+    # survivorship regimes (majority + tiebreak) fire deterministically
+    from simkit_spark.kg import golden_record
+
+    base = _kg_rel(spark, sf_dir).where(F.col("pred") == "located_in")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def corrupt(mod):
+        return cust.where((F.col("c_custkey") % mod) == 0).select(
+            F.concat_ws(
+                ":", F.lit("customer"), F.col("c_custkey").cast("string")
+            ).alias("subj"),
+            F.lit("located_in").alias("pred"),
+            F.concat_ws(
+                ":",
+                F.lit("nation"),
+                ((F.col("c_nationkey") + 1) % 25).cast("string"),
+            ).alias("obj"),
+        )
+
+    feed = base.unionByName(corrupt(3)).unionByName(corrupt(9))
+    return golden_record(feed, preds=["located_in"])
+
+
+def _hll_distinct(spark, sf_dir):
+    # HyperLogLog distinct customers-with-orders (functions.sketch
+    # .hll_distinct): register state is exact integers under the
+    # portable md5 family, so the DuckDB twin reproduces the sketch
+    # bit-for-bit, not just approximately
+    from simkit_spark.functions.sketch import hll_distinct
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return hll_distinct(orders, "o_custkey", p=8)
+
+
+ANF_MAX_H = 6
+
+
+def _anf_knn(spark, sf_dir):
+    # exact neighborhood function N(h) over the symmetrized kNN graph
+    # (operators.anf): the local-exact path at driver scale; the
+    # HyperANF register path is the 10^12-edge dispatch (stress-tested
+    # separately — an estimate can't be equality-checked by an oracle)
+    from simkit_spark.operators.anf import neighborhood_function
+
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    return neighborhood_function(edges, max_h=ANF_MAX_H)
+
+
 def _nndescent_knn(spark, sf_dir):
     from simkit_spark.operators.nndescent import nn_descent
 
@@ -1629,6 +1707,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_knn": _coarsen_knn,
         "nndescent_knn": _nndescent_knn,
         "mixture_sample": _mixture_sample,
+        "kg_rules": _kg_rules,
+        "kg_golden": _kg_golden,
+        "hll_distinct": _hll_distinct,
+        "anf_knn": _anf_knn,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4 queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
@@ -3523,7 +3605,7 @@ WHERE t.subj IS NULL"""
 # RDFS-lite entailment twin: the schema closures the Spark side runs on
 # the driver are recursive CTEs here, applied to the instance stream by
 # the same three joins + union + distinct
-_KG_RDFS_SQL = f"""
+_KG_RDFS_CTES = f"""
 WITH RECURSIVE triples AS ({_KG_T}),
 schema(s, p, o) AS (
   SELECT * FROM (VALUES {", ".join("('%s','%s','%s')" % t for t in _KG_ONTOLOGY)}) v(s, p, o)
@@ -3560,12 +3642,14 @@ typed AS (
   SELECT t.obj, er.cls FROM triples t JOIN effrng er ON t.pred = er.p
 ),
 type_rows AS (SELECT ty.ent AS subj, 'type' AS pred, cr.sup AS obj
-              FROM typed ty JOIN subc_refl cr ON ty.cls = cr.c)
-SELECT DISTINCT subj, pred, obj FROM (
+              FROM typed ty JOIN subc_refl cr ON ty.cls = cr.c),
+entailed AS (SELECT DISTINCT subj, pred, obj FROM (
   SELECT subj, pred, obj FROM triples
   UNION ALL SELECT subj, pred, obj FROM derived_rel
   UNION ALL SELECT subj, pred, obj FROM type_rows
-)"""
+))"""
+
+_KG_RDFS_SQL = _KG_RDFS_CTES + "\nSELECT subj, pred, obj FROM entailed"
 
 # owl:sameAs canonicalization — recursive-CTE equivalence closure over
 # the synthetic supplier alias chains (k ~ k-1 within blocks of 5),
@@ -3589,6 +3673,158 @@ SELECT DISTINCT coalesce(cs.c, t.subj) AS subj, t.pred AS pred,
 FROM triples t
 LEFT JOIN canon cs ON t.subj = cs.id
 LEFT JOIN canon co ON t.obj = co.id"""
+
+
+# AMIE-style rule mining (kg.rule_mining) over the RDFS-entailed KG —
+# same/inverse/chain shapes scored by one self-join; the over-degree
+# blacklist mirrors max_join_degree exactly
+_KG_RULES_SQL = (
+    _KG_RDFS_CTES
+    + f""",
+t AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM entailed),
+hsize AS (SELECT p, count(*) AS head_size FROM t GROUP BY p),
+same_b AS (SELECT p AS body1, s AS x, o AS y FROM t),
+same_bs AS (SELECT body1, count(*) AS body_size FROM same_b GROUP BY body1),
+same_sup AS (SELECT b.body1, h.p AS head, count(*) AS support
+             FROM same_b b JOIN t h ON b.x = h.s AND b.y = h.o
+             GROUP BY b.body1, h.p
+             HAVING count(*) >= {KG_RULE_SUPPORT}),
+same_r AS (SELECT 'same' AS rule_type, sp.body1, CAST(NULL AS VARCHAR) AS body2,
+                  sp.head, sp.support, bs.body_size, hs.head_size
+           FROM same_sup sp
+           JOIN same_bs bs ON bs.body1 = sp.body1
+           JOIN hsize hs ON hs.p = sp.head
+           WHERE sp.body1 <> sp.head),
+inv_b AS (SELECT p AS body1, o AS x, s AS y FROM t),
+inv_bs AS (SELECT body1, count(*) AS body_size FROM inv_b GROUP BY body1),
+inv_sup AS (SELECT b.body1, h.p AS head, count(*) AS support
+            FROM inv_b b JOIN t h ON b.x = h.s AND b.y = h.o
+            GROUP BY b.body1, h.p
+            HAVING count(*) >= {KG_RULE_SUPPORT}),
+inv_r AS (SELECT 'inverse' AS rule_type, sp.body1, CAST(NULL AS VARCHAR) AS body2,
+                 sp.head, sp.support, bs.body_size, hs.head_size
+          FROM inv_sup sp
+          JOIN inv_bs bs ON bs.body1 = sp.body1
+          JOIN hsize hs ON hs.p = sp.head),
+zdeg AS (SELECT z, count(*) AS d
+         FROM (SELECT s AS z FROM t UNION ALL SELECT o AS z FROM t)
+         GROUP BY z),
+bl AS (SELECT z FROM zdeg WHERE d > {KG_RULE_CAP}),
+lhs AS (SELECT p AS body1, s AS x, o AS z FROM t
+        WHERE o NOT IN (SELECT z FROM bl)),
+rhs AS (SELECT p AS body2, s AS z, o AS y FROM t
+        WHERE s NOT IN (SELECT z FROM bl)),
+chain_b AS (SELECT DISTINCT body1, body2, x, y
+            FROM lhs JOIN rhs ON lhs.z = rhs.z),
+chain_bs AS (SELECT body1, body2, count(*) AS body_size FROM chain_b
+             GROUP BY body1, body2),
+chain_sup AS (SELECT b.body1, b.body2, h.p AS head, count(*) AS support
+              FROM chain_b b JOIN t h ON b.x = h.s AND b.y = h.o
+              GROUP BY b.body1, b.body2, h.p
+              HAVING count(*) >= {KG_RULE_SUPPORT}),
+chain_r AS (SELECT 'chain' AS rule_type, sp.body1, sp.body2, sp.head,
+                   sp.support, bs.body_size, hs.head_size
+            FROM chain_sup sp
+            JOIN chain_bs bs ON bs.body1 = sp.body1 AND bs.body2 = sp.body2
+            JOIN hsize hs ON hs.p = sp.head),
+u AS (SELECT * FROM same_r UNION ALL SELECT * FROM inv_r
+      UNION ALL SELECT * FROM chain_r)
+SELECT rule_type, body1, body2, head, support, body_size, head_size,
+       round(CAST(support AS DOUBLE) / body_size, 6) AS confidence,
+       round(CAST(support AS DOUBLE) / head_size, 6) AS head_coverage
+FROM u
+WHERE round(CAST(support AS DOUBLE) / body_size, 6) >= {KG_RULE_CONF}"""
+)
+
+# survivorship merge (kg.golden_record) over the three-source
+# located_in feed — mirrors _kg_golden's deterministic corruption
+_KG_GOLDEN_SQL = f"""
+WITH triples AS ({_KG_T}),
+base AS (SELECT subj, pred, obj FROM triples WHERE pred = 'located_in'),
+srcb AS (SELECT concat_ws(':', 'customer', c_custkey) AS subj,
+                'located_in' AS pred,
+                concat_ws(':', 'nation', (c_nationkey + 1) % 25) AS obj
+         FROM customer WHERE c_custkey % 3 = 0),
+srcc AS (SELECT concat_ws(':', 'customer', c_custkey) AS subj,
+                'located_in' AS pred,
+                concat_ws(':', 'nation', (c_nationkey + 1) % 25) AS obj
+         FROM customer WHERE c_custkey % 9 = 0),
+feed AS (SELECT subj, pred, obj FROM base
+         UNION ALL SELECT subj, pred, obj FROM srcb
+         UNION ALL SELECT subj, pred, obj FROM srcc),
+votes AS (SELECT subj, pred, obj, count(*) AS votes FROM feed
+          GROUP BY subj, pred, obj),
+ranked AS (SELECT subj, pred, obj, votes,
+                  row_number() OVER (PARTITION BY subj, pred
+                                     ORDER BY votes DESC, obj ASC) AS rn,
+                  count(*) OVER (PARTITION BY subj, pred) AS n_values
+           FROM votes)
+SELECT subj, pred, obj, votes, n_values FROM ranked WHERE rn = 1"""
+
+
+def _hll_sql():
+    # mirrors functions/sketch.hll_distinct(orders, o_custkey, p=8):
+    # identical md5 hash, register math in exact integers, and the
+    # SAME python-double numerator literal so the one estimate
+    # division is bit-identical
+    p = 8
+    m = 1 << p
+    rb = 32 - p
+    ks = rb + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = repr(alpha * m * m * float(1 << ks))
+    hexpr = _MD5_LONG.format(
+        arg="concat_ws(':', CAST(o_custkey AS VARCHAR), '42')"
+    )
+    return f"""
+WITH h AS (SELECT {hexpr} AS hv FROM orders),
+b AS (SELECT hv // {1 << rb} AS bucket, hv % {1 << rb} AS rest FROM h),
+r AS (SELECT bucket,
+             {rb} - (CASE WHEN rest = 0 THEN 0 ELSE length(bin(rest)) END) + 1 AS rho
+      FROM b),
+regs AS (SELECT bucket, max(rho) AS mrho FROM r GROUP BY bucket),
+agg AS (SELECT count(*) AS n_filled,
+               coalesce(CAST(sum(CAST(pow(2, {ks} - mrho) AS BIGINT)) AS BIGINT), 0) AS zf
+        FROM regs),
+fin AS (SELECT {m} AS m, n_filled,
+               CAST(({m} - n_filled) * {1 << ks} + zf AS BIGINT) AS z_int
+        FROM agg)
+SELECT m, n_filled, z_int,
+       CASE WHEN {numer} / z_int <= {2.5 * m} AND n_filled < {m}
+            THEN 'linear' ELSE 'hll' END AS branch,
+       round(CASE WHEN {numer} / z_int <= {2.5 * m} AND n_filled < {m}
+                  THEN {float(m)} * ln({float(m)} / ({m} - n_filled))
+                  ELSE {numer} / z_int END, 3) AS est_distinct
+FROM fin"""
+
+
+# exact neighborhood function over the symmetrized kNN graph —
+# recursive-CTE BFS bounded at ANF_MAX_H, pair counts per hop
+# (mirrors operators/anf.neighborhood_function's local-exact path)
+_ANF_SQL = (
+    "WITH RECURSIVE "
+    + _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"]).lstrip().removeprefix("WITH ")
+    + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+knn AS (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+esym AS (SELECT DISTINCT src, dst FROM
+         (SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn)),
+vids AS (SELECT DISTINCT src AS id FROM esym),
+r(src, dst, d) AS (
+  SELECT id, id, 0 FROM vids
+  UNION
+  SELECT r.src, e.dst, r.d + 1 FROM r JOIN esym e ON e.src = r.dst
+  WHERE r.d < {ANF_MAX_H}
+),
+dists AS (SELECT src, dst, min(d) AS dist FROM r GROUP BY src, dst),
+nv AS (SELECT count(*) AS nn FROM vids),
+hs AS (SELECT h FROM generate_series(0, {ANF_MAX_H}) AS g(h))
+SELECT CAST(hs.h AS INT) AS h, count(*) AS n_pairs,
+       round(CAST(count(*) AS DOUBLE) / (nv.nn * nv.nn), 6) AS frac
+FROM hs, dists, nv
+WHERE dists.dist <= hs.h
+GROUP BY hs.h, nv.nn"""
+)
 
 
 def _transe_c(ent: str) -> str:
@@ -3949,6 +4185,10 @@ def oracle_sql() -> dict[str, str]:
         # largest-remainder mixture allocation + md5-order draw, all
         # integer (allocation recomputed in SQL from the same weights)
         "mixture_sample": _mixture_sql(),
+        "kg_rules": _KG_RULES_SQL,
+        "kg_golden": _KG_GOLDEN_SQL,
+        "hll_distinct": _hll_sql(),
+        "anf_knn": _ANF_SQL,
         # --- driver-green in r3 (rotated to the tail in r4f) ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)

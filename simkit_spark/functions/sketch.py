@@ -169,3 +169,97 @@ def cms_estimate(
         "term", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy("term").agg(F.min("cnt").alias("est"))
+
+
+def hll_distinct(
+    df: DataFrame, col: str, p: int = 8, seed: int = 42
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al., AofA'07)
+    under the portable md5 family — the register-based counterpart of
+    kmv_distinct, and the building block hyperanf-style neighborhood
+    estimation composes at graph scale.
+
+    m = 2^p registers; each value hashes to 32 bits, the top p bits
+    pick a register, and the register keeps the max of
+    rho = #leading-zeros-of-the-remaining-bits + 1. The estimate is
+    alpha_m * m^2 / sum_j 2^(-M_j), with the standard linear-counting
+    correction (m * ln(m / zeros)) when E <= 2.5m and empty registers
+    remain.
+
+    Returns ONE row: (m, n_filled, z_int, branch, est_distinct).
+    ``z_int`` is the harmonic denominator scaled by 2^(33-p) — an
+    EXACT bigint (every 2^(-M_j) is a dyadic rational), so the
+    register state is order-independent and engine-reproducible;
+    the only float op is the final one-division estimate (and ln in
+    the small-range branch), rounded at 3 dp.
+
+    Why not approx_count_distinct: same argument as kmv_distinct —
+    Spark's HLL++ is neither seedable nor reproducible cross-engine,
+    so it can never be oracle-checked; this one is bit-deterministic.
+
+    Scale shape: hash projection -> groupBy(bucket).max(rho) — partial
+    aggregation collapses each task to <= m rows, the exchange carries
+    <= m * n_tasks rows, and the final agg is m rows -> 1. Nothing
+    row-sized shuffles. Mergeability (register-wise max) is what makes
+    the sketch composable per-partition at 100 TB.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    rest_bits = 32 - p
+    k_scale = rest_bits + 1  # max rho; 2^(k_scale - rho) is >= 1
+    h = _md5_long(F.concat_ws(":", F.col(col).cast("string"), F.lit(str(seed))))
+    bucket = (h / F.lit(1 << rest_bits)).cast("long")  # top p bits
+    rest = h % F.lit(1 << rest_bits)
+    # bit length via bin(): bin(0) = '0', handled by the rest=0 branch
+    regs = (
+        df.select(bucket.alias("bucket"), rest.alias("rest"))
+        .select(
+            "bucket",
+            (
+                F.lit(rest_bits)
+                - F.when(F.col("rest") == 0, F.lit(0)).otherwise(
+                    F.length(F.bin(F.col("rest")))
+                )
+                + F.lit(1)
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    # alpha_m * m^2 * 2^k_scale as ONE python-double literal, so both
+    # engines perform the identical single division by z_int
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << k_scale)
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.coalesce(
+            F.sum(F.expr(f"cast(pow(2, {k_scale} - mrho) as bigint)")), F.lit(0)
+        ).alias("zf"),
+    )
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("n_filled"),
+        (
+            (F.lit(m) - F.col("n_filled")) * F.lit(1 << k_scale) + F.col("zf")
+        ).alias("z_int"),
+    ).select(
+        "m",
+        "n_filled",
+        "z_int",
+        F.when(
+            (F.lit(numer) / F.col("z_int") <= F.lit(2.5 * m))
+            & (F.col("n_filled") < F.lit(m)),
+            F.lit("linear"),
+        )
+        .otherwise(F.lit("hll"))
+        .alias("branch"),
+        F.round(
+            F.when(
+                (F.lit(numer) / F.col("z_int") <= F.lit(2.5 * m))
+                & (F.col("n_filled") < F.lit(m)),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_filled"))),
+            ).otherwise(F.lit(numer) / F.col("z_int")),
+            3,
+        ).alias("est_distinct"),
+    )

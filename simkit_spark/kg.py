@@ -1217,3 +1217,166 @@ def sameas_canonicalize(
         )
         .distinct()
     )
+
+
+def rule_mining(
+    triples: DataFrame,
+    min_support: int = 10,
+    min_confidence: float = 0.05,
+    max_join_degree: int = 1000,
+    dp: int = 6,
+) -> DataFrame:
+    """AMIE-style horn-rule mining over the triple table (Galarraga et
+    al., WWW'13): score every candidate rule whose body is one or two
+    atoms against its head predicate, by
+
+      support       = #distinct (x, y) satisfying body AND head
+      confidence    = support / #distinct (x, y) satisfying body
+      head_coverage = support / #distinct (x, y) satisfying head
+
+    Three rule shapes (the closed rules of body length <= 2):
+
+      same     p(x, y)              => q(x, y)   (p != q; subsumption)
+      inverse  p(y, x)              => q(x, y)   (p = q detects symmetry)
+      chain    p1(x, z) & p2(z, y)  => q(x, y)   (composition paths)
+
+    Returns (rule_type, body1, body2, head, support, body_size,
+    head_size, confidence, head_coverage), body2 null for length-1
+    rules, filtered to support >= min_support and confidence >=
+    min_confidence.
+
+    Scale (10^12-triple regime): everything reduces to ONE self-join.
+    The pair space is deduplicated first; chain bodies come from the
+    obj=subj self-join with the ``max_join_degree`` guard dropping
+    over-degree join entities *before* the quadratic step (the
+    cooccurrence_edges no-silent-quadratic contract — AMIE's
+    functionality pruning plays the same role); body/head sizes are
+    narrow per-predicate aggregates broadcast onto the support stream.
+    No per-rule iteration: all rules of a shape are scored by one
+    grouped plan, so rule count never multiplies passes over the data.
+    The reference has no rule miner; this is KG-consumption surface
+    beyond parity (SURVEY §2 extension), composing over the same
+    triple model as kg.relational_triples.
+
+    Determinism: counts are exact integers; the two ratios are one
+    correctly-rounded double division each (round half-up at ``dp``),
+    reproducible bit-exactly by the DuckDB twin.
+    """
+    t = triples.select("pred", "subj", "obj").distinct().localCheckpoint()
+    # head sizes: #distinct pairs per predicate (t is already distinct)
+    hsize = t.groupBy("pred").agg(F.count(F.lit(1)).alias("head_size"))
+
+    def score(body: DataFrame, rule_type: str) -> DataFrame:
+        # body: (body1[, body2], x, y) distinct rows
+        keys = [c for c in body.columns if c.startswith("body")]
+        bsize = body.groupBy(*keys).agg(F.count(F.lit(1)).alias("body_size"))
+        head = t.select(
+            F.col("pred").alias("head"),
+            F.col("subj").alias("x"),
+            F.col("obj").alias("y"),
+        )
+        sup = (
+            body.join(head, ["x", "y"])
+            .groupBy(*keys, "head")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= min_support)
+        )
+        out = (
+            sup.join(F.broadcast(bsize), keys)
+            .join(
+                F.broadcast(hsize.withColumnRenamed("pred", "head")), "head"
+            )
+            .select(
+                F.lit(rule_type).alias("rule_type"),
+                F.col("body1"),
+                (F.col("body2") if "body2" in body.columns else F.lit(None).cast("string")).alias("body2"),
+                "head",
+                "support",
+                "body_size",
+                "head_size",
+                F.round(F.col("support") / F.col("body_size"), dp).alias("confidence"),
+                F.round(F.col("support") / F.col("head_size"), dp).alias("head_coverage"),
+            )
+            .where(F.col("confidence") >= min_confidence)
+        )
+        return out
+
+    same = t.select(
+        F.col("pred").alias("body1"), F.col("subj").alias("x"), F.col("obj").alias("y")
+    )
+    inv = t.select(
+        F.col("pred").alias("body1"), F.col("obj").alias("x"), F.col("subj").alias("y")
+    )
+    # chain: degree guard on the join entity z (z appears as obj of the
+    # first atom and subj of the second; cap its TOTAL degree in the
+    # deduplicated pair space, both orientations, before the self-join)
+    deg = (
+        t.select(F.col("subj").alias("z"))
+        .unionAll(t.select(F.col("obj").alias("z")))
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") > max_join_degree)
+    )
+    left = t.select(
+        F.col("pred").alias("body1"), F.col("subj").alias("x"), F.col("obj").alias("z")
+    ).join(F.broadcast(deg), "z", "left_anti")
+    right = t.select(
+        F.col("pred").alias("body2"), F.col("subj").alias("z"), F.col("obj").alias("y")
+    ).join(F.broadcast(deg), "z", "left_anti")
+    chain = (
+        left.join(right, "z")
+        .select("body1", "body2", "x", "y")
+        .distinct()
+    )
+    scored_same = score(
+        same.distinct(), "same"
+    ).where(F.col("body1") != F.col("head"))
+    scored_inv = score(inv.distinct(), "inverse")
+    scored_chain = score(chain, "chain")
+    return scored_same.unionByName(scored_inv).unionByName(scored_chain)
+
+
+def golden_record(
+    triples: DataFrame,
+    preds: list[str] | None = None,
+) -> DataFrame:
+    """Survivorship merge (golden record): after sameAs
+    canonicalization collapses duplicate entities, one entity can
+    carry CONFLICTING assertions for a functional attribute (two
+    sources claim different located_in). Resolve each (subj, pred) to
+    ONE surviving value by majority vote — most asserted obj wins,
+    ties break to the lexicographic min (deterministic, engine-
+    independent) — the standard ER survivorship step between entity
+    resolution and the final canonical KG.
+
+    Returns (subj, pred, obj, votes, n_values): the surviving obj, how
+    many assertions backed it, and how many distinct candidate values
+    competed (n_values = 1 means the attribute was never in conflict).
+
+    Scale: one groupBy to count assertions, one (subj, pred)-window to
+    rank candidates. Window partitions are per-entity-attribute value
+    lists — bounded by source count, never by corpus size (hub-immune:
+    a 10^6-degree entity has 10^6 *predicates-pairs* spread across
+    the hash space, not one giant partition). ``preds`` restricts to
+    the functional attributes where survivorship is defined; relation
+    predicates (order contains N parts) are legitimately multi-valued
+    and pass through untouched upstream.
+    """
+    from pyspark.sql import Window
+
+    t = triples.select("subj", "pred", "obj")
+    if preds is not None:
+        t = t.where(F.col("pred").isin(list(preds)))
+    votes = t.groupBy("subj", "pred", "obj").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("subj", "pred")
+    ranked = votes.select(
+        "subj",
+        "pred",
+        "obj",
+        "votes",
+        F.row_number()
+        .over(w.orderBy(F.col("votes").desc(), F.col("obj").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_values"),
+    )
+    return ranked.where(F.col("rn") == 1).drop("rn")
