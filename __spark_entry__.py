@@ -1066,6 +1066,45 @@ def _anf_knn(spark, sf_dir):
     return neighborhood_function(edges, max_h=ANF_MAX_H)
 
 
+def _scc_knn(spark, sf_dir):
+    # strongly connected components of the DIRECTED kNN graph
+    # (operators.scc): size-dispatched — iterative-Tarjan local twin at
+    # driver scale, FW-BW min-label rounds distributed; canonical
+    # component = min member id, same contract as connected_components
+    from simkit_spark.operators.scc import strongly_connected_components
+
+    return strongly_connected_components(
+        _knn_edges(spark, sf_dir).select("src", "dst")
+    )
+
+
+KCENTER_K = 8
+
+
+def _kcenter_sample(spark, sf_dir):
+    # greedy k-center coreset selection (curation.kcenter_sample):
+    # k linear passes, each one broadcast center + distributed top-1;
+    # radii are raw doubles under the distance_expr left-fold contract
+    # (bit-identical to the DuckDB list_reduce twin, the nndescent
+    # precedent)
+    from simkit_spark.functions.curation import kcenter_sample
+
+    return kcenter_sample(_emb(spark, sf_dir), k=KCENTER_K)
+
+
+BPE_MERGES = 8
+
+
+def _bpe_merges(spark, sf_dir):
+    # BPE tokenizer TRAINING (text.bpe_train): corpus touched once
+    # (word-freq groupBy), then vocab-sized merge rounds; integer
+    # counts + lexicographic tie-breaks make the unrolled DuckDB twin
+    # exact
+    from simkit_spark.functions.text import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+
+
 def _nndescent_knn(spark, sf_dir):
     from simkit_spark.operators.nndescent import nn_descent
 
@@ -1711,6 +1750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_golden": _kg_golden,
         "hll_distinct": _hll_distinct,
         "anf_knn": _anf_knn,
+        "scc_knn": _scc_knn,
+        "kcenter_sample": _kcenter_sample,
+        "bpe_merges": _bpe_merges,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4 queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
@@ -3827,6 +3869,81 @@ GROUP BY hs.h, nv.nn"""
 )
 
 
+# strongly connected components of the directed kNN graph — the
+# oracle affords the full O(n^2) reachability closure at 500 nodes;
+# mutual pairs (a reaches b AND b reaches a) grouped to min member id
+_SCC_SQL = (
+    "WITH RECURSIVE "
+    + _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"]).lstrip().removeprefix("WITH ")
+    + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+knn AS (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+vs AS (SELECT DISTINCT src AS id FROM
+       (SELECT src FROM knn UNION ALL SELECT dst AS src FROM knn) u),
+r(src, dst) AS (
+  SELECT id, id FROM vs
+  UNION
+  SELECT r.src, e.dst FROM r JOIN knn e ON e.src = r.dst
+)
+SELECT a.src AS id, min(a.dst) AS component
+FROM r a JOIN r b ON a.src = b.dst AND a.dst = b.src
+GROUP BY a.src"""
+)
+
+
+def _kcenter_sql(k=KCENTER_K):
+    # unrolled greedy farthest-point selection — each step re-derives
+    # the running min-distance table and picks (d DESC, id ASC) top-1;
+    # distances use the same left-fold euclidean as the Spark side
+    d = _DIST_EXPR["euclidean"].replace("va", "pt.vec").replace("vb", "cc.cv")
+    parts = [
+        "WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings)",
+        "s1 AS (SELECT id FROM v ORDER BY id LIMIT 1)",
+        f"d1 AS (SELECT pt.id, pt.vec, {d} AS d FROM v pt, "
+        "(SELECT x.vec AS cv FROM v x JOIN s1 ON x.id = s1.id) cc)",
+    ]
+    sel = ["SELECT CAST(1 AS INT) AS step, id, 0.0 AS radius FROM s1"]
+    for t in range(2, k + 1):
+        parts.append(
+            f"s{t} AS (SELECT id, d FROM d{t-1} ORDER BY d DESC, id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"d{t} AS (SELECT pt.id, pt.vec, least(pt.d, {d}) AS d FROM d{t-1} pt, "
+            f"(SELECT x.vec AS cv FROM d{t-1} x JOIN s{t} ON x.id = s{t}.id) cc)"
+        )
+        sel.append(f"SELECT CAST({t} AS INT) AS step, id, d AS radius FROM s{t}")
+    return ", ".join(parts) + " " + " UNION ALL ".join(sel)
+
+
+def _bpe_sql(k=BPE_MERGES):
+    # unrolled BPE merge rounds over the word-frequency table —
+    # freq-weighted adjacent pair counts, (n DESC, lhs, rhs) top-1,
+    # \b-anchored greedy rewrite; mirrors text.bpe_train exactly
+    parts = [
+        """WITH w AS (SELECT word, count(*) AS freq FROM (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+  FROM documents) u
+  WHERE word <> '' GROUP BY word)""",
+        "q0 AS (SELECT regexp_replace(word, '(.)', '\\1 ', 'g') || '_' AS seq, freq FROM w)",
+    ]
+    sel = []
+    for t in range(1, k + 1):
+        parts.append(
+            f"""p{t} AS (SELECT l AS lhs, r AS rhs, CAST(sum(freq) AS BIGINT) AS n FROM (
+  SELECT freq, unnest(sy[1:len(sy)-1]) AS l, unnest(sy[2:len(sy)]) AS r
+  FROM (SELECT string_split(seq, ' ') AS sy, freq FROM q{t-1}) s) p
+  GROUP BY l, r)"""
+        )
+        parts.append(
+            f"m{t} AS (SELECT lhs, rhs, n FROM p{t} ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        parts.append(
+            f"q{t} AS (SELECT regexp_replace(seq, '\\b' || lhs || ' ' || rhs || '\\b', lhs || rhs, 'g') AS seq, freq FROM q{t-1}, m{t})"
+        )
+        sel.append(f"SELECT CAST({t} AS INT) AS step, lhs, rhs, n FROM m{t}")
+    return ", ".join(parts) + " " + " UNION ALL ".join(sel)
+
+
 def _transe_c(ent: str) -> str:
     # one integer embedding component: md5(ent:d:42) mod 1000 — mirrors
     # kg._hash_embedding (dim index d comes from the dims CTE)
@@ -4189,6 +4306,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_golden": _KG_GOLDEN_SQL,
         "hll_distinct": _hll_sql(),
         "anf_knn": _ANF_SQL,
+        "scc_knn": _SCC_SQL,
+        "kcenter_sample": _kcenter_sql(),
+        "bpe_merges": _bpe_sql(),
         # --- driver-green in r3 (rotated to the tail in r4f) ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)

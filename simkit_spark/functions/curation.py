@@ -476,3 +476,76 @@ def mixture_sample(
         .where(F.col("rank") <= F.col("alloc"))
         .select("doc_id", source_col, "rank", "alloc")
     )
+
+
+def kcenter_sample(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point sampling, the
+    classic 2-approximation of Gonzalez'85): pick the min-id point,
+    then k-1 times pick the point FARTHEST from the selected set
+    (ties -> min id) — the diversity-maximizing subset selection used
+    for training-data coresets and seed selection (herding/k-center
+    greedy of Sener & Savarese, ICLR'18).
+
+    Returns k rows (step, id, radius): selection order, the chosen
+    point, and its distance to the previously selected set at pick
+    time (step 1 radius = 0.0). radius is non-increasing and
+    radius(step k+1-would-be) bounds the covering radius of the chosen
+    coreset within factor 2 of optimal.
+
+    Scale: k passes, each = ONE broadcast of the newest center vector
+    + one narrow map over n rows (running min distance) + one
+    distributed top-1 (per-partition max, k-sized merge). State is one
+    (id, vec, d) row per point, re-materialized per step so lineage
+    stays O(1); nothing pair-sized ever exists — this is the
+    textbook distributed FPS shape, linear per step at any n.
+    Determinism: distances via kernels.distance_expr (the left-fold
+    contract shared with the DuckDB twin); double comparisons are
+    exact, tie-break on min id.
+    """
+    from ..operators.kernels import distance_expr
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pts = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).localCheckpoint()
+    first = pts.orderBy("id").limit(1).collect()
+    if not first:
+        return emb.sparkSession.createDataFrame(
+            [], schema=f"step int, id {pts.schema['id'].dataType.simpleString()}, radius double"
+        )
+    chosen = [(1, first[0]["id"], 0.0)]
+    cvec = first[0]["vec"]
+    state = pts.select(
+        "id",
+        "vec",
+        distance_expr(
+            F.col("vec"), F.array(*[F.lit(float(x)) for x in cvec]), "euclidean"
+        ).alias("d"),
+    ).localCheckpoint()
+    for step in range(2, k + 1):
+        sel = (
+            state.orderBy(F.col("d").desc(), F.col("id").asc()).limit(1).collect()
+        )
+        row = sel[0]
+        chosen.append((step, row["id"], float(row["d"])))
+        carr = F.array(*[F.lit(float(x)) for x in row["vec"]])
+        state = state.select(
+            "id",
+            "vec",
+            F.least(
+                F.col("d"), distance_expr(F.col("vec"), carr, "euclidean")
+            ).alias("d"),
+        ).localCheckpoint()
+    import pandas as pd
+
+    res = pd.DataFrame(chosen, columns=["step", "id", "radius"])
+    id_t = pts.schema["id"].dataType.simpleString()
+    return emb.sparkSession.createDataFrame(
+        res, schema=f"step int, id {id_t}, radius double"
+    )

@@ -550,3 +550,99 @@ def word_ranks(docs: DataFrame, text_col: str = "text", n_ranges: int | None = N
         return materialize(out)
     finally:
         ranged.unpersist()
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus (Sennrich
+    et al., ACL'16) — tokenizer TRAINING as a distributed job, the
+    step upstream of the BPE-ish tokenization in add_bpe_token_count.
+
+    Classic word-frequency formulation: lowercase [a-z0-9]+ words are
+    collapsed to a (word, freq) table once; each word becomes a
+    space-separated character sequence with a trailing ``_``
+    end-of-word symbol ("cat" -> "c a t _"); each round counts
+    freq-weighted adjacent symbol pairs, merges the globally most
+    frequent pair (ties: lexicographic min left, then right symbol),
+    and rewrites the sequences. Returns one row per learned merge:
+    (step, lhs, rhs, n) with n = the pair's frequency at merge time.
+
+    Scale: every round after the first groupBy runs on the VOCABULARY
+    table (distinct words), not the corpus — the 100-TB corpus is
+    touched exactly once (tokenize + word count, one shuffle keyed by
+    word with map-side partial aggregation); rounds are then
+    vocab-sized explode+agg jobs whose cost is independent of corpus
+    size. The merge rewrite is a single regexp_replace — greedy
+    left-to-right non-overlapping, the reference BPE behavior; symbols
+    stay in [a-z0-9_] so ``\\b`` anchors are engine-portable (Java
+    regex and RE2 agree) and no quoting is ever needed.
+
+    Determinism: pure integer counts + lexicographic tie-breaks; the
+    DuckDB twin unrolls the same rounds and matches exactly.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seqs = words.select(
+        F.concat(
+            F.regexp_replace(F.col("word"), "(.)", "$1 "), F.lit("_")
+        ).alias("seq"),
+        "freq",
+    ).localCheckpoint()
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        sy = F.split(F.col("seq"), " ")
+        pairs = (
+            seqs.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(sy, 1, F.size(sy) - 1).alias("l"),
+                        F.slice(sy, 2, F.size(sy) - 1).alias("r"),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(
+                F.col("pr.l").alias("lhs"), F.col("pr.r").alias("rhs")
+            )
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = (
+            pairs.orderBy(
+                F.col("n").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(
+                f"corpus exhausted after {step - 1} merges ({n_merges} requested)"
+            )
+        lhs, rhs, n = top[0]["lhs"], top[0]["rhs"], top[0]["n"]
+        merges.append((step, lhs, rhs, n))
+        seqs = seqs.select(
+            F.regexp_replace(
+                F.col("seq"), f"\\b{lhs} {rhs}\\b", lhs + rhs
+            ).alias("seq"),
+            "freq",
+        ).localCheckpoint()
+
+    import pandas as pd
+
+    return docs.sparkSession.createDataFrame(
+        pd.DataFrame(merges, columns=["step", "lhs", "rhs", "n"]),
+        schema="step int, lhs string, rhs string, n bigint",
+    )
