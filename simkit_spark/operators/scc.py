@@ -155,14 +155,28 @@ def strongly_connected_components(
         live_e, propagated to fixpoint."""
         labels = nodes.select("id", F.col("id").alias("lab")).localCheckpoint()
         for _ in range(max_sweeps):
-            nxt = (
+            # inflow-min joined back with least(), NOT a union-then-min:
+            # Union's constraint-propagation rewrite hits a Catalyst
+            # NoSuchElementException ("key not found: id#...") on the
+            # checkpointed node-sized children at ~100k-node scale
+            inflow = (
                 live_e.join(
-                    labels.select(F.col("id").alias("dst"), "lab"), "dst"
+                    labels.select(
+                        F.col("id").alias("dst"), F.col("lab").alias("nlab")
+                    ),
+                    "dst",
                 )
-                .select(F.col("src").alias("id"), "lab")
-                .unionAll(labels)
-                .groupBy("id")
-                .agg(F.min("lab").alias("lab"))
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("nlab").alias("nlab"))
+            )
+            nxt = (
+                labels.join(inflow, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("lab"), F.coalesce("nlab", "lab")
+                    ).alias("lab"),
+                )
                 .localCheckpoint()
             )
             changed = (

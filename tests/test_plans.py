@@ -339,3 +339,59 @@ def test_round4h_graph_plans(spark):
     plan = _plan(nb_min)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4i_plans(spark):
+    """kg_rules: the chain self-join and support joins are equi-joins
+    with the degree blacklist applied via broadcast anti-joins — never
+    a nested-loop or cartesian; kg_golden: the survivorship window is
+    (subj, pred)-partitioned (no empty partition spec); hll_distinct:
+    pure projection + two hash aggregations, zero joins; bpe_merges /
+    kcenter_sample / scc_knn / anf_knn emit driver-materialized results
+    (LocalTableScan) — their distributed building blocks are asserted
+    via the pair-count aggregation (bpe) and the running-min pass
+    (kcenter), both join-free after the broadcast of the center."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["kg_rules"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(e.queries()["kg_golden"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+    plan = _plan(e.queries()["hll_distinct"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 stages
+
+    # bpe pair counting: explode + hash agg, no join, no window
+    from simkit_spark.functions import text as T
+
+    docs = e._docs(spark, SF)
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    plan = _plan(words)
+    assert "Join" not in plan and "Window" not in plan
+
+    # kcenter running-min pass: literal center folds into a codegen
+    # projection — no exchange beyond the checkpoint scan
+    from simkit_spark.operators.kernels import distance_expr
+
+    emb = e._emb(spark, SF)
+    state = emb.select(
+        "id",
+        "vec",
+        distance_expr(
+            F.col("vec"), F.array(*[F.lit(0.0)] * 64), "euclidean"
+        ).alias("d"),
+    )
+    plan = _plan(state)
+    assert "Exchange" not in plan and "Join" not in plan

@@ -199,6 +199,35 @@ AUDITED = {
     "node-sized vector joins for the distinct new candidates, one "
     "src-partitioned top-k window; total work LINEAR in n for fixed "
     "k/cap — the quadratic kernel never runs; each sweep materialized",
+    "kg_rules": "ONE obj=subj self-join scores every chain rule at once "
+    "(rule count never multiplies passes); over-degree join entities "
+    "broadcast-anti-joined away BEFORE the quadratic step; body/head "
+    "sizes are predicate-keyed aggregates broadcast onto the support "
+    "stream — no window, no per-rule iteration",
+    "kg_golden": "one vote count agg + one (subj, pred)-window whose "
+    "partitions are per-attribute candidate lists (bounded by source "
+    "count, hub-immune); no join against the corpus",
+    "hll_distinct": "hash projection -> groupBy(bucket).max with map-side "
+    "partials (each task collapses to <= m register rows); final agg is "
+    "m rows -> 1 — nothing row-sized shuffles",
+    "anf_knn": "size-dispatched: the sf0.01 plan shown is the local-exact "
+    "twin (one Arrow collect, dense numpy closure); the distributed path "
+    "is HyperANF register sweeps — per sweep one equi-join into the edge "
+    "list + (id, bucket)-keyed max agg whose map-side combine bounds the "
+    "exchange at n*m register rows, never pair-sized state",
+    "scc_knn": "size-dispatched: sf0.01 runs the iterative-Tarjan local "
+    "twin (scan-only); distributed = FW-BW min-label rounds over two "
+    "once-persisted edge layouts — per sweep one equi-join + node-sized "
+    "min agg, resolved SCCs' edges leave via semi-joins each round",
+    "kcenter_sample": "k linear passes: each = one literal-array center "
+    "(broadcast by value into the expression), a narrow running-min map, "
+    "and a distributed top-1 (per-partition max, k-row merge); state "
+    "re-materialized per step so lineage stays O(1) — nothing pair-sized",
+    "bpe_merges": "corpus touched ONCE (tokenize -> word-keyed count with "
+    "map-side partials); every merge round explodes/aggregates the "
+    "VOCABULARY table only, so round cost is independent of corpus size; "
+    "top pair via distributed TakeOrdered, rewrite is one codegen "
+    "regexp_replace",
 }
 
 
