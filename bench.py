@@ -111,6 +111,13 @@ HEADLINE = [
     "coarsen_knn",
     "nndescent_knn",
     "mixture_sample",
+    "kg_rules",
+    "kg_golden",
+    "hll_distinct",
+    "anf_knn",
+    "scc_knn",
+    "kcenter_sample",
+    "bpe_merges",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
