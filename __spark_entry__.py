@@ -991,6 +991,7 @@ def _mixture_sample(spark, sf_dir):
 KG_RULE_SUPPORT = 100
 KG_RULE_CONF = 0.1
 KG_RULE_CAP = 1000
+KG_RULE_CHAIN_EXCLUDE = ["involves", "related_to"]
 
 
 def _kg_rules(spark, sf_dir):
@@ -1001,14 +1002,19 @@ def _kg_rules(spark, sf_dir):
     # every rule body would score support 0. The over-degree join
     # guard (nations, classes) fires at this scale, exercising the
     # no-silent-quadratic contract on real data.
-    from simkit_spark.kg import rdfs_entail, rule_mining
+    from simkit_spark.kg import rule_mining
 
-    ent = rdfs_entail(_kg_rel(spark, sf_dir), _KG_ONTOLOGY)
+    ent = _kg_ent(spark, sf_dir)
+    # chain bodies exclude the entailed superproperties: every chain
+    # through involves/related_to is a union of base-predicate chains
+    # (9x the pair space for only-derivable rules) — they still score
+    # as heads and as length-1 bodies, so subsumption rules remain
     return rule_mining(
         ent,
         min_support=KG_RULE_SUPPORT,
         min_confidence=KG_RULE_CONF,
         max_join_degree=KG_RULE_CAP,
+        chain_exclude=KG_RULE_CHAIN_EXCLUDE,
     )
 
 
@@ -1103,6 +1109,58 @@ def _bpe_merges(spark, sf_dir):
     from simkit_spark.functions.text import bpe_train
 
     return bpe_train(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+
+
+def _mst_knn(spark, sf_dir):
+    # minimum spanning forest of the weighted kNN graph (operators.mst,
+    # Borůvka distributed / Kruskal local twin — bit-identical under the
+    # (w, u, v) total order). Rows-only: a SQL MST needs union-find;
+    # content pinned by ROWSONLY_HASHES + the Kruskal==Borůvka parity
+    # tests
+    from simkit_spark.operators.mst import minimum_spanning_forest
+
+    t = _knn_topk(spark, sf_dir)
+    weighted = t.select("src", "dst", F.round("dist", 6).alias("weight"))
+    return minimum_spanning_forest(weighted).select(
+        "u", "v", F.round("weight", 6).alias("weight")
+    )
+
+
+def _densest_rounds(spark, sf_dir):
+    # Bahmani greedy-peeling densest subgraph (operators.densest):
+    # eps=0.5 makes the peel an INTEGER test (d*n > 3m), so the round
+    # trajectory is engine-exact
+    from simkit_spark.operators.densest import densest_subgraph_rounds
+
+    return densest_subgraph_rounds(_knn_edges(spark, sf_dir))
+
+
+def _events_temporal_reach(spark, sf_dir):
+    # time-respecting earliest-arrival reachability over co-occurrence
+    # contacts: users sharing an (event_type, hour bucket) are in
+    # contact at the bucket's END time; static reachability would
+    # ignore causality. Seed = user 0 at t=0.
+    from simkit_spark.functions.events import temporal_reachability
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    occ = ev.select(
+        "user_id", "event_type", (us / F.lit(3_600_000_000)).cast("long").alias("b")
+    )
+    a, b = occ.alias("a"), occ.alias("b")
+    contacts = (
+        a.join(b, ["event_type", "b"])
+        .where(F.col("a.user_id") != F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("src"),
+            F.col("b.user_id").alias("dst"),
+            ((F.col("b") + 1) * F.lit(3_600_000_000)).alias("t"),
+        )
+        .distinct()
+    )
+    return temporal_reachability(contacts, seeds=[0])
 
 
 def _nndescent_knn(spark, sf_dir):
@@ -1525,10 +1583,32 @@ _KG_ONTOLOGY = [
 ]
 
 
-def _kg_rdfs_entail(spark, sf_dir):
-    from simkit_spark.kg import rdfs_entail
+_KG_ENT_CACHE: dict = {}
 
-    return rdfs_entail(_kg_rel(spark, sf_dir), _KG_ONTOLOGY)
+
+def _kg_ent(spark, sf_dir):
+    """RDFS-entailed KG, materialized ONCE per (session, sf_dir) — the
+    same stage-table amortization as _kg_rel: kg_rdfs_entail and
+    kg_rules both consume it, and the entailment (3 joins + union +
+    distinct over the full triple stream) costs seconds at sf0.1 that
+    would otherwise be re-paid per consumer run."""
+    from simkit_spark.kg import rdfs_entail
+    from simkit_spark.util import materialize
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    hit = _KG_ENT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for stale in [k2 for k2 in _KG_ENT_CACHE if k2[0] != app]:
+        del _KG_ENT_CACHE[stale]
+    ent = materialize(rdfs_entail(_kg_rel(spark, sf_dir), _KG_ONTOLOGY))
+    _KG_ENT_CACHE[key] = ent
+    return ent
+
+
+def _kg_rdfs_entail(spark, sf_dir):
+    return _kg_ent(spark, sf_dir)
 
 
 def _kg_sameas(spark, sf_dir):
@@ -1753,6 +1833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_knn": _scc_knn,
         "kcenter_sample": _kcenter_sample,
         "bpe_merges": _bpe_merges,
+        "mst_knn": _mst_knn,
+        "densest_rounds": _densest_rounds,
+        "events_temporal_reach": _events_temporal_reach,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4 queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
@@ -3720,6 +3803,8 @@ LEFT JOIN canon co ON t.obj = co.id"""
 # AMIE-style rule mining (kg.rule_mining) over the RDFS-entailed KG —
 # same/inverse/chain shapes scored by one self-join; the over-degree
 # blacklist mirrors max_join_degree exactly
+_KG_RULES_CHAIN_EXCL = ", ".join(f"'{p}'" for p in KG_RULE_CHAIN_EXCLUDE)
+
 _KG_RULES_SQL = (
     _KG_RDFS_CTES
     + f""",
@@ -3753,9 +3838,11 @@ zdeg AS (SELECT z, count(*) AS d
          GROUP BY z),
 bl AS (SELECT z FROM zdeg WHERE d > {KG_RULE_CAP}),
 lhs AS (SELECT p AS body1, s AS x, o AS z FROM t
-        WHERE o NOT IN (SELECT z FROM bl)),
+        WHERE o NOT IN (SELECT z FROM bl)
+          AND p NOT IN ({_KG_RULES_CHAIN_EXCL})),
 rhs AS (SELECT p AS body2, s AS z, o AS y FROM t
-        WHERE s NOT IN (SELECT z FROM bl)),
+        WHERE s NOT IN (SELECT z FROM bl)
+          AND p NOT IN ({_KG_RULES_CHAIN_EXCL})),
 chain_b AS (SELECT DISTINCT body1, body2, x, y
             FROM lhs JOIN rhs ON lhs.z = rhs.z),
 chain_bs AS (SELECT body1, body2, count(*) AS body_size FROM chain_b
@@ -3942,6 +4029,58 @@ def _bpe_sql(k=BPE_MERGES):
         )
         sel.append(f"SELECT CAST({t} AS INT) AS step, lhs, rhs, n FROM m{t}")
     return ", ".join(parts) + " " + " UNION ALL ".join(sel)
+
+
+def _densest_sql(rounds=25):
+    # unrolled Bahmani peel over the canonicalized kNN graph — the
+    # integer test d*n > 3*m makes every round engine-exact
+    parts = [
+        "WITH "
+        + _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"]).lstrip().removeprefix("WITH ")
+        + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+knn AS (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+e1 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       FROM knn WHERE src <> dst)"""
+    ]
+    sel = []
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""deg{t} AS MATERIALIZED (SELECT id, count(*) AS d FROM
+  (SELECT u AS id FROM e{t} UNION ALL SELECT v AS id FROM e{t}) x GROUP BY id)"""
+        )
+        parts.append(
+            f"st{t} AS MATERIALIZED (SELECT (SELECT count(*) FROM deg{t}) AS n, (SELECT count(*) FROM e{t}) AS m)"
+        )
+        parts.append(
+            f"keep{t} AS MATERIALIZED (SELECT deg{t}.id FROM deg{t}, st{t} WHERE d * n > 3 * m)"
+        )
+        parts.append(
+            f"e{t + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{t} e JOIN keep{t} ka ON e.u = ka.id JOIN keep{t} kb ON e.v = kb.id)"
+        )
+        sel.append(
+            f"SELECT CAST({t} AS INT) AS round, n AS n_nodes, m AS n_edges, "
+            f"round(CAST(m AS DOUBLE) / nullif(n, 0), 6) AS density FROM st{t} WHERE m > 0"
+        )
+    return ", ".join(parts) + " " + " UNION ALL ".join(sel)
+
+
+# time-respecting earliest arrival from user 0 over (event_type, hour)
+# co-occurrence contacts — recursive closure on (node, time) states,
+# nondecreasing contact times enforce causality
+_TEMPORAL_REACH_SQL = """
+WITH RECURSIVE ev AS (SELECT user_id, event_type,
+       epoch_us(ts) // 3600000000 AS b FROM events),
+co AS (SELECT DISTINCT a.user_id AS src, e2.user_id AS dst,
+              (a.b + 1) * 3600000000 AS t
+       FROM ev a JOIN ev e2 ON a.event_type = e2.event_type AND a.b = e2.b
+       WHERE a.user_id <> e2.user_id),
+r(id, t) AS (
+  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS t
+  UNION
+  SELECT c.dst, c.t FROM r JOIN co c ON c.src = r.id AND c.t >= r.t
+)
+SELECT id, CAST(min(t) AS BIGINT) AS arrival FROM r GROUP BY id"""
 
 
 def _transe_c(ent: str) -> str:
@@ -4309,6 +4448,8 @@ def oracle_sql() -> dict[str, str]:
         "scc_knn": _SCC_SQL,
         "kcenter_sample": _kcenter_sql(),
         "bpe_merges": _bpe_sql(),
+        "densest_rounds": _densest_sql(),
+        "events_temporal_reach": _TEMPORAL_REACH_SQL,
         # --- driver-green in r3 (rotated to the tail in r4f) ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)

@@ -143,3 +143,73 @@ def cohort_retention(
         )
         .agg(F.count_distinct(F.col("user")).alias("n_users"))
     )
+
+
+def temporal_reachability(
+    contacts: DataFrame,
+    seeds: list,
+    max_sweeps: int = 30,
+) -> DataFrame:
+    """Earliest-arrival time-respecting reachability (contact tracing /
+    information diffusion): over ``contacts`` (src, dst, t int64 —
+    directed contact at time t), a path is valid only if contact times
+    are NON-DECREASING along it; arrival(v) = the earliest t at which v
+    can be reached from any seed. Seeds arrive at t=0 (contacts carry
+    non-negative epoch micros). Returns (id, arrival) for every
+    reachable node, seeds included at arrival 0.
+
+    This is the temporal analogue of BFS — static reachability
+    over-reports on event streams because it ignores causality (an
+    edge that fired BEFORE you arrived cannot transmit).
+
+    Scale shape: label-correcting sweeps (the SSSP pattern) — per sweep
+    one equi-join of the node-sized arrival table into the contact
+    list + a min hash-agg + a full-outer merge (joins only; no Union —
+    the scc.py Catalyst lesson); arrivals only ever decrease and new
+    nodes only ever appear, so convergence is monotone. Runs to
+    fixpoint (the oracle's recursive CTE does too); raises loudly if
+    ``max_sweeps`` rounds don't converge.
+    """
+    if not seeds:
+        raise ValueError("temporal_reachability requires at least one seed")
+    spark = contacts.sparkSession
+    c = contacts.select("src", "dst", F.col("t").cast("long")).localCheckpoint()
+    id_t = c.schema["src"].dataType.simpleString()
+    labels = spark.createDataFrame(
+        [(s, 0) for s in sorted(set(seeds))], schema=f"id {id_t}, arr long"
+    ).localCheckpoint()
+    for _ in range(max_sweeps):
+        inflow = (
+            c.join(
+                labels.select(
+                    F.col("id").alias("src"), F.col("arr").alias("sarr")
+                ),
+                "src",
+            )
+            .where(F.col("t") >= F.col("sarr"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("t").alias("narr"))
+        )
+        nxt = (
+            labels.join(inflow, "id", "full")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce("arr", "narr"), F.coalesce("narr", "arr")
+                ).alias("arr"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.join(
+                labels.withColumnRenamed("arr", "old"), "id", "left"
+            )
+            .where(F.col("old").isNull() | (F.col("arr") < F.col("old")))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            return labels.withColumnRenamed("arr", "arrival")
+    raise RuntimeError(
+        f"temporal reachability did not converge in {max_sweeps} sweeps"
+    )

@@ -1224,6 +1224,7 @@ def rule_mining(
     min_support: int = 10,
     min_confidence: float = 0.05,
     max_join_degree: int = 1000,
+    chain_exclude: list[str] | None = None,
     dp: int = 6,
 ) -> DataFrame:
     """AMIE-style horn-rule mining over the triple table (Galarraga et
@@ -1245,51 +1246,51 @@ def rule_mining(
     rules, filtered to support >= min_support and confidence >=
     min_confidence.
 
-    Scale (10^12-triple regime): everything reduces to ONE self-join.
-    The pair space is deduplicated first; chain bodies come from the
-    obj=subj self-join with the ``max_join_degree`` guard dropping
-    over-degree join entities *before* the quadratic step (the
-    cooccurrence_edges no-silent-quadratic contract — AMIE's
-    functionality pruning plays the same role); body/head sizes are
-    narrow per-predicate aggregates broadcast onto the support stream.
+    ``chain_exclude`` drops predicates from CHAIN BODIES only (they
+    still score as heads and as length-1 bodies). Use it for entailed
+    superproperties (involves, related_to): every chain through a
+    derived predicate is a union of base-predicate chains, so mining
+    them re-derives base rules at multiplied cost — with two derived
+    levels the chain pair space is 9x the base one. This is AMIE's
+    practice of mining over base facts.
+
+    Scale (10^12-triple regime): the chain pair space is
+    sum_z in(z)*out(z) — the irreducible cost of composition mining —
+    and it is traversed SUPPORT-FIRST: the z-join streams straight
+    into the head join and a countDistinct, so the full pair space is
+    never materialized or deduplicated; body sizes (the confidence
+    denominators) are then recomputed only for the few (p1, p2) bodies
+    that survived min_support, over predicate-filtered streams. The
+    ``max_join_degree`` guard drops over-degree join entities before
+    the quadratic step (the cooccurrence_edges no-silent-quadratic
+    contract — AMIE's functionality pruning plays the same role).
     No per-rule iteration: all rules of a shape are scored by one
-    grouped plan, so rule count never multiplies passes over the data.
-    The reference has no rule miner; this is KG-consumption surface
-    beyond parity (SURVEY §2 extension), composing over the same
-    triple model as kg.relational_triples.
+    grouped plan. The reference has no rule miner; this is
+    KG-consumption surface beyond parity (SURVEY §2 extension).
 
     Determinism: counts are exact integers; the two ratios are one
     correctly-rounded double division each (round half-up at ``dp``),
     reproducible bit-exactly by the DuckDB twin.
     """
-    t = triples.select("pred", "subj", "obj").distinct().localCheckpoint()
+    from .util import materialize
+
+    t = materialize(triples.select("pred", "subj", "obj").distinct())
     # head sizes: #distinct pairs per predicate (t is already distinct)
     hsize = t.groupBy("pred").agg(F.count(F.lit(1)).alias("head_size"))
+    head = t.select(
+        F.col("pred").alias("head"),
+        F.col("subj").alias("x"),
+        F.col("obj").alias("y"),
+    )
 
-    def score(body: DataFrame, rule_type: str) -> DataFrame:
-        # body: (body1[, body2], x, y) distinct rows
-        keys = [c for c in body.columns if c.startswith("body")]
-        bsize = body.groupBy(*keys).agg(F.count(F.lit(1)).alias("body_size"))
-        head = t.select(
-            F.col("pred").alias("head"),
-            F.col("subj").alias("x"),
-            F.col("obj").alias("y"),
-        )
-        sup = (
-            body.join(head, ["x", "y"])
-            .groupBy(*keys, "head")
-            .agg(F.count(F.lit(1)).alias("support"))
-            .where(F.col("support") >= min_support)
-        )
-        out = (
+    def finish(sup: DataFrame, bsize: DataFrame, keys: list[str], rule_type: str) -> DataFrame:
+        return (
             sup.join(F.broadcast(bsize), keys)
-            .join(
-                F.broadcast(hsize.withColumnRenamed("pred", "head")), "head"
-            )
+            .join(F.broadcast(hsize.withColumnRenamed("pred", "head")), "head")
             .select(
                 F.lit(rule_type).alias("rule_type"),
                 F.col("body1"),
-                (F.col("body2") if "body2" in body.columns else F.lit(None).cast("string")).alias("body2"),
+                (F.col("body2") if "body2" in keys else F.lit(None).cast("string")).alias("body2"),
                 "head",
                 "support",
                 "body_size",
@@ -1299,7 +1300,18 @@ def rule_mining(
             )
             .where(F.col("confidence") >= min_confidence)
         )
-        return out
+
+    def score_simple(body: DataFrame, rule_type: str) -> DataFrame:
+        # length-1 bodies are pure renames of the distinct t: body
+        # pairs are already deduplicated, sizes are one count each
+        bsize = body.groupBy("body1").agg(F.count(F.lit(1)).alias("body_size"))
+        sup = (
+            body.join(head, ["x", "y"])
+            .groupBy("body1", "head")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= min_support)
+        )
+        return finish(sup, bsize, ["body1"], rule_type)
 
     same = t.select(
         F.col("pred").alias("body1"), F.col("subj").alias("x"), F.col("obj").alias("y")
@@ -1317,22 +1329,41 @@ def rule_mining(
         .agg(F.count(F.lit(1)).alias("d"))
         .where(F.col("d") > max_join_degree)
     )
-    left = t.select(
+    tc = t
+    if chain_exclude:
+        tc = t.where(~F.col("pred").isin(list(chain_exclude)))
+    left = tc.select(
         F.col("pred").alias("body1"), F.col("subj").alias("x"), F.col("obj").alias("z")
     ).join(F.broadcast(deg), "z", "left_anti")
-    right = t.select(
+    right = tc.select(
         F.col("pred").alias("body2"), F.col("subj").alias("z"), F.col("obj").alias("y")
     ).join(F.broadcast(deg), "z", "left_anti")
-    chain = (
+    # support-first: the z-join streams into the head join + one
+    # countDistinct — the pair space is never materialized; duplicate
+    # (x, y) witnesses (several z on the same pair) collapse in the agg
+    chain_sup = materialize(
         left.join(right, "z")
-        .select("body1", "body2", "x", "y")
-        .distinct()
+        .join(head, ["x", "y"])
+        .groupBy("body1", "body2", "head")
+        .agg(F.count_distinct(F.col("x"), F.col("y")).alias("support"))
+        .where(F.col("support") >= min_support)
     )
-    scored_same = score(
-        same.distinct(), "same"
-    ).where(F.col("body1") != F.col("head"))
-    scored_inv = score(inv.distinct(), "inverse")
-    scored_chain = score(chain, "chain")
+    surv = chain_sup.select("body1", "body2").distinct()
+    left_s = left.join(
+        F.broadcast(surv.select("body1").distinct()), "body1", "leftsemi"
+    )
+    right_s = right.join(
+        F.broadcast(surv.select("body2").distinct()), "body2", "leftsemi"
+    )
+    chain_bsize = (
+        left_s.join(right_s, "z")
+        .join(F.broadcast(surv), ["body1", "body2"], "leftsemi")
+        .groupBy("body1", "body2")
+        .agg(F.count_distinct(F.col("x"), F.col("y")).alias("body_size"))
+    )
+    scored_same = score_simple(same, "same").where(F.col("body1") != F.col("head"))
+    scored_inv = score_simple(inv, "inverse")
+    scored_chain = finish(chain_sup, chain_bsize, ["body1", "body2"], "chain")
     return scored_same.unionByName(scored_inv).unionByName(scored_chain)
 
 

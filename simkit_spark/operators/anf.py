@@ -53,6 +53,7 @@ def neighborhood_function(
     local_threshold: int | None = None,
     p: int = 6,
     seed: int = 42,
+    max_local_nodes: int = 20_000,
 ) -> DataFrame:
     """(h, n_pairs, frac) for h = 0..max_h over the UNDIRECTED graph
     (edges are symmetrized; self-pairs count at h=0). ``frac`` =
@@ -65,7 +66,11 @@ def neighborhood_function(
         local_threshold = local_dispatch_rows(e.schema)
     n_edges = e.count()
     spark = edges.sparkSession
-    if n_edges <= local_threshold:
+    # the exact path holds n^2 BITS on the driver: edge count alone
+    # doesn't bound that (a 300k-edge graph can have 60k nodes = 450 MB
+    # of bitsets), so the dispatch is also node-capped
+    n_nodes = e.select("src").distinct().count()
+    if n_edges <= local_threshold and n_nodes <= max_local_nodes:
         import numpy as np
         import pandas as pd
 
@@ -76,15 +81,24 @@ def neighborhood_function(
         n = len(ids)
         rows = []
         if n:
-            a = np.zeros((n, n), dtype=bool)
+            # bitset rows (uint64 words) + bitwise_or scatter: each
+            # sweep is O(E * n/64) word-ops — a dense bool matmul is
+            # O(n^3) and took ~19 s at n=5000 where this takes ~0.1 s
+            words = (n + 63) // 64
             si = np.searchsorted(ids, pdf["src"].values)
             di = np.searchsorted(ids, pdf["dst"].values)
-            a[si, di] = True
-            reach = np.eye(n, dtype=bool)
+            reach = np.zeros((n, words), dtype=np.uint64)
+            ar = np.arange(n)
+            reach[ar, ar // 64] |= np.uint64(1) << (ar % 64).astype(np.uint64)
+            pop = np.array(
+                [bin(i).count("1") for i in range(256)], dtype=np.int64
+            )
             rows.append((0, n, round(n / float(n * n), 6)))
             for h in range(1, max_h + 1):
-                reach = reach | (reach @ a)
-                c = int(reach.sum())
+                nxt = reach.copy()
+                np.bitwise_or.at(nxt, si, reach[di])
+                reach = nxt
+                c = int(pop[reach.view(np.uint8)].sum())
                 rows.append((h, c, round(c / float(n * n), 6)))
         res = pd.DataFrame(rows, columns=["h", "n_pairs", "frac"])
         return spark.createDataFrame(

@@ -228,6 +228,18 @@ AUDITED = {
     "VOCABULARY table only, so round cost is independent of corpus size; "
     "top pair via distributed TakeOrdered, rewrite is one codegen "
     "regexp_replace",
+    "mst_knn": "size-dispatched: sf0.01 runs the Kruskal local twin "
+    "(scan-only); distributed Borůvka = per round ONE min-struct hash agg "
+    "over the label-decorated edge list + CC over the COMPONENT-sized "
+    "chosen-edge graph — edge rows only ever stream through equi-joins",
+    "densest_rounds": "per peel round ONE degree hash-agg + two semi-joins; "
+    "the d*n > 3m test is all-integer (no float density in any comparison); "
+    "edge set shrinks geometrically so total work is O(m log n)",
+    "events_temporal_reach": "contacts from an (event_type, hour-bucket) "
+    "equi-self-join (group-bounded, never all-pairs); arrival sweeps are "
+    "the SSSP shape — node-sized label table joins the contact list, min "
+    "hash-agg, full-outer merge; joins only, no Union (the scc Catalyst "
+    "lesson)",
 }
 
 

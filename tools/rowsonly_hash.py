@@ -34,6 +34,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_HASH_SF_DIR", "/root/testdata/sf0.01")
 # connected_components_eps / dbscan / neardup_resolve graduated to full
 # DuckDB oracles (recursive-CTE transitive closure) and left this list.
 ROWS_ONLY = [
+    "mst_knn",
     "spectral_embedding",
     "kmeans_clusters",
     "kg_triples",
