@@ -1163,6 +1163,21 @@ def _events_temporal_reach(spark, sf_dir):
     return temporal_reachability(contacts, seeds=[0])
 
 
+KATZ_ITER = 8
+
+
+def _katz_knn(spark, sf_dir):
+    # Katz centrality over the directed kNN graph: truncated
+    # attenuated-walk counts (beta=0.05, 8 sweeps) under the pagerank
+    # exact-integer sweep contract — complements PageRank (no
+    # out-degree normalization) and HITS (single score)
+    from simkit_spark.operators.pagerank import katz_auto
+
+    return katz_auto(
+        _knn_edges(spark, sf_dir).select("src", "dst"), n_iter=KATZ_ITER
+    )
+
+
 def _nndescent_knn(spark, sf_dir):
     from simkit_spark.operators.nndescent import nn_descent
 
@@ -1836,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mst_knn": _mst_knn,
         "densest_rounds": _densest_rounds,
         "events_temporal_reach": _events_temporal_reach,
+        "katz_knn": _katz_knn,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4 queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
@@ -4083,6 +4099,40 @@ r(id, t) AS (
 SELECT id, CAST(min(t) AS BIGINT) AS arrival FROM r GROUP BY id"""
 
 
+def _katz_sql(n_iter=None):
+    """Unrolled Katz sweeps over the kNN edge list — the _pagerank_sql
+    skeleton minus out-degree division and dangling mass; identical
+    fixed-order float update, so doubles match bit-for-bit."""
+    from simkit_spark.operators.pagerank import KATZ_BETA, KATZ_ITER_DP
+
+    if n_iter is None:
+        n_iter = KATZ_ITER
+    scale = float(10**KATZ_ITER_DP)
+    inv = 1.0 / scale
+    head = (
+        _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"])
+        + f""",
+rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+e AS MATERIALIZED (SELECT src, dst FROM rk WHERE rank <= {KNN_K}),
+pn AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+r0 AS MATERIALIZED (SELECT id, {int(scale)}::BIGINT AS x_i FROM pn)"""
+    )
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f""",
+c{i} AS (SELECT e.dst AS id, sum(r.x_i)::BIGINT AS inflow_i
+  FROM e JOIN r{p} r ON e.src = r.id GROUP BY e.dst),
+r{i} AS MATERIALIZED (SELECT p.id, floor((
+    1.0 + {KATZ_BETA!r}::DOUBLE * (coalesce(c.inflow_i, 0)::DOUBLE * {inv!r})
+  ) * {scale!r} + 0.5)::BIGINT AS x_i
+  FROM pn p LEFT JOIN c{i} c ON p.id = c.id)"""
+        )
+    parts.append(f"\nSELECT id, x_i::DOUBLE * {inv!r} AS katz FROM r{n_iter}")
+    return "".join(parts)
+
+
 def _transe_c(ent: str) -> str:
     # one integer embedding component: md5(ent:d:42) mod 1000 — mirrors
     # kg._hash_embedding (dim index d comes from the dims CTE)
@@ -4450,6 +4500,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_sql(),
         "densest_rounds": _densest_sql(),
         "events_temporal_reach": _TEMPORAL_REACH_SQL,
+        "katz_knn": _katz_sql(),
         # --- driver-green in r3 (rotated to the tail in r4f) ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)

@@ -552,3 +552,126 @@ def weighted_pagerank_auto(
         for i, rv in zip(ids, (rank_i.astype(np.float64) * inv).tolist())
     ]
     return spark.createDataFrame(rows, f"id {id_t}, rank double")
+
+
+KATZ_BETA = 0.05
+KATZ_ITER_DP = 9
+
+
+def katz_centrality(
+    edges: DataFrame,
+    n_iter: int = 8,
+    beta: float = KATZ_BETA,
+    iter_dp: int = KATZ_ITER_DP,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Katz centrality by fixed truncated sweeps of
+    x <- 1 + beta * A^T x (x_0 = 1): x(v) counts incoming walks of
+    every length <= n_iter, geometrically attenuated by beta — unlike
+    PageRank it does NOT normalize by out-degree, so prolific linkers
+    transfer full influence (the classic sociometric index; Katz'53).
+
+    Same engine-parity contract as pagerank: int64 numerators at scale
+    10**iter_dp, exact integer inflow sums, and a fixed-order float
+    update floor((1.0 + beta * (inflow * inv)) * scale + 0.5) mirrored
+    verbatim by the DuckDB twin and the numpy twin. Keep
+    beta * max_in_degree modest: values grow geometrically when
+    beta * lambda_max >= 1, and the truncated sum is still
+    well-defined but the int64 numerators must stay under 2^53 for the
+    float64 aggregation paths (beta=0.05, dp=9 gives ~3 orders of
+    headroom on degree <= 50 graphs).
+
+    Scale: identical sweep shape to pagerank minus the out-degree join
+    and the dangling pass — sorted-once persisted edge layout, per
+    sweep one node-sized rank shuffle in + one hash-agg out.
+    """
+    id_t = edges.schema["src"].dataType.simpleString()
+    e = edges.select("src", "dst").repartition("src").persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame([], f"id {id_t}, katz double")
+    ed = e.sortWithinPartitions("src").persist()
+    ed.count()
+    e.unpersist()
+    scale = 10**iter_dp
+    inv = 1.0 / float(scale)
+    ranks = nodes.select("id", F.lit(int(scale)).cast("long").alias("x_i"))
+    for i in range(n_iter):
+        src_rank = ranks.select(
+            F.col("id").alias("src"), F.col("x_i").alias("sx_i")
+        )
+        inflow = (
+            ed.join(src_rank, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("sx_i").alias("inflow_i"))
+        )
+        ranks = (
+            nodes.join(inflow.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                _rank_expr(
+                    F.lit(1.0)
+                    + F.lit(beta)
+                    * (
+                        F.coalesce(F.col("inflow_i"), F.lit(0)).cast("double")
+                        * F.lit(inv)
+                    ),
+                    scale,
+                ).cast("long").alias("x_i"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint()
+    nodes.unpersist()
+    ed.unpersist()
+    return ranks.select("id", (F.col("x_i").cast("double") * F.lit(inv)).alias("katz"))
+
+
+def katz_auto(
+    edges: DataFrame,
+    n_iter: int = 8,
+    beta: float = KATZ_BETA,
+    iter_dp: int = KATZ_ITER_DP,
+    local_threshold: int | None = None,
+) -> DataFrame:
+    """Size-dispatched Katz (the pagerank_auto contract): numpy twin
+    under one Arrow collect below ``local_threshold`` edges —
+    bit-identical to the distributed loop (same integer numerators,
+    same fixed-order float update) — else the distributed sweeps."""
+    import numpy as np
+
+    e = edges.select("src", "dst").localCheckpoint()
+    if local_threshold is None:
+        local_threshold = local_dispatch_rows(e.schema)
+    if e.count() > local_threshold:
+        return katz_centrality(e, n_iter=n_iter, beta=beta, iter_dp=iter_dp)
+    import pandas as pd
+
+    pdf = e.toPandas()
+    spark = edges.sparkSession
+    id_t = e.schema["src"].dataType.simpleString()
+    if not len(pdf):
+        return spark.createDataFrame([], f"id {id_t}, katz double")
+    ids = np.unique(np.concatenate([pdf["src"].values, pdf["dst"].values]))
+    n = len(ids)
+    src = np.searchsorted(ids, pdf["src"].values)
+    dst = np.searchsorted(ids, pdf["dst"].values)
+    scale = 10**iter_dp
+    inv = 1.0 / float(scale)
+    x_i = np.full(n, int(scale), dtype=np.int64)
+    for _ in range(n_iter):
+        inflow = np.zeros(n, dtype=np.int64)
+        np.add.at(inflow, dst, x_i[src])
+        x_i = np.floor(
+            (1.0 + beta * (inflow.astype(np.float64) * inv)) * float(scale) + 0.5
+        ).astype(np.int64)
+    res = pd.DataFrame({"id": ids.tolist(), "katz": (x_i * inv).tolist()})
+    return spark.createDataFrame(res, schema=f"id {id_t}, katz double")

@@ -355,3 +355,63 @@ def test_weighted_pagerank_auto_forced_distributed(spark):
     a = sorted(map(tuple, weighted_pagerank_auto(df, 5, local_threshold=0).collect()))
     b = sorted(map(tuple, weighted_pagerank_auto(df, 5).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------- katz
+def test_katz_closed_form_star(spark):
+    # star: 1..4 -> 0. x(0) after k sweeps = truncated sum
+    # 1 + 4*beta*(1 + 4*beta*(...)) with leaf x = 1 each sweep
+    from simkit_spark.operators.pagerank import katz_auto
+
+    e = spark.createDataFrame([(i, 0) for i in range(1, 5)], "src long, dst long")
+    got = {r["id"]: r["katz"] for r in katz_auto(e, n_iter=3, beta=0.05).collect()}
+    # leaves have no inflow: x = 1.0 always
+    for leaf in range(1, 5):
+        assert got[leaf] == 1.0
+    # center fixpoint after sweep 1: x = 1 + beta*4 quantized by the
+    # int64 contract (0.05*4 is not exactly 0.2 in binary — compare
+    # against the replicated formula, not the decimal literal)
+    import math
+
+    scale = 10**9
+    exp = math.floor((1.0 + 0.05 * (4 * scale * 1e-9)) * float(scale) + 0.5) * 1e-9
+    assert got[0] == exp
+
+
+def test_katz_local_distributed_bit_parity(spark):
+    import hashlib
+
+    from simkit_spark.operators.pagerank import katz_auto
+
+    n = 60
+    edges = [(i, (i * 3 + 1) % n) for i in range(n)] + [
+        (i, int(hashlib.md5(f"k{i}".encode()).hexdigest()[:4], 16) % n)
+        for i in range(n)
+    ]
+    e = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    loc = sorted(tuple(r) for r in katz_auto(e, n_iter=6).collect())
+    dist = sorted(
+        tuple(r) for r in katz_auto(e, n_iter=6, local_threshold=0).collect()
+    )
+    assert loc == dist  # bit-identical, not approximately
+
+
+def test_katz_string_ids_and_empty(spark):
+    from simkit_spark.operators.pagerank import katz_auto
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    import math
+
+    scale = 10**9
+    got = {r["id"]: r["katz"] for r in katz_auto(e, n_iter=4).collect()}
+    assert got["a"] == 1.0
+    xb = math.floor((1.0 + 0.05 * (scale * 1e-9)) * float(scale) + 0.5)
+    assert got["b"] == xb * 1e-9
+    xc = math.floor((1.0 + 0.05 * (xb * 1e-9)) * float(scale) + 0.5)
+    assert got["c"] == xc * 1e-9  # 1 + beta*x(b), quantized
+    empty = katz_auto(spark.createDataFrame([], "src long, dst long"))
+    assert empty.count() == 0 and empty.columns == ["id", "katz"]
