@@ -1178,6 +1178,19 @@ def _katz_knn(spark, sf_dir):
     )
 
 
+OPH_BINS = 64
+
+
+def _oph_signatures(spark, sf_dir):
+    # one-permutation-hashing minhash (dedup.oph_signatures): ONE md5
+    # per shingle vs 16 re-mixes in minhash_signatures — the hash-
+    # compute scale path; forward-densified with the rotation
+    # tie-breaker, bit-exact twin
+    from simkit_spark.functions.dedup import oph_signatures
+
+    return oph_signatures(_docs(spark, sf_dir), m=OPH_BINS)
+
+
 def _nndescent_knn(spark, sf_dir):
     from simkit_spark.operators.nndescent import nn_descent
 
@@ -1852,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_rounds": _densest_rounds,
         "events_temporal_reach": _events_temporal_reach,
         "katz_knn": _katz_knn,
+        "oph_signatures": _oph_signatures,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4 queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
@@ -4133,6 +4147,32 @@ r{i} AS MATERIALIZED (SELECT p.id, floor((
     return "".join(parts)
 
 
+# OPH minhash with forward densification — one md5 per shingle, bin =
+# h % m, in-bin value = h // m, empty bins borrow forward circularly
+# (+distance); mirrors dedup.oph_signatures bit-for-bit
+def _oph_sql(m=OPH_BINS):
+    return f"""
+WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+hv AS (SELECT doc_id, {_MD5_LONG.format(arg="shingle")} AS h FROM sh),
+mins AS (SELECT doc_id, h % {m} AS bin, min(h // {m}) AS sig0
+         FROM hv GROUP BY doc_id, h % {m}),
+dd2 AS (SELECT DISTINCT doc_id FROM documents),
+grid AS (SELECT d.doc_id, g.b AS bin FROM dd2 d, generate_series(0, {m - 1}) g(b)),
+g AS (SELECT grid.doc_id, grid.bin, mins.sig0
+      FROM grid LEFT JOIN mins ON grid.doc_id = mins.doc_id AND grid.bin = mins.bin),
+dbl AS (SELECT doc_id, bin, sig0, bin AS i FROM g
+        UNION ALL SELECT doc_id, bin, sig0, bin + {m} AS i FROM g),
+f AS (SELECT doc_id, bin, i, sig0,
+             first_value(sig0 IGNORE NULLS) OVER w AS nv,
+             first_value(CASE WHEN sig0 IS NOT NULL THEN i END IGNORE NULLS) OVER w AS ni
+      FROM dbl
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT doc_id, bin::BIGINT AS bin,
+       CAST(coalesce(sig0, nv + (ni - i)) AS BIGINT) AS sig
+FROM f WHERE i < {m}"""
+
+
 def _transe_c(ent: str) -> str:
     # one integer embedding component: md5(ent:d:42) mod 1000 — mirrors
     # kg._hash_embedding (dim index d comes from the dims CTE)
@@ -4501,6 +4541,7 @@ def oracle_sql() -> dict[str, str]:
         "densest_rounds": _densest_sql(),
         "events_temporal_reach": _TEMPORAL_REACH_SQL,
         "katz_knn": _katz_sql(),
+        "oph_signatures": _oph_sql(),
         # --- driver-green in r3 (rotated to the tail in r4f) ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)

@@ -343,3 +343,79 @@ def duplicate_spans(
             F.col("_did").alias(id_col), "span_start", "span_end", "n_windows"
         )
     )
+
+
+def oph_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    m: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One-Permutation-Hashing MinHash with forward densification
+    (Li/Owen/Zhang NIPS'12; Shrivastava/Li ICML'14): ONE hash per
+    (doc, shingle) — the hash's low bits pick one of ``m`` bins, its
+    high bits compete for the bin minimum — instead of re-mixing every
+    shingle ``m`` times. At 100 TB that k-fold saving is the
+    difference between one pass and k passes' worth of hash compute;
+    the bin minima are provably as accurate as k classic minhashes for
+    Jaccard estimation once empty bins are densified.
+
+    Empty bins borrow the value of the FIRST NON-EMPTY bin scanning
+    forward circularly, plus the scan distance (the rotation
+    tie-breaker of improved densification — without it, two docs with
+    the same lone filled bin would agree on every borrowed bin).
+
+    Returns (doc_id, bin 0..m-1, sig) — m rows per doc, directly
+    band-able by the existing LSH machinery.
+
+    Scale shape: one explode + ONE md5 per shingle, one
+    (doc, bin)-keyed min agg (map-side partials), then a per-doc
+    window over a doubled 2m-row bin grid for the circular forward
+    fill — partitions are m-bounded, never corpus-bounded.
+    Deterministic end-to-end (md5 family + integer arithmetic), so the
+    DuckDB twin is bit-exact.
+    """
+    from pyspark.sql import Window
+
+    if m < 2:
+        raise ValueError(f"m must be >= 2, got {m}")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
+    ).select("doc_id", _md5_long(F.col("shingle")).alias("h"))
+    mins = (
+        sh.select("doc_id", (F.col("h") % m).alias("bin"), (F.col("h") / F.lit(m)).cast("long").alias("v"))
+        .groupBy("doc_id", "bin")
+        .agg(F.min("v").alias("sig0"))
+    )
+    grid = docs.select("doc_id").distinct().select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bin")
+    )
+    g = grid.join(mins, ["doc_id", "bin"], "left")
+    dbl = g.select("doc_id", "bin", "sig0", F.col("bin").alias("i")).unionByName(
+        g.select("doc_id", "bin", "sig0", (F.col("bin") + m).alias("i"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = dbl.select(
+        "doc_id",
+        "bin",
+        "i",
+        "sig0",
+        F.first("sig0", ignorenulls=True).over(w).alias("nv"),
+        F.first(
+            F.when(F.col("sig0").isNotNull(), F.col("i")), ignorenulls=True
+        ).over(w).alias("ni"),
+    )
+    return (
+        filled.where(F.col("i") < m)
+        .select(
+            "doc_id",
+            F.col("bin").cast("long").alias("bin"),
+            F.coalesce(
+                F.col("sig0"), F.col("nv") + (F.col("ni") - F.col("i"))
+            ).cast("long").alias("sig"),
+        )
+    )

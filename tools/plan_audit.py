@@ -240,6 +240,14 @@ AUDITED = {
     "the SSSP shape — node-sized label table joins the contact list, min "
     "hash-agg, full-outer merge; joins only, no Union (the scc Catalyst "
     "lesson)",
+    "katz_knn": "size-dispatched: sf0.01 runs the numpy twin (scan-only); "
+    "distributed sweeps are the pagerank shape minus the out-degree join "
+    "and dangling pass — sorted-once persisted edge layout, per sweep one "
+    "node-sized rank shuffle + one hash agg",
+    "oph_signatures": "ONE md5 per shingle (vs k re-mixes in classic "
+    "minhash); (doc, bin)-keyed min agg with map-side partials; the "
+    "densification window is per-doc over a 2m-row grid — m-bounded "
+    "partitions, never corpus-bounded",
 }
 
 
