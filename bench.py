@@ -118,6 +118,11 @@ HEADLINE = [
     "scc_knn",
     "kcenter_sample",
     "bpe_merges",
+    "mst_knn",
+    "densest_rounds",
+    "events_temporal_reach",
+    "katz_knn",
+    "oph_signatures",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))
