@@ -1314,6 +1314,24 @@ def _harmonic_knn(spark, sf_dir):
     return harmonic_centrality(edges, max_hops=HC_HOPS, n_sources=HC_SOURCES)
 
 
+STRESS_HOPS = 6
+STRESS_SOURCES = 64
+
+
+def _stress_knn(spark, sf_dir):
+    # bounded stress centrality (operators.centrality.stress_centrality)
+    # — the all-integer betweenness-family member: #shortest paths
+    # (<= STRESS_HOPS, from the md5-sampled sources) through each node
+    # as an intermediate; sigma*continuations per the Brandes
+    # decomposition, exact integers both engines
+    from simkit_spark.operators.centrality import stress_centrality
+
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    return stress_centrality(
+        edges, max_hops=STRESS_HOPS, n_sources=STRESS_SOURCES
+    )
+
+
 def _bm25_topk(spark, sf_dir):
     from simkit_spark.functions.text import bm25_topk
 
@@ -1884,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_temporal_reach": _events_temporal_reach,
         "katz_knn": _katz_knn,
         "oph_signatures": _oph_signatures,
+        "stress_knn": _stress_knn,
         # --- rotated out of the 50-entry window to admit the newest
         # round-4 queries: driver-green in r3 AND in the r4a full
         # sweep, implementations untouched since ---
@@ -4191,6 +4210,64 @@ SELECT doc_id, bin::BIGINT AS bin,
 FROM f WHERE i < {m}"""
 
 
+def _stress_sql(hops=None, k=None):
+    """Bounded stress centrality as unrolled level CTEs (forward sigma
+    per level with a NOT-EXISTS visited guard, backward continuation
+    counts), mirroring operators/centrality.stress_centrality — all
+    integers, bit-exact. MATERIALIZED throughout (the CTE-pyramid
+    inlining lesson)."""
+    if hops is None:
+        hops = STRESS_HOPS
+    if k is None:
+        k = STRESS_SOURCES
+    parts = [
+        _sym_knn_edges_head()
+        + f""",
+nd AS MATERIALIZED (SELECT DISTINCT a AS id FROM e),
+srcs AS (SELECT id FROM nd
+         ORDER BY CAST(concat('0x', substring(md5(concat_ws(':', '42', id)), 1, 8)) AS BIGINT) ASC, id ASC
+         LIMIT {k}),
+l0 AS MATERIALIZED (SELECT id AS src, id AS node, 1::BIGINT AS sigma FROM srcs),
+vis0 AS MATERIALIZED (SELECT src, node FROM l0)"""
+    ]
+    for h in range(1, hops + 1):
+        p = h - 1
+        parts.append(
+            f""",
+l{h} AS MATERIALIZED (SELECT l.src, e.b AS node, CAST(sum(l.sigma) AS BIGINT) AS sigma
+  FROM l{p} l JOIN e ON e.a = l.node
+  WHERE NOT EXISTS (SELECT 1 FROM vis{p} v WHERE v.src = l.src AND v.node = e.b)
+  GROUP BY l.src, e.b),
+vis{h} AS MATERIALIZED (SELECT src, node FROM vis{p}
+  UNION ALL SELECT src, node FROM l{h})"""
+        )
+    parts.append(
+        f""",
+n{hops} AS MATERIALIZED (SELECT src, node, sigma, 0::BIGINT AS n FROM l{hops})"""
+    )
+    for h in range(hops - 1, 0, -1):
+        parts.append(
+            f""",
+s{h} AS (SELECT l.src, l.node, CAST(sum(1 + n.n) AS BIGINT) AS n
+  FROM l{h} l JOIN e ON e.a = l.node
+  JOIN n{h + 1} n ON n.src = l.src AND n.node = e.b
+  GROUP BY l.src, l.node),
+n{h} AS MATERIALIZED (SELECT l.src, l.node, l.sigma, coalesce(s.n, 0)::BIGINT AS n
+  FROM l{h} l LEFT JOIN s{h} s ON s.src = l.src AND s.node = l.node)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT node, sigma * n AS c FROM n{h}" for h in range(1, hops + 1)
+    )
+    parts.append(
+        f""",
+allc AS ({unions}),
+ag AS (SELECT node, CAST(sum(c) AS BIGINT) AS stress FROM allc GROUP BY node)
+SELECT nd.id, coalesce(ag.stress, 0)::BIGINT AS stress
+FROM nd LEFT JOIN ag ON ag.node = nd.id"""
+    )
+    return "".join(parts)
+
+
 def _transe_c(ent: str) -> str:
     # one integer embedding component: md5(ent:d:42) mod 1000 — mirrors
     # kg._hash_embedding (dim index d comes from the dims CTE)
@@ -4560,6 +4637,7 @@ def oracle_sql() -> dict[str, str]:
         "events_temporal_reach": _TEMPORAL_REACH_SQL,
         "katz_knn": _katz_sql(),
         "oph_signatures": _oph_sql(),
+        "stress_knn": _stress_sql(),
         # --- driver-green in r3 (rotated to the tail in r4f) ---
         # fixed-iteration PageRank: unrolled-CTE power sweeps over
         # exact-integer rank numerators (bit parity, no rounding)

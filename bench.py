@@ -123,6 +123,7 @@ HEADLINE = [
     "events_temporal_reach",
     "katz_knn",
     "oph_signatures",
+    "stress_knn",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

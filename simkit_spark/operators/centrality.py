@@ -106,3 +106,130 @@ def harmonic_centrality(
     )
     e.unpersist()
     return out
+
+
+def stress_centrality(
+    edges: DataFrame,
+    max_hops: int = 8,
+    n_sources: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Bounded stress centrality (Shimbel'53) — the all-integer member
+    of the betweenness family: stress(v) = the NUMBER of shortest
+    paths (from the sampled sources, length 1..max_hops, over the
+    undirected graph) that pass through v as an intermediate node.
+    Betweenness proper sums sigma_st(v)/sigma_st fractions whose
+    float accumulation order is engine-dependent; the unnormalized
+    count is exact-integer end to end, so the DuckDB twin matches
+    bit-for-bit — same determinism trade the PageRank family makes.
+
+    Two level-synchronous passes per the Brandes decomposition:
+    forward BFS accumulates sigma(s, v) = #shortest s->v paths per
+    level; backward, N(s, v) = sum over DAG successors w of
+    (1 + N(s, w)) counts the shortest-path continuations below v, and
+    sigma * N is the number of source-paths THROUGH v. Continuations
+    beyond the hop bound are truncated (the bounded_sssp contract).
+
+    Returns (id, stress) for every node (0 when never intermediate).
+
+    Scale: the (source, node) state is |S| * n rows; per level ONE
+    equi-join into the fixed edge layout + one hash agg (forward), and
+    the same backward — the harmonic_centrality frontier shape with an
+    extra integer column. Sources are the md5-deterministic
+    Eppstein-Wang sample (lowest hash, ties by id), n_sources=None
+    uses every node (exact, bounded).
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = (
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .union(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .repartition("a")
+        .sortWithinPartitions("a")
+        .persist()
+    )
+    nodes = e.select(F.col("a").alias("id")).distinct().localCheckpoint()
+    if n_sources is None:
+        srcs = nodes
+    else:
+        srcs = (
+            nodes.orderBy(_md5_rank(F.col("id"), seed).asc(), F.col("id").asc())
+            .limit(n_sources)
+            .select("id")
+        )
+    levels = [
+        materialize(
+            srcs.select(
+                F.col("id").alias("src"),
+                F.col("id").alias("node"),
+                F.lit(1).cast("long").alias("sigma"),
+            )
+        )
+    ]
+    visited = levels[0].select("src", "node")
+    for _ in range(max_hops):
+        nxt = (
+            levels[-1].join(e, levels[-1]["node"] == e["a"])
+            .groupBy("src", F.col("b").alias("node2"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed("node2", "node")
+            .join(visited, ["src", "node"], "left_anti")
+        )
+        nxt = materialize(nxt)
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = materialize(visited.unionByName(nxt.select("src", "node")))
+    # backward: continuations N(s, v); deepest level has none in-bound
+    ndf = levels[-1].select("src", "node", F.lit(0).cast("long").alias("n"))
+    contribs = []
+    if len(levels) > 1:
+        contribs.append(
+            levels[-1].select("node", (F.col("sigma") * F.lit(0)).alias("c"))
+        )
+    for h in range(len(levels) - 2, -1, -1):
+        cur = levels[h]
+        succ_sum = (
+            cur.join(e, cur["node"] == e["a"])
+            .select("src", "node", F.col("b").alias("w"))
+            .join(
+                ndf.select(
+                    "src", F.col("node").alias("w"), F.col("n").alias("nw")
+                ),
+                ["src", "w"],
+            )
+            .groupBy("src", "node")
+            .agg(F.sum(F.lit(1) + F.col("nw")).alias("n"))
+        )
+        ndf = materialize(
+            cur.select("src", "node", "sigma")
+            .join(succ_sum, ["src", "node"], "left")
+            .select("src", "node", "sigma", F.coalesce("n", F.lit(0)).alias("n"))
+        )
+        if h >= 1:  # sources themselves are never intermediates
+            contribs.append(
+                ndf.select("node", (F.col("sigma") * F.col("n")).alias("c"))
+            )
+        ndf = ndf.select("src", "node", "n")
+    out = nodes
+    if contribs:
+        allc = contribs[0]
+        for c in contribs[1:]:
+            allc = allc.unionByName(c)
+        agg = allc.groupBy(F.col("node").alias("id")).agg(
+            F.sum("c").alias("stress")
+        )
+        out = nodes.join(agg, "id", "left").select(
+            "id", F.coalesce("stress", F.lit(0)).cast("long").alias("stress")
+        )
+    else:
+        out = nodes.select("id", F.lit(0).cast("long").alias("stress"))
+    e.unpersist()
+    return out

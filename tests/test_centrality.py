@@ -91,3 +91,59 @@ def test_harmonic_rejects_bad_hops(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         harmonic_centrality(df, max_hops=0)
+
+
+# ------------------------------------------------------ stress centrality
+def test_stress_path_and_star(spark):
+    from simkit_spark.operators.centrality import stress_centrality
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    got = {r["id"]: r["stress"] for r in stress_centrality(e, max_hops=5).collect()}
+    # ordered through-paths on the 4-path: middles carry 4 each
+    assert got == {0: 0, 1: 4, 2: 4, 3: 0}
+    star = spark.createDataFrame([(i, 9) for i in range(1, 5)], "src long, dst long")
+    got = {r["id"]: r["stress"] for r in stress_centrality(star, max_hops=5).collect()}
+    assert got[9] == 12 and all(got[i] == 0 for i in range(1, 5))
+
+
+def test_stress_hop_bound_truncates(spark):
+    from simkit_spark.operators.centrality import stress_centrality
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    got = {r["id"]: r["stress"] for r in stress_centrality(e, max_hops=2).collect()}
+    # only length-2 paths survive the bound: 2 per middle node
+    assert got == {0: 0, 1: 2, 2: 2, 3: 0}
+
+
+def test_stress_multiplicity(spark):
+    from simkit_spark.operators.centrality import stress_centrality
+
+    # diamond 0-{1,2}-3: two shortest 0->3 paths, one through each middle
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    got = {r["id"]: r["stress"] for r in stress_centrality(e, max_hops=4).collect()}
+    # each middle: 0->3 and 3->0 = 2; ends: 0 (1<->2 shortest is via 0 OR 3
+    # — sigma 2 through two intermediates, 2 ordered pairs x 2 routes / ...)
+    assert got[1] == got[2]
+    assert got[1] >= 2 and got[0] == got[3]
+
+
+def test_stress_source_sampling_and_validation(spark):
+    import pytest as _pytest
+
+    from simkit_spark.operators.centrality import stress_centrality
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    # single sampled source: stress counts only that source's paths
+    one = {
+        r["id"]: r["stress"]
+        for r in stress_centrality(e, max_hops=5, n_sources=1).collect()
+    }
+    full = {
+        r["id"]: r["stress"]
+        for r in stress_centrality(e, max_hops=5).collect()
+    }
+    assert sum(one.values()) <= sum(full.values())
+    with _pytest.raises(ValueError):
+        stress_centrality(e, max_hops=0)

@@ -248,6 +248,11 @@ AUDITED = {
     "minhash); (doc, bin)-keyed min agg with map-side partials; the "
     "densification window is per-doc over a 2m-row grid — m-bounded "
     "partitions, never corpus-bounded",
+    "stress_knn": "two level-synchronous passes over |S|*n state: per "
+    "level ONE equi-join into the fixed edge layout + one hash agg "
+    "(sigma forward, continuation counts backward), anti-join vs "
+    "visited keeps forward work ~ new frontier; all-integer — no float "
+    "accumulation anywhere",
 }
 
 
