@@ -369,14 +369,13 @@ def oph_signatures(
     band-able by the existing LSH machinery.
 
     Scale shape: one explode + ONE md5 per shingle, one
-    (doc, bin)-keyed min agg (map-side partials), then a per-doc
-    window over a doubled 2m-row bin grid for the circular forward
-    fill — partitions are m-bounded, never corpus-bounded.
+    (doc, bin)-keyed min agg (map-side partials), then the filled bins
+    collapse to one sorted <=m struct array per doc and every target
+    bin resolves by codegen array logic — no window, no per-row
+    rescans; work per doc is m * |filled| <= m^2 scalar ops.
     Deterministic end-to-end (md5 family + integer arithmetic), so the
     DuckDB twin is bit-exact.
     """
-    from pyspark.sql import Window
-
     if m < 2:
         raise ValueError(f"m must be >= 2, got {m}")
     sh = docs.select(
@@ -387,35 +386,36 @@ def oph_signatures(
         .groupBy("doc_id", "bin")
         .agg(F.min("v").alias("sig0"))
     )
-    grid = docs.select("doc_id").distinct().select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bin")
+    # densification WITHOUT a window: the filled bins collapse to one
+    # sorted <=m-element struct array per doc, and every target bin
+    # resolves by branch-free array logic (first filled >= b, else
+    # wrap to the first filled overall, + scan distance). The naive
+    # current-row->unbounded-following IGNORE NULLS window re-scanned
+    # up to 2m rows per row (O(m^2) per doc — measured ~12 s at sf0.1
+    # vs ~2 s for this form); per-row work here is one filter over a
+    # <=m array in whole-stage codegen. Docs with no shingles cannot
+    # occur (empty text still yields the '' shingle), so arr is never
+    # empty.
+    arrs = mins.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("bin", "sig0"))).alias("arr")
     )
-    g = grid.join(mins, ["doc_id", "bin"], "left")
-    dbl = g.select("doc_id", "bin", "sig0", F.col("bin").alias("i")).unionByName(
-        g.select("doc_id", "bin", "sig0", (F.col("bin") + m).alias("i"))
+    b = F.col("bin")
+    ge = F.filter(F.col("arr"), lambda x: x["bin"] >= b)
+    hit = F.when(F.size(ge) > 0, F.element_at(ge, 1)).otherwise(
+        F.element_at(F.col("arr"), 1)
     )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    filled = dbl.select(
-        "doc_id",
-        "bin",
-        "i",
-        "sig0",
-        F.first("sig0", ignorenulls=True).over(w).alias("nv"),
-        F.first(
-            F.when(F.col("sig0").isNotNull(), F.col("i")), ignorenulls=True
-        ).over(w).alias("ni"),
-    )
+    dist = F.when(
+        F.size(ge) > 0, F.element_at(ge, 1)["bin"] - b
+    ).otherwise(F.element_at(F.col("arr"), 1)["bin"] + m - b)
     return (
-        filled.where(F.col("i") < m)
+        arrs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bin"),
+            "arr",
+        )
         .select(
             "doc_id",
-            F.col("bin").cast("long").alias("bin"),
-            F.coalesce(
-                F.col("sig0"), F.col("nv") + (F.col("ni") - F.col("i"))
-            ).cast("long").alias("sig"),
+            b.cast("long").alias("bin"),
+            (hit["sig0"] + dist).cast("long").alias("sig"),
         )
     )
