@@ -1808,7 +1808,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3+r4 covers all 84; tools/check_oracle.py sweeps all 76 oracled
     # entries regardless of order.
     return {
-        # --- never driver-checked in r3: 26 oracled ---
+        # DICT ORDER IS THE DRIVER'S COVERAGE SCHEDULE (the driver
+        # verifies exactly the first 50 entries). Rotation schedule —
+        # documented in SURVEY.md §8: r3 checked the original first-50
+        # (kernel/graph/text/curation core), r4 checked the 50 entries
+        # r3 did not, and r5 (this window) checks the 32 entries added
+        # in round 4 that neither r3 nor r4 reached, filling the
+        # remaining 18 slots with the OLDEST green entries (r3's
+        # window, untouched impls). r3+r4+r5 = driver-visible rows for
+        # all 132. tools/check_oracle.py sweeps every oracled entry
+        # regardless of order; tests/test_entry.py pins this window.
+        # --- r5 window head: the 32 queries never driver-checked in r3/r4 ---
+        "interval_overlaps": _interval_overlaps,
+        "sorted_neighborhood": _sorted_neighborhood,
+        "conductance_knn": _conductance_knn,
+        "priority_sample": _priority_sample,
+        "kg_distmult_rank": _kg_distmult_rank,
+        "kmv_distinct": _kmv_distinct,
+        "weighted_pagerank_affinity": _weighted_pagerank_affinity,
+        "attribution_pairs": _attribution_pairs,
+        "events_retention": _events_retention,
+        "cms_counts": _cms_counts,
+        "bloom_semijoin": _bloom_semijoin,
+        "hybrid_rrf": _hybrid_rrf,
+        "ktruss_knn": _ktruss_knn,
+        "mis_knn": _mis_knn,
+        "assortativity_knn": _assortativity_knn,
+        "matching_knn": _matching_knn,
+        "coarsen_knn": _coarsen_knn,
+        "nndescent_knn": _nndescent_knn,
+        "mixture_sample": _mixture_sample,
+        "kg_rules": _kg_rules,
+        "kg_golden": _kg_golden,
+        "hll_distinct": _hll_distinct,
+        "anf_knn": _anf_knn,
+        "scc_knn": _scc_knn,
+        "kcenter_sample": _kcenter_sample,
+        "bpe_merges": _bpe_merges,
+        "mst_knn": _mst_knn,
+        "densest_rounds": _densest_rounds,
+        "events_temporal_reach": _events_temporal_reach,
+        "katz_knn": _katz_knn,
+        "oph_signatures": _oph_signatures,
+        "stress_knn": _stress_knn,
+        "pairwise_euclidean": _pairwise("euclidean"),
+        "knn_graph": _knn_graph,
+        "mutual_knn_graph": _mutual_knn,
+        "eps_graph": _eps_graph,
+        "local_sigmas": _local_sigmas,
+        "gaussian_affinity": _gaussian_affinity,
+        "degrees_knn": _degrees_knn,
+        "laplacian_sym": _laplacian("sym"),
+        "laplacian_rw": _laplacian("rw"),
+        "laplacian_ad": _laplacian_ad,
+        "silhouette_labels": _silhouette_labels,
+        "ari_labels": _ari_labels,
+        "exact_dedup": _exact_dedup,
+        "minhash_signatures": _minhash,
+        "simhash": _simhash,
+        "pagerank_knn": _pagerank_knn,
+        "communities_knn": _communities_knn,
+        "sssp_knn": _sssp_knn,
+        # --- past the 50-entry window: driver-green in r3 or r4,
+        # implementations unchanged since their green row ---
         "token_quantiles": _token_quantiles,
         "events_asof": _events_asof,
         "events_rollup": _events_rollup,
@@ -1835,16 +1897,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_eps": _connected_components_eps,
         "dbscan": _dbscan,
         "neardup_resolve": _neardup_resolve,
-        # new in r4d (never driver-checked -> in-window; three r3-green
-        # fillers rotate to the tail to keep the window at 50)
         "node2vec_walks_knn": _node2vec_knn,
         "harmonic_centrality_knn": _harmonic_knn,
         "bm25_topk": _bm25_topk,
         "edit1_pairs": _edit1_pairs,
         "wl_colors_knn": _wl_knn,
         "gnn_neighborhoods_knn": _gnn_sample_knn,
-        # --- never driver-checked in r3: 8 non-SQL-expressible
-        # (rows-only; content hashes committed in ROWSONLY_HASHES.json) ---
         "semantic_dedup": _semantic_dedup,
         "spectral_embedding": _spectral_embedding,
         "kmeans_clusters": _kmeans_clusters,
@@ -1853,88 +1911,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _lsh_topk,
         "pq_topk": _pq_topk,
         "media_features": _media_features,
-        # new in r4e/r4f (never driver-checked -> in-window; the four
-        # r3-green fillers pagerank/communities/modularity/sssp rotate
-        # to the tail to make room)
         "dup_spans": _dup_spans,
         "kg_closure": _kg_closure,
         "events_funnel": _events_funnel,
         "events_transitions": _events_transitions,
-        # new in r4 (never driver-checked -> in-window)
         "setsim_pairs": _setsim_pairs,
         "kg_transe_rank": _kg_transe_rank,
         "kg_rdfs_entail": _kg_rdfs_entail,
         "kg_sameas": _kg_sameas,
         "hits_knn": _hits_knn,
         "sampled_triangles_knn": _sampled_triangles_knn,
-        "interval_overlaps": _interval_overlaps,
-        "sorted_neighborhood": _sorted_neighborhood,
-        "conductance_knn": _conductance_knn,
-        "priority_sample": _priority_sample,
-        "kg_distmult_rank": _kg_distmult_rank,
-        "kmv_distinct": _kmv_distinct,
-        "weighted_pagerank_affinity": _weighted_pagerank_affinity,
-        "attribution_pairs": _attribution_pairs,
-        # events_retention + the r4g sketches/retrieval ops are new in
-        # r4: first positions PAST the 50-entry window (the window
-        # exactly fits the other never-driver-checked entries); locally
-        # oracle-verified, rotate them in next round
-        "events_retention": _events_retention,
-        "cms_counts": _cms_counts,
-        "bloom_semijoin": _bloom_semijoin,
-        "hybrid_rrf": _hybrid_rrf,
-        "ktruss_knn": _ktruss_knn,
-        "mis_knn": _mis_knn,
-        "assortativity_knn": _assortativity_knn,
-        "matching_knn": _matching_knn,
-        "coarsen_knn": _coarsen_knn,
-        "nndescent_knn": _nndescent_knn,
-        "mixture_sample": _mixture_sample,
-        "kg_rules": _kg_rules,
-        "kg_golden": _kg_golden,
-        "hll_distinct": _hll_distinct,
-        "anf_knn": _anf_knn,
-        "scc_knn": _scc_knn,
-        "kcenter_sample": _kcenter_sample,
-        "bpe_merges": _bpe_merges,
-        "mst_knn": _mst_knn,
-        "densest_rounds": _densest_rounds,
-        "events_temporal_reach": _events_temporal_reach,
-        "katz_knn": _katz_knn,
-        "oph_signatures": _oph_signatures,
-        "stress_knn": _stress_knn,
-        # --- rotated out of the 50-entry window to admit the newest
-        # round-4 queries: driver-green in r3 AND in the r4a full
-        # sweep, implementations untouched since ---
-        "pagerank_knn": _pagerank_knn,
-        "communities_knn": _communities_knn,
         "modularity_knn": _modularity_knn,
-        "sssp_knn": _sssp_knn,
-        "silhouette_labels": _silhouette_labels,
-        "laplacian_sym": _laplacian("sym"),
         "ivf_topk": _ivf_topk,
         "embedding_neardup": _embedding_neardup,
         "events_sessionize": _events_sessionize,
-        # --- driver-green in r3 (tail beyond the 50-entry window;
-        # gaussian_affinity/ari_labels/exact_dedup rotated here in r4d
-        # to admit the three newest queries) ---
-        "gaussian_affinity": _gaussian_affinity,
-        "knn_graph": _knn_graph,
-        "eps_graph": _eps_graph,
-        "pairwise_euclidean": _pairwise("euclidean"),
-        "exact_dedup": _exact_dedup,
-        "ari_labels": _ari_labels,
-        "minhash_signatures": _minhash,
         "pairwise_manhattan": _pairwise("manhattan"),
         "pairwise_cosine": _pairwise("cosine"),
         "pairwise_canberra": _pairwise("canberra"),
         "pairwise_braycurtis": _pairwise("bray_curtis"),
         "pairwise_jaccard": _pairwise("jaccard"),
-        "mutual_knn_graph": _mutual_knn,
-        "local_sigmas": _local_sigmas,
-        "degrees_knn": _degrees_knn,
-        "laplacian_rw": _laplacian("rw"),
-        "laplacian_ad": _laplacian_ad,
         "bpe_tokens": _bpe_tokens,
         "cosine_topk": _cosine_topk,
         "nearest_centroid": _nearest_centroid,
@@ -1943,7 +1938,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": _quality,
         "lang_id": _lang_id,
         "fingerprint": _fingerprint,
-        "simhash": _simhash,
         "neardup_jaccard": _neardup_jaccard,
         "pricing_summary": _pricing_summary,
         "top_customers": _top_customers,
@@ -4531,66 +4525,9 @@ def oracle_sql() -> dict[str, str]:
     # coverage-schedule comment there: r3's never-driver-checked
     # entries lead, r3-green entries follow.
     return {
-        # --- never driver-checked in r3 ---
-        "token_quantiles": _TOKEN_QUANTILES_SQL,
-        "events_asof": _ASOF_SQL,
-        "events_rollup": _ROLLUP_SQL,
-        "link_prediction_knn": _LINKPRED_SQL,
-        # fixed-sweep k-core peeling: unrolled sweeps, all-integer
-        "kcore_knn": _kcore_sql(),
-        "lm_score": _LM_SCORE_SQL,
-        "importance_sample": _IMPORTANCE_SAMPLE_SQL,
-        "vocab_ranks": _VOCAB_RANKS_SQL,
-        # md5-hash-chosen walks: unrolled steps, all-integer
-        "random_walks_knn": _walks_sql(),
-        "skipgram_pairs_knn": _skipgram_sql(),
-        "kg_relational_triples": _KG_TRIPLES_SQL,
-        "kg_predicate_stats": _KG_PRED_STATS_SQL,
-        "kg_two_hop": _KG_TWO_HOP_SQL,
-        # bounded BFS verified via recursive CTE (min-hop closure)
-        "kg_khop": _KG_KHOP_SQL,
-        "kg_hubs": _KG_HUBS_SQL,
-        "kg_cooccurrence": _KG_COOC_SQL,
-        "kg_negative_samples": _KG_NEG_SQL,
-        "kg_bgp": _KG_BGP_SQL,
-        "kg_entity_cards": _KG_CARDS_SQL,
-        "kg_degree_profile": _KG_DEGREE_SQL,
-        # personalized PageRank: unrolled seed-teleport power sweeps
-        # over exact-integer rank numerators (bit parity, no rounding)
-        "kg_ppr": _kg_ppr_sql(),
-        "kg_snapshot": _KG_SNAPSHOT_SQL,
-        "kg_validate": _KG_VALIDATE_SQL,
-        # iterative graph clustering, verified via recursive-CTE
-        # transitive closure (small enough at the driver's sf0.01)
-        "connected_components_eps": _CC_EPS_SQL,
-        "dbscan": _DBSCAN_SQL,
-        "neardup_resolve": _NEARDUP_RESOLVE_SQL,
-        # new in r4d (never driver-checked -> in-window): second-order
-        # biased walks (all-integer md5*cost pick), sampled-source
-        # harmonic centrality (recursive-CTE BFS, lcm-scaled integer
-        # 1/d sums), and BM25 retrieval top-k
-        "node2vec_walks_knn": _node2vec_sql(),
-        "harmonic_centrality_knn": _HARMONIC_SQL,
-        "bm25_topk": _BM25_SQL,
-        "edit1_pairs": _EDIT1_SQL,
-        "wl_colors_knn": _wl_sql(),
-        "gnn_neighborhoods_knn": _gnn_sample_sql(),
-        # new in r4e/r4f (never driver-checked -> in-window): the four
-        # r3-green fillers pagerank/communities/modularity/sssp rotate
-        # to the tail to make room
-        "dup_spans": _DUP_SPANS_SQL,
-        # unbounded semi-naive datalog TC vs recursive-CTE min-hop
-        "kg_closure": _KG_CLOSURE_SQL,
-        "events_funnel": _FUNNEL_SQL,
-        "events_transitions": _TRANSITIONS_SQL,
-        # brute-force exact twin of the prefix-filtered join: the
-        # filter is an optimization, the OUTPUT contract is all pairs
-        "setsim_pairs": _SETSIM_SQL,
-        "kg_transe_rank": _KG_TRANSE_SQL,
-        "kg_rdfs_entail": _KG_RDFS_SQL,
-        "kg_sameas": _KG_SAMEAS_SQL,
-        "hits_knn": _hits_sql(),
-        "sampled_triangles_knn": _SAMPLED_TRI_SQL,
+        # Order mirrors queries() (minus the rows-only entries) — see
+        # the coverage-schedule comment there.
+        # --- r5 window head (matches queries() order) ---
         "interval_overlaps": _INTERVAL_SQL,
         "sorted_neighborhood": _SORTED_NEIGHBORHOOD_SQL,
         "conductance_knn": _conductance_sql(),
@@ -4599,32 +4536,16 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _KMV_SQL,
         "weighted_pagerank_affinity": _wpr_sql(),
         "attribution_pairs": _ATTRIBUTION_SQL,
-        # first entry PAST the 50-window (rotate in next round)
         "events_retention": _RETENTION_SQL,
         "cms_counts": _CMS_SQL,
         "bloom_semijoin": _BLOOM_SQL,
         "hybrid_rrf": _HYBRID_SQL,
-        # fixed-sweep k-truss support peeling: unrolled wedge-join CTE
-        # sweeps over the mutual kNN graph (all-integer, bit parity)
         "ktruss_knn": _ktruss_sql(),
-        # deterministic Luby MIS: unrolled (hash, id)-priority sweeps
-        # (min-struct neighbor minimum replayed as min(h) + min(id)
-        # among ties; all-integer)
         "mis_knn": _mis_sql(),
-        # Newman degree assortativity: exact integer sums + ONE
-        # operand-order-mirrored IEEE expression
         "assortativity_knn": _assort_sql(),
-        # deterministic closest-pair maximal matching: unrolled
-        # (w_q, h, u, v)-priority sweeps, chained-min vertex minima
         "matching_knn": _matching_sql(),
-        # one multilevel contraction level: matching oracle nested as a
-        # CTE + pair-sized alias rewrite + min/multiplicity agg
         "coarsen_knn": _coarsen_sql(),
-        # NN-descent: deterministic approximate-kNN sweeps, left-fold
-        # bit-identical distances, (dist, dst) total-order selections
         "nndescent_knn": _nndescent_sql(),
-        # largest-remainder mixture allocation + md5-order draw, all
-        # integer (allocation recomputed in SQL from the same weights)
         "mixture_sample": _mixture_sql(),
         "kg_rules": _KG_RULES_SQL,
         "kg_golden": _KG_GOLDEN_SQL,
@@ -4638,40 +4559,76 @@ def oracle_sql() -> dict[str, str]:
         "katz_knn": _katz_sql(),
         "oph_signatures": _oph_sql(),
         "stress_knn": _stress_sql(),
-        # --- driver-green in r3 (rotated to the tail in r4f) ---
-        # fixed-iteration PageRank: unrolled-CTE power sweeps over
-        # exact-integer rank numerators (bit parity, no rounding)
-        "pagerank_knn": _pagerank_sql(),
-        # synchronous LPA: unrolled sweeps, all-integer — exact parity
-        "communities_knn": _lpa_sql(),
-        # modularity of those communities: same unrolled sweeps + exact
-        # integer-derived per-community formula
-        "modularity_knn": _modularity_sql(),
-        # bounded Bellman-Ford: unrolled min-relaxation sweeps, 12dp
-        "sssp_knn": _sssp_sql(),
-        "silhouette_labels": _SILHOUETTE_SQL,
-        "laplacian_sym": _LAP_SYM_SQL,
-        "ivf_topk": _IVF_SQL,
-        "embedding_neardup": _EMB_NEARDUP_SQL,
-        "events_sessionize": _SESSIONIZE_SQL,
-        # rotated out of the window in r4d (r3-green, untouched impls)
-        "gaussian_affinity": _GAUSS_SQL,
-        "knn_graph": _KNN_SQL,
-        "eps_graph": _EPS_SQL,
         "pairwise_euclidean": _pairwise_sql("euclidean"),
+        "knn_graph": _KNN_SQL,
+        "mutual_knn_graph": _MKNN_SQL,
+        "eps_graph": _EPS_SQL,
+        "local_sigmas": _SIGMA_SQL,
+        "gaussian_affinity": _GAUSS_SQL,
+        "degrees_knn": _DEGREES_SQL,
+        "laplacian_sym": _LAP_SYM_SQL,
+        "laplacian_rw": _LAP_RW_SQL,
+        "laplacian_ad": _LAP_AD_SQL,
+        "silhouette_labels": _SILHOUETTE_SQL,
         "ari_labels": _ARI_SQL,
         "exact_dedup": f"SELECT {_FP_EXPR} AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY 1",
         "minhash_signatures": _MINHASH_SQL,
+        "simhash": _simhash_sql(),
+        "pagerank_knn": _pagerank_sql(),
+        "communities_knn": _lpa_sql(),
+        "sssp_knn": _sssp_sql(),
+        # --- past the 50-entry window (driver-green in r3/r4) ---
+        "token_quantiles": _TOKEN_QUANTILES_SQL,
+        "events_asof": _ASOF_SQL,
+        "events_rollup": _ROLLUP_SQL,
+        "link_prediction_knn": _LINKPRED_SQL,
+        "kcore_knn": _kcore_sql(),
+        "lm_score": _LM_SCORE_SQL,
+        "importance_sample": _IMPORTANCE_SAMPLE_SQL,
+        "vocab_ranks": _VOCAB_RANKS_SQL,
+        "random_walks_knn": _walks_sql(),
+        "skipgram_pairs_knn": _skipgram_sql(),
+        "kg_relational_triples": _KG_TRIPLES_SQL,
+        "kg_predicate_stats": _KG_PRED_STATS_SQL,
+        "kg_two_hop": _KG_TWO_HOP_SQL,
+        "kg_khop": _KG_KHOP_SQL,
+        "kg_hubs": _KG_HUBS_SQL,
+        "kg_cooccurrence": _KG_COOC_SQL,
+        "kg_negative_samples": _KG_NEG_SQL,
+        "kg_bgp": _KG_BGP_SQL,
+        "kg_entity_cards": _KG_CARDS_SQL,
+        "kg_degree_profile": _KG_DEGREE_SQL,
+        "kg_ppr": _kg_ppr_sql(),
+        "kg_snapshot": _KG_SNAPSHOT_SQL,
+        "kg_validate": _KG_VALIDATE_SQL,
+        "connected_components_eps": _CC_EPS_SQL,
+        "dbscan": _DBSCAN_SQL,
+        "neardup_resolve": _NEARDUP_RESOLVE_SQL,
+        "node2vec_walks_knn": _node2vec_sql(),
+        "harmonic_centrality_knn": _HARMONIC_SQL,
+        "bm25_topk": _BM25_SQL,
+        "edit1_pairs": _EDIT1_SQL,
+        "wl_colors_knn": _wl_sql(),
+        "gnn_neighborhoods_knn": _gnn_sample_sql(),
+        "dup_spans": _DUP_SPANS_SQL,
+        "kg_closure": _KG_CLOSURE_SQL,
+        "events_funnel": _FUNNEL_SQL,
+        "events_transitions": _TRANSITIONS_SQL,
+        "setsim_pairs": _SETSIM_SQL,
+        "kg_transe_rank": _KG_TRANSE_SQL,
+        "kg_rdfs_entail": _KG_RDFS_SQL,
+        "kg_sameas": _KG_SAMEAS_SQL,
+        "hits_knn": _hits_sql(),
+        "sampled_triangles_knn": _SAMPLED_TRI_SQL,
+        "modularity_knn": _modularity_sql(),
+        "ivf_topk": _IVF_SQL,
+        "embedding_neardup": _EMB_NEARDUP_SQL,
+        "events_sessionize": _SESSIONIZE_SQL,
         "pairwise_manhattan": _pairwise_sql("manhattan"),
         "pairwise_cosine": _pairwise_sql("cosine"),
         "pairwise_canberra": _pairwise_sql("canberra"),
         "pairwise_braycurtis": _pairwise_sql("bray_curtis"),
         "pairwise_jaccard": _pairwise_sql("jaccard"),
-        "mutual_knn_graph": _MKNN_SQL,
-        "local_sigmas": _SIGMA_SQL,
-        "degrees_knn": _DEGREES_SQL,
-        "laplacian_rw": _LAP_RW_SQL,
-        "laplacian_ad": _LAP_AD_SQL,
         "bpe_tokens": _BPE_SQL,
         "cosine_topk": _COSINE_TOPK_SQL,
         "nearest_centroid": _NEAREST_CENTROID_SQL,
@@ -4680,7 +4637,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_features": _QUALITY_SQL,
         "lang_id": _LANG_ID_SQL,
         "fingerprint": f"SELECT doc_id, {_FP_EXPR} AS fp FROM documents",
-        "simhash": _simhash_sql(),
         "neardup_jaccard": _NEARDUP_SQL,
         "pricing_summary": _PRICING_SQL,
         "top_customers": _TOP_CUSTOMERS_SQL,
@@ -4696,9 +4652,4 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _TFIDF_SQL,
         "embedding_stats": _EMB_STATS_SQL,
         "triangles_knn": _TRIANGLES_SQL,
-        # spectral_embedding / kmeans_clusters / eigengap / kg_triples /
-        # lsh_topk / pq_topk / media_features / semantic_dedup:
-        # iterative or hash-seeded numerics a SQL engine can't
-        # reproduce -> rows-only driver check, content hashes committed
-        # in ROWSONLY_HASHES.json
     }
