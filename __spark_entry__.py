@@ -4059,7 +4059,12 @@ def _kcenter_sql(k=KCENTER_K):
             f"d{t} AS (SELECT pt.id, pt.vec, least(pt.d, {d}) AS d FROM d{t-1} pt, "
             f"(SELECT x.vec AS cv FROM d{t-1} x JOIN s{t} ON x.id = s{t}.id) cc)"
         )
-        sel.append(f"SELECT CAST({t} AS INT) AS step, id, d AS radius FROM s{t}")
+        # d = 0 means no distinct point remains: the Spark side BREAKS
+        # there (curation.kcenter_sample), so steps past exhaustion
+        # emit nothing
+        sel.append(
+            f"SELECT CAST({t} AS INT) AS step, id, d AS radius FROM s{t} WHERE d > 0"
+        )
     return ", ".join(parts) + " " + " UNION ALL ".join(sel)
 
 

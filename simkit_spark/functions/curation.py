@@ -533,6 +533,12 @@ def kcenter_sample(
             state.orderBy(F.col("d").desc(), F.col("id").asc()).limit(1).collect()
         )
         row = sel[0]
+        if float(row["d"]) == 0.0:
+            # every remaining point is at distance 0 from the chosen
+            # set — fewer than k distinct points exist. Stop instead of
+            # re-selecting an already-covered point (duplicate ids with
+            # radius 0.0). Mirrored by the twin's `WHERE d > 0` guard.
+            break
         chosen.append((step, row["id"], float(row["d"])))
         carr = F.array(*[F.lit(float(x)) for x in row["vec"]])
         state = state.select(

@@ -424,6 +424,7 @@ def weighted_pagerank(
     )
     n = nodes.count()
     if n == 0:
+        e.unpersist()
         return nodes.select("id", F.lit(0.0).alias("rank"))
     strength = e.groupBy("src").agg(F.sum("w_q").alias("strength"))
     ed = e.join(strength, "src").sortWithinPartitions("src").persist()
@@ -557,6 +558,24 @@ def weighted_pagerank_auto(
 KATZ_BETA = 0.05
 KATZ_ITER_DP = 9
 
+# int64 numerators must stay exactly representable as float64 for the
+# aggregation paths (and a negative numerator means the non-ANSI long
+# sum already wrapped at 2^63): enforce at runtime, loud not silent.
+_KATZ_MAX_NUMERATOR = 1 << 53
+
+
+def _katz_overflow_check(minmax, beta: float) -> None:
+    lo, hi = minmax
+    if lo is None:
+        return
+    if lo < 0 or hi >= _KATZ_MAX_NUMERATOR:
+        raise ValueError(
+            f"katz_centrality numerators left the exact-int64-in-float64 "
+            f"range [0, 2^53): min={lo}, max={hi}. beta={beta} is too "
+            f"large for this graph's in-degree/spectral radius — lower "
+            f"beta or n_iter (growth is geometric in beta*lambda_max)."
+        )
+
 
 def katz_centrality(
     edges: DataFrame,
@@ -632,6 +651,9 @@ def katz_centrality(
             ranks = ranks.localCheckpoint()
     nodes.unpersist()
     ed.unpersist()
+    _katz_overflow_check(
+        ranks.agg(F.min("x_i"), F.max("x_i")).first(), beta=beta
+    )
     return ranks.select("id", (F.col("x_i").cast("double") * F.lit(inv)).alias("katz"))
 
 
@@ -673,5 +695,6 @@ def katz_auto(
         x_i = np.floor(
             (1.0 + beta * (inflow.astype(np.float64) * inv)) * float(scale) + 0.5
         ).astype(np.int64)
+    _katz_overflow_check((int(x_i.min()), int(x_i.max())), beta=beta)
     res = pd.DataFrame({"id": ids.tolist(), "katz": (x_i * inv).tolist()})
     return spark.createDataFrame(res, schema=f"id {id_t}, katz double")

@@ -415,3 +415,21 @@ def test_katz_string_ids_and_empty(spark):
     assert got["c"] == xc * 1e-9  # 1 + beta*x(b), quantized
     empty = katz_auto(spark.createDataFrame([], "src long, dst long"))
     assert empty.count() == 0 and empty.columns == ["id", "katz"]
+
+
+def test_katz_overflow_guard_raises(spark):
+    # in-star with beta*in_degree = 390: numerators land in the silent
+    # hazard zone (2^53, 2^63) by sweep 4 — exact in int64, NOT exact
+    # in float64 — where nothing else errors. The runtime guard must
+    # raise loudly on both paths. (Past 2^63 Spark's ANSI sum raises
+    # on its own; numpy would wrap silently — same guard covers it.)
+    from simkit_spark.operators.pagerank import katz_auto
+
+    e = spark.createDataFrame(
+        [(s, 0) for s in range(1, 40)] + [(0, s) for s in range(1, 40)],
+        "src long, dst long",
+    )
+    with pytest.raises(ValueError, match="2\\^53"):
+        katz_auto(e, n_iter=4, beta=10.0, local_threshold=0)
+    with pytest.raises(ValueError, match="2\\^53"):
+        katz_auto(e, n_iter=4, beta=10.0, local_threshold=10**9)

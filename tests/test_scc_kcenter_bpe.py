@@ -143,3 +143,15 @@ def test_bpe_train_validation(spark):
     # 'h i _' affords exactly 2 merges; requesting more raises loudly
     with pytest.raises(ValueError):
         bpe_train(docs, n_merges=5)
+
+
+def test_kcenter_stops_at_exhaustion(spark):
+    # 2 distinct points, k=4: selection must stop after step 2 instead
+    # of re-emitting an already-chosen center with radius 0.0
+    pts = [(0, [0.0]), (1, [5.0]), (2, [0.0]), (3, [5.0])]
+    emb = spark.createDataFrame(pts, "id long, vec array<double>")
+    got = [
+        (r["step"], r["id"], r["radius"])
+        for r in kcenter_sample(emb, k=4).orderBy("step").collect()
+    ]
+    assert got == [(1, 0, 0.0), (2, 1, 5.0)]
