@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import materialize
+
 
 def funnel(
     events: DataFrame,
@@ -162,13 +164,23 @@ def temporal_reachability(
     over-reports on event streams because it ignores causality (an
     edge that fired BEFORE you arrived cannot transmit).
 
-    Scale shape: label-correcting sweeps (the SSSP pattern) — per sweep
-    one equi-join of the node-sized arrival table into the contact
-    list + a min hash-agg + a full-outer merge (joins only; no Union —
-    the scc.py Catalyst lesson); arrivals only ever decrease and new
-    nodes only ever appear, so convergence is monotone. Runs to
-    fixpoint (the oracle's recursive CTE does too); raises loudly if
-    ``max_sweeps`` rounds don't converge.
+    Scale shape: FRONTIER-DELTA label-correcting sweeps (delta-SSSP) —
+    any improvement to arrival(v) must route through a node whose own
+    arrival improved last sweep, so per sweep only the frontier (the
+    last-sweep-improved labels, seeds at sweep 0) joins the contact
+    list: contacts ⋈ frontier → min-t hash-agg → anti-improvement
+    filter vs current labels = the NEXT frontier, and the empty
+    frontier IS the termination test (no separate full-table
+    convergence count; the old shape re-joined the FULL arrival table
+    against the full contact set every sweep and paid a second
+    comparison action on top). Labels merge by full-outer join +
+    least (joins only; no Union — the scc.py Catalyst lesson);
+    arrivals only ever decrease and new nodes only ever appear, so
+    convergence is monotone. The frontier is localCheckpointed (size
+    known → AQE broadcasts it when small); per-sweep work is
+    ∝ frontier out-degree, not corpus size. Runs to fixpoint (the
+    oracle's recursive CTE does too); raises loudly if ``max_sweeps``
+    rounds don't converge.
     """
     if not seeds:
         raise ValueError("temporal_reachability requires at least one seed")
@@ -178,10 +190,11 @@ def temporal_reachability(
     labels = spark.createDataFrame(
         [(s, 0) for s in sorted(set(seeds))], schema=f"id {id_t}, arr long"
     ).localCheckpoint()
+    frontier = labels
     for _ in range(max_sweeps):
-        inflow = (
+        delta = (
             c.join(
-                labels.select(
+                frontier.select(
                     F.col("id").alias("src"), F.col("arr").alias("sarr")
                 ),
                 "src",
@@ -190,26 +203,26 @@ def temporal_reachability(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("t").alias("narr"))
         )
-        nxt = (
-            labels.join(inflow, "id", "full")
+        frontier = (
+            delta.join(labels, "id", "left")
+            .where(F.col("arr").isNull() | (F.col("narr") < F.col("arr")))
+            .select("id", F.col("narr").alias("arr"))
+        )
+        frontier = materialize(frontier)
+        if frontier.isEmpty():
+            return labels.withColumnRenamed("arr", "arrival")
+        labels = (
+            labels.join(
+                frontier.withColumnRenamed("arr", "narr"), "id", "full"
+            )
             .select(
                 "id",
                 F.least(
                     F.coalesce("arr", "narr"), F.coalesce("narr", "arr")
                 ).alias("arr"),
             )
-            .localCheckpoint()
         )
-        changed = (
-            nxt.join(
-                labels.withColumnRenamed("arr", "old"), "id", "left"
-            )
-            .where(F.col("old").isNull() | (F.col("arr") < F.col("old")))
-            .count()
-        )
-        labels = nxt
-        if changed == 0:
-            return labels.withColumnRenamed("arr", "arrival")
+        labels = materialize(labels)
     raise RuntimeError(
         f"temporal reachability did not converge in {max_sweeps} sweeps"
     )

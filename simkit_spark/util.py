@@ -20,8 +20,46 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     except Exception:  # noqa: BLE001 — API drift safety
         has_dir = False
     if has_dir:
-        return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+        ck = df.checkpoint(eager=eager)
+    else:
+        ck = df.localCheckpoint(eager=eager)
+    return _reset_bloated_stats(ck) if eager else ck
+
+
+# Catalyst's size-only stats visitor MULTIPLIES the children's
+# sizeInBytes BigInts at every binary join, and checkpoint()/
+# localCheckpoint() INHERIT the optimized plan's stats into the new
+# LogicalRDD leaf (originStats). In a fixpoint loop that joins the
+# running state against itself-derived tables, the stat's bit-length
+# therefore DOUBLES per sweep — by sweep ~20 the driver spends minutes
+# in million-digit Toom-Cook BigInteger multiplications inside join
+# planning (measured: temporal reachability merges went 0.2 s -> 120 s
+# per sweep on 100k nodes with constant 5-line plans and millisecond
+# stages; jstack pinned SizeInBytesOnlyStatsPlanVisitor.visitJoin).
+# Guard: when a checkpointed plan's sizeInBytes no longer fits in 64
+# bits, rebuild the DataFrame as a fresh leaf over the SAME
+# checkpointed RDD (no recompute, no extra job) with default stats.
+# AQE re-derives real sizes from materialized stages at runtime, so
+# join strategy is unaffected. Static broadcast decisions keep the
+# accurate inherited stats in the sane (<2^64) common case.
+_STATS_BITS_SANE = 64
+
+
+def _reset_bloated_stats(ck: DataFrame) -> DataFrame:
+    try:
+        jdf = ck._jdf
+        jqe = jdf.queryExecution()
+        # cached from the checkpoint job's planning — no recompute.
+        # py4j hands the scala BigInt back as a Python int.
+        size = int(jqe.optimizedPlan().stats().sizeInBytes())
+        if size.bit_length() <= _STATS_BITS_SANE:
+            return ck
+        fresh = jdf.sparkSession().internalCreateDataFrame(
+            jqe.toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, ck.sparkSession)
+    except Exception:  # noqa: BLE001 — internal-API drift safety
+        return ck
 
 
 # --- local-twin dispatch sizing -------------------------------------
