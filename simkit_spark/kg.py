@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .functions.dedup import _md5_long
-from .util import local_dispatch_rows
+from .util import local_dispatch_rows, materialize
 
 
 def _iri(kind: str, key: Column) -> Column:
@@ -214,7 +214,7 @@ def khop_reachability(
     try:
         frontier = spark.createDataFrame(
             [(s, 0) for s in seeds], "entity string, hop int"
-        ).localCheckpoint()
+        ).transform(materialize)
         # (layer, row_count): counts are free (the layer was just
         # checkpointed) and drive the broadcast hints
         layers = [(frontier, len(seeds))]
@@ -235,7 +235,7 @@ def khop_reachability(
             # later sweeps (join + anti-joins); without a lineage break
             # each sweep re-evaluates the whole prefix (the PageRank
             # lesson, operators/pagerank.py).
-            nxt = nxt.withColumn("hop", F.lit(i)).localCheckpoint()
+            nxt = nxt.withColumn("hop", F.lit(i)).transform(materialize)
             f_cnt = nxt.count()
             if f_cnt == 0:
                 break
@@ -342,7 +342,7 @@ def transitive_closure(
         paths = (
             e.select("src", "dst").distinct()
             .withColumn("hops", F.lit(1))
-            .localCheckpoint()
+            .transform(materialize)
         )
         layers = [(paths, paths.count())]
         delta, d_cnt = paths, layers[0][1]
@@ -365,7 +365,7 @@ def transitive_closure(
                 if pc <= broadcast_rows:
                     p = F.broadcast(p)
                 new = new.join(p, on=["src", "dst"], how="left_anti")
-            new = new.withColumn("hops", F.lit(i)).localCheckpoint()
+            new = new.withColumn("hops", F.lit(i)).transform(materialize)
             d_cnt = new.count()
             if d_cnt == 0:
                 break
@@ -442,7 +442,7 @@ def cooccurrence_edges(
         triples.where(F.col("pred") == pred)
         .select("subj", "obj")
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     deg = e0.groupBy("subj").agg(F.count(F.lit(1)).alias("d"))
     e = (

@@ -37,7 +37,7 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.dedup import _md5_long
-from ..util import local_dispatch_rows
+from ..util import local_dispatch_rows, materialize
 
 
 def _symmetrized(edges: DataFrame) -> DataFrame:
@@ -61,7 +61,7 @@ def neighborhood_function(
     n_pairs is the HyperANF estimate (rounded to a whole pair count);
     below, it is exact.
     """
-    e = _symmetrized(edges).localCheckpoint()
+    e = _symmetrized(edges).transform(materialize)
     if local_threshold is None:
         local_threshold = local_dispatch_rows(e.schema)
     n_edges = e.count()
@@ -112,7 +112,7 @@ def neighborhood_function(
     alpha = 0.7213 / (1.0 + 1.079 / m)
     numer = alpha * m * m * float(1 << k_scale)
 
-    nodes = e.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    nodes = e.select(F.col("src").alias("id")).distinct().transform(materialize)
     n = nodes.count()
     h0 = _md5_long(
         F.concat_ws(":", F.col("id").cast("string"), F.lit(str(seed)))
@@ -127,7 +127,7 @@ def neighborhood_function(
         "id",
         bucket.alias("bucket"),
         (F.lit(rest_bits) - bitlen + F.lit(1)).alias("mrho"),
-    ).localCheckpoint()
+    ).transform(materialize)
 
     def estimate(st: DataFrame) -> float:
         row = (
@@ -176,7 +176,7 @@ def neighborhood_function(
             prev.unionAll(moved)
             .groupBy("id", "bucket")
             .agg(F.max("mrho").alias("mrho"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         rows.append((h, estimate(state)))
     res = pd.DataFrame(

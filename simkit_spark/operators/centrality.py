@@ -155,7 +155,7 @@ def stress_centrality(
         .sortWithinPartitions("a")
         .persist()
     )
-    nodes = e.select(F.col("a").alias("id")).distinct().localCheckpoint()
+    nodes = e.select(F.col("a").alias("id")).distinct().transform(materialize)
     if n_sources is None:
         srcs = nodes
     else:

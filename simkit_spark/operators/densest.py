@@ -68,7 +68,7 @@ def densest_subgraph_rounds(
             e.select(F.explode(F.array("u", "v")).alias("id"))
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("d"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         n = deg.count()
         rows.append((rnd, n, m))

@@ -73,7 +73,7 @@ def hits_auto(
     order on both engines (parity-tested, long and string ids)."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    e = edges.select("src", "dst").distinct().localCheckpoint()
+    e = edges.select("src", "dst").distinct().transform(materialize)
     if local_threshold is None:  # byte-budgeted, not a bare row count
         local_threshold = local_dispatch_rows(e.schema)
     if e.count() > local_threshold:

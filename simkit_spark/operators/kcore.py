@@ -111,7 +111,7 @@ def kcore_auto(
     identical (parity-tested)."""
     # one evaluation of the upstream plan: count + toPandas would each
     # re-run it otherwise (the pagerank_auto lesson)
-    e = edges.select("src", "dst").localCheckpoint()
+    e = edges.select("src", "dst").transform(materialize)
     if local_threshold is None:  # byte-budgeted, not a bare row count
         local_threshold = local_dispatch_rows(e.schema)
     n_edges = e.count()

@@ -30,6 +30,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from .kernels import distance_expr
+from ..util import materialize
 
 
 def _centroid_expr(vec_col, centroid: np.ndarray, kernel: str):
@@ -111,7 +112,7 @@ def kmeans(
     """Returns (assigned: DataFrame(id, vec, cluster), centroids)."""
     dim = len(points.select("vec").first()["vec"])
     centroids = init_centroids(points, k, seed)
-    pts = points.select("id", "vec").localCheckpoint()
+    pts = points.select("id", "vec").transform(materialize)
     for _ in range(max_iter):
         assigned = assign(pts, centroids, kernel)
         means = recompute_centroids(assigned, dim)
@@ -139,7 +140,7 @@ def kmeans_auto(
     driver-sized data — while larger sets run the distributed loop.
     Same farthest-first init, same argmin/mean update rules, same
     (assigned, centroids) contract."""
-    pts = points.select("id", "vec").localCheckpoint()
+    pts = points.select("id", "vec").transform(materialize)
     n = pts.count()
     if n > local_threshold or kernel != "euclidean":
         return kmeans(points, k, max_iter, seed, kernel)
@@ -215,7 +216,7 @@ def silhouette_points(
     approximation instead."""
     from .kernels import pairwise_distances
 
-    labels = assigned.select("id", "cluster").localCheckpoint()
+    labels = assigned.select("id", "cluster").transform(materialize)
     d = pairwise_distances(
         assigned.select("id", "vec"), kernel, n_blocks=n_blocks, directed=True
     )
@@ -308,7 +309,7 @@ def silhouette(
     same dispatch pattern as every *_auto operator here, because the
     exact metric's pair space is quadratic no matter how well it's
     blocked."""
-    assigned = assigned.localCheckpoint()
+    assigned = assigned.transform(materialize)
     pts = (
         silhouette_points(assigned, kernel)
         if assigned.count() <= exact_threshold

@@ -98,7 +98,7 @@ def community_modularity(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     m = und.count()
     la = labels.select(F.col("id").alias("u"), F.col(label_col).alias("cu"))
@@ -166,7 +166,7 @@ def community_conductance(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     m = und.count()
     la = labels.select(F.col("id").alias("u"), F.col(label_col).alias("cu"))
@@ -221,7 +221,7 @@ def label_propagation_auto(
     distributed loop runs. The input plan is materialized once so the
     dispatch count and the collect don't each re-run an expensive
     upstream (e.g. the kNN kernel)."""
-    e0 = edges.select("src", "dst").localCheckpoint()
+    e0 = edges.select("src", "dst").transform(materialize)
     if local_threshold is None:  # byte-budgeted, not a bare row count
         local_threshold = local_dispatch_rows(e0.schema)
     if e0.count() > local_threshold:

@@ -146,7 +146,7 @@ def maximal_matching_auto(
     import math  # noqa: PLC0415
 
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
-    e = edges.select(*cols).localCheckpoint()
+    e = edges.select(*cols).transform(materialize)
     if local_threshold is None:
         local_threshold = local_dispatch_rows(e.schema)
     n_edges = e.count()

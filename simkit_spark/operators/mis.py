@@ -128,7 +128,7 @@ def maximal_independent_set_auto(
     exactly identical (parity-tested on long AND string ids)."""
     import hashlib  # noqa: PLC0415
 
-    e = edges.select("src", "dst").localCheckpoint()
+    e = edges.select("src", "dst").transform(materialize)
     if local_threshold is None:
         local_threshold = local_dispatch_rows(e.schema)
     n_edges = e.count()

@@ -112,7 +112,7 @@ def minimum_spanning_forest(
         .union(ep.select(F.col("v").alias("id")))
         .distinct()
         .select("id", F.col("id").alias("comp"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     tree = None
     for _ in range(max_rounds):
@@ -122,7 +122,7 @@ def minimum_spanning_forest(
             ep.join(lu, "u")
             .join(lv, "v")
             .where(F.col("cu") != F.col("cv"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         if dec.count() == 0:
             break
@@ -135,10 +135,10 @@ def minimum_spanning_forest(
             .agg(F.min(F.struct("w", "u", "v")).alias("mn"))
             .select("mn.u", "mn.v", "mn.w")
             .distinct()  # both endpoints' components may pick the same edge
-            .localCheckpoint()
+            .transform(materialize)
         )
         tree = chosen if tree is None else tree.unionAll(chosen).distinct()
-        tree = tree.localCheckpoint()
+        tree = tree.transform(materialize)
         # contract: CC over the chosen COMPONENT graph (component-count
         # sized), then relabel nodes through their old component
         from .components import connected_components_auto
@@ -155,7 +155,7 @@ def minimum_spanning_forest(
         labels = (
             labels.join(cmap, "comp", "left")
             .select("id", F.coalesce("newc", "comp").alias("comp"))
-            .localCheckpoint()
+            .transform(materialize)
         )
     else:
         raise RuntimeError(
@@ -186,7 +186,7 @@ def single_linkage_labels(
         raise ValueError(f"k must be >= 1, got {k}")
     msf = minimum_spanning_forest(
         edges, weight_col=weight_col, local_threshold=local_threshold
-    ).localCheckpoint()
+    ).transform(materialize)
     keep = msf
     if k > 1:
         cut = (

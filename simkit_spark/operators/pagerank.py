@@ -177,7 +177,7 @@ def pagerank_auto(
     # collect — two actions that would otherwise each re-run an
     # arbitrarily expensive upstream plan (the kNN kernel costs more
     # than the whole PageRank loop at bench scale)
-    e = edges.select("src", "dst").localCheckpoint()
+    e = edges.select("src", "dst").transform(materialize)
     if local_threshold is None:  # byte-budgeted, not a bare row count
         local_threshold = local_dispatch_rows(e.schema)
     n_edges = e.count()
@@ -257,7 +257,7 @@ def personalized_pagerank(
     seed_set = sorted(set(seeds))
     ts = 1.0 / float(len(seed_set))
     # single evaluation of the upstream plan (see pagerank_auto)
-    e = edges.select("src", "dst").localCheckpoint()
+    e = edges.select("src", "dst").transform(materialize)
     if local_threshold is None:
         local_threshold = local_dispatch_rows(e.schema)
     n_edges = e.count()
@@ -502,7 +502,7 @@ def weighted_pagerank_auto(
         F.floor(F.col("weight") * F.lit(float(10**weight_dp)) + F.lit(0.5))
         .cast("long")
         .alias("w_q"),
-    ).where(F.col("w_q") > 0).localCheckpoint()
+    ).where(F.col("w_q") > 0).transform(materialize)
     if local_threshold is None:  # byte-budgeted, not a bare row count
         local_threshold = local_dispatch_rows(e.schema)
     if e.count() > local_threshold:
@@ -648,7 +648,7 @@ def katz_centrality(
             )
         )
         if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(materialize)
     nodes.unpersist()
     ed.unpersist()
     _katz_overflow_check(
@@ -670,7 +670,7 @@ def katz_auto(
     same fixed-order float update) — else the distributed sweeps."""
     import numpy as np
 
-    e = edges.select("src", "dst").localCheckpoint()
+    e = edges.select("src", "dst").transform(materialize)
     if local_threshold is None:
         local_threshold = local_dispatch_rows(e.schema)
     if e.count() > local_threshold:

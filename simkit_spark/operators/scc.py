@@ -146,14 +146,14 @@ def strongly_connected_components(
         e0.select(F.col("src").alias("id"))
         .union(e0.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     resolved = None
 
     def min_reach(live_e: DataFrame, nodes: DataFrame) -> DataFrame:
         """labels(id, lab) = min id reachable (within live nodes) via
         live_e, propagated to fixpoint."""
-        labels = nodes.select("id", F.col("id").alias("lab")).localCheckpoint()
+        labels = nodes.select("id", F.col("id").alias("lab")).transform(materialize)
         for _ in range(max_sweeps):
             # inflow-min joined back with least(), NOT a union-then-min:
             # Union's constraint-propagation rewrite hits a Catalyst
@@ -177,7 +177,7 @@ def strongly_connected_components(
                         F.col("lab"), F.coalesce("nlab", "lab")
                     ).alias("lab"),
                 )
-                .localCheckpoint()
+                .transform(materialize)
             )
             changed = (
                 nxt.join(
@@ -201,27 +201,27 @@ def strongly_connected_components(
         fe = (
             fwd.join(live.withColumnRenamed("id", "src"), "src", "leftsemi")
             .join(live.withColumnRenamed("id", "dst"), "dst", "leftsemi")
-            .localCheckpoint()
+            .transform(materialize)
         )
         be = (
             bwd.join(live.withColumnRenamed("id", "src"), "src", "leftsemi")
             .join(live.withColumnRenamed("id", "dst"), "dst", "leftsemi")
-            .localCheckpoint()
+            .transform(materialize)
         )
         fl = min_reach(fe, live)
         bl = min_reach(be, live)
         both = fl.join(
             bl.withColumnRenamed("lab", "blab"), "id"
-        ).localCheckpoint()
+        ).transform(materialize)
         done = both.where(F.col("lab") == F.col("blab")).select(
             "id", F.col("lab").alias("component")
         )
         resolved = done if resolved is None else resolved.unionAll(done)
-        resolved = resolved.localCheckpoint()
+        resolved = resolved.transform(materialize)
         live = (
             both.where(F.col("lab") != F.col("blab"))
             .select("id")
-            .localCheckpoint()
+            .transform(materialize)
         )
     else:
         if live.count() > 0:

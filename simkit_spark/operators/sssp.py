@@ -22,6 +22,7 @@ into the running distance table. Lineage is broken per sweep.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..util import materialize
 
 
 def bounded_sssp(
@@ -45,7 +46,7 @@ def bounded_sssp(
         id_type = e.schema["src"].dataType.simpleString()
         dist = spark.createDataFrame(
             [(s, 0.0) for s in sources], f"id {id_type}, dist double"
-        ).localCheckpoint()
+        ).transform(materialize)
         frontier = dist
         for _ in range(k):
             cand = frontier.join(e, frontier["id"] == e["src"]).select(
@@ -56,14 +57,14 @@ def bounded_sssp(
                 dist.unionByName(cand)
                 .groupBy("id")
                 .agg(F.min("dist").alias("dist"))
-                .localCheckpoint()
+                .transform(materialize)
             )
             old = dist.select("id", F.col("dist").alias("old"))
             frontier = (
                 merged.join(old, "id", "left")
                 .where(F.col("old").isNull() | (F.col("dist") < F.col("old")))
                 .select("id", "dist")
-                .localCheckpoint()
+                .transform(materialize)
             )
             dist = merged
             if frontier.isEmpty():
@@ -95,9 +96,9 @@ def bounded_sssp_auto(
     iter_dp-th digit could round differently — not observed on the
     Java 17 test matrix (parity + oracle gates are green), but the
     contract is strongest on JDK 19+."""
-    from ..util import local_dispatch_rows, py_scalar
+    from ..util import local_dispatch_rows, py_scalar, materialize
 
-    e = edges.select("src", "dst", F.col(weight_col).alias("w")).localCheckpoint()
+    e = edges.select("src", "dst", F.col(weight_col).alias("w")).transform(materialize)
     if local_threshold is None:
         local_threshold = local_dispatch_rows(e.schema)
     if e.count() > local_threshold:

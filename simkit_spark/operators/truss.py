@@ -105,7 +105,7 @@ def ktruss_auto(
     two paths are exactly identical (parity-tested)."""
     if k < 3:
         raise ValueError(f"k-truss needs k >= 3 (k-2 triangle witnesses), got {k}")
-    e = edges.select("src", "dst").localCheckpoint()
+    e = edges.select("src", "dst").transform(materialize)
     if local_threshold is None:
         local_threshold = local_dispatch_rows(e.schema)
     n_edges = e.count()

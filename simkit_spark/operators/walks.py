@@ -168,7 +168,7 @@ def random_walks_auto(
     local path amplifies n_nodes into n_nodes * walks_per_node *
     (walk_len+1) driver tuples, so a graph that fits the input budget
     can still be refused locally (nodes <= 2*pairs bounds it)."""
-    und = _undirected(edges).localCheckpoint()
+    und = _undirected(edges).transform(materialize)
     if local_threshold is None:  # byte-budgeted, not a bare row count
         local_threshold = local_dispatch_rows(und.schema)
     n_und = und.count()
@@ -213,7 +213,7 @@ def node2vec_walks_auto(
     bounds both the input collect and the amplified walk output, and
     the above-threshold path reuses the distinct pair set (see
     random_walks_auto)."""
-    und = _undirected(edges).localCheckpoint()
+    und = _undirected(edges).transform(materialize)
     if local_threshold is None:
         local_threshold = local_dispatch_rows(und.schema)
     n_und = und.count()
