@@ -111,7 +111,7 @@ def harmonic_centrality(
 def stress_centrality(
     edges: DataFrame,
     max_hops: int = 8,
-    n_sources: int | None = None,
+    n_sources: int | None = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Bounded stress centrality (Shimbel'53) — the all-integer member
@@ -136,11 +136,25 @@ def stress_centrality(
     equi-join into the fixed edge layout + one hash agg (forward), and
     the same backward — the harmonic_centrality frontier shape with an
     extra integer column. Sources are the md5-deterministic
-    Eppstein-Wang sample (lowest hash, ties by id), n_sources=None
-    uses every node (exact, bounded).
+    Eppstein-Wang sample (lowest hash, ties by id); the DEFAULT is a
+    bounded 64-source sample so the (source, node) state never
+    silently goes n² — ``n_sources=None`` still means exact
+    (every node as a source) but is an explicit opt-in and warns
+    loudly about the quadratic state it builds.
     """
     if max_hops < 1:
         raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    if n_sources is None:
+        import warnings
+
+        warnings.warn(
+            "stress_centrality(n_sources=None) uses EVERY node as a "
+            "source: (source, node) state is n^2 rows. This is an "
+            "explicit exact-mode opt-in — pass a bounded sample size "
+            "(default 64) for large graphs.",
+            ResourceWarning,
+            stacklevel=2,
+        )
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")

@@ -147,3 +147,19 @@ def test_stress_source_sampling_and_validation(spark):
     assert sum(one.values()) <= sum(full.values())
     with _pytest.raises(ValueError):
         stress_centrality(e, max_hops=0)
+
+
+def test_stress_default_sources_bounded(spark):
+    # the default must be a bounded sample, never silently n^2 state;
+    # exact mode (None) is an explicit opt-in that warns loudly
+    import inspect
+    import warnings
+
+    from simkit_spark.operators.centrality import stress_centrality as sc
+
+    assert inspect.signature(sc).parameters["n_sources"].default == 64
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sc(e, max_hops=2, n_sources=None).collect()
+    assert any(issubclass(x.category, ResourceWarning) for x in w)
