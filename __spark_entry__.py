@@ -4039,6 +4039,53 @@ GROUP BY a.src"""
 )
 
 
+def _mst_sql():
+    # sequential Kruskal as a recursive CTE (r4 VERDICT Next-round #6):
+    # the forest is UNIQUE under the (w, u, v) total order, so a
+    # one-edge-per-step union-find replay matches the distributed
+    # Borůvka / local Kruskal twins exactly. The walk carries the full
+    # (step, node, comp) history; component labels merge into the
+    # LEAST comp (union-by-min-root, the numpy twin's rule), and edge
+    # rn is a tree edge iff its endpoints' comps differ at step rn-1.
+    # NOTE: under WITH RECURSIVE DuckDB treats plain UNION as UNION ALL
+    # (dedup lost — measured on 1.0.0), hence the explicit DISTINCT.
+    # kedges/knodes are AS MATERIALIZED (the densest-oracle lesson):
+    # CTEs referenced from the recursive member are otherwise INLINED
+    # and the full all-pairs distance pipeline would recompute at
+    # EVERY one of the ~|E| recursion steps (measured: 33 CPU-minutes
+    # and counting before materialization; seconds after).
+    return (
+        "WITH RECURSIVE "
+        + _DIRECTED_DIST.format(expr=_DIST_EXPR["euclidean"]).replace("WITH ", "", 1)
+        + f""",
+rk AS (SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rank FROM dd),
+wedges AS (SELECT src, dst, round(dist, 6) AS w FROM rk WHERE rank <= {KNN_K}),
+canon AS (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v, min(w) AS w
+  FROM wedges WHERE src <> dst GROUP BY 1, 2
+),
+kedges AS MATERIALIZED (SELECT u, v, w, row_number() OVER (ORDER BY w, u, v) AS rn FROM canon),
+knodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT u AS id FROM canon UNION ALL SELECT v AS id FROM canon) t),
+walk AS (
+  SELECT 0::BIGINT AS step, id AS node, id AS comp FROM knodes
+  UNION ALL
+  SELECT wk.step + 1, wk.node,
+         CASE WHEN wk.comp = greatest(cu, cv) THEN least(cu, cv) ELSE wk.comp END
+  FROM (
+    SELECT wk.step, wk.node, wk.comp,
+           min(CASE WHEN wk.node = e.u THEN wk.comp END) OVER () AS cu,
+           min(CASE WHEN wk.node = e.v THEN wk.comp END) OVER () AS cv
+    FROM walk wk JOIN kedges e ON e.rn = wk.step + 1
+  ) wk
+)
+SELECT e.u AS u, e.v AS v, round(e.w, 6) AS weight
+FROM kedges e
+JOIN walk wu ON wu.step = e.rn - 1 AND wu.node = e.u
+JOIN walk wv ON wv.step = e.rn - 1 AND wv.node = e.v
+WHERE wu.comp <> wv.comp"""
+    )
+
+
 def _kcenter_sql(k=KCENTER_K):
     # unrolled greedy farthest-point selection — each step re-derives
     # the running min-distance table and picks (d DESC, id ASC) top-1;
@@ -4559,6 +4606,9 @@ def oracle_sql() -> dict[str, str]:
         "scc_knn": _SCC_SQL,
         "kcenter_sample": _kcenter_sql(),
         "bpe_merges": _bpe_sql(),
+        # graduated from rows-only in r5: sequential Kruskal replay —
+        # unique forest under the (w, u, v) total order
+        "mst_knn": _mst_sql(),
         "densest_rounds": _densest_sql(),
         "events_temporal_reach": _TEMPORAL_REACH_SQL,
         "katz_knn": _katz_sql(),

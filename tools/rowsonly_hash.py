@@ -32,9 +32,9 @@ ARTIFACT = os.path.join(REPO, "ROWSONLY_HASHES.json")
 SF_DIR = os.environ.get("SPARK_GRAFT_HASH_SF_DIR", "/root/testdata/sf0.01")
 
 # connected_components_eps / dbscan / neardup_resolve graduated to full
-# DuckDB oracles (recursive-CTE transitive closure) and left this list.
+# DuckDB oracles (recursive-CTE transitive closure) and left this
+# list; mst_knn followed in r5 (sequential-Kruskal recursive CTE).
 ROWS_ONLY = [
-    "mst_knn",
     "spectral_embedding",
     "kmeans_clusters",
     "kg_triples",
