@@ -1338,11 +1338,45 @@ def rule_mining(
     right = tc.select(
         F.col("pred").alias("body2"), F.col("subj").alias("z"), F.col("obj").alias("y")
     ).join(F.broadcast(deg), "z", "left_anti")
-    # support-first: the z-join streams into the head join + one
+    # EXACT pair-space pruning (AMIE functionality-style, but a hard
+    # bound): support(p1 & p2 => q) <= #chain pairs of (p1, p2)
+    #       = sum_z in_{p1}(z) * out_{p2}(z)
+    # computed from per-(pred, z) degree tables whose join on z costs
+    # sum_z preds_in(z)*preds_out(z) rows — predicate-count-sized per
+    # entity, NOT degree-sized, so the bound is orders cheaper than
+    # the space it bounds. Every (body1, body2) whose bound cannot
+    # reach min_support is dropped BEFORE the quadratic z-join — no
+    # head can revive it, so the output is bit-identical (oracle
+    # unchanged). The degree tables derive from the same capped /
+    # chain_excluded streams as the join, keeping the bound an upper
+    # bound of the space actually traversed. Residual cost: surviving
+    # pairs still pay their own sum_z in*out generation — that is the
+    # irreducible composition-mining space; AMIE's sampled-support
+    # estimate (with exact rescoring) is the lossy lever beyond this.
+    a_deg = left.groupBy("body1", "z").agg(F.count(F.lit(1)).alias("a_n"))
+    b_deg = right.groupBy("body2", "z").agg(F.count(F.lit(1)).alias("b_n"))
+    pair_space = (
+        a_deg.join(b_deg, "z")
+        .groupBy("body1", "body2")
+        .agg(F.sum(F.col("a_n") * F.col("b_n")).alias("pspace"))
+    )
+    allowed = materialize(
+        pair_space.where(F.col("pspace") >= min_support).select("body1", "body2")
+    )
+    left = left.join(
+        F.broadcast(allowed.select("body1").distinct()), "body1", "leftsemi"
+    )
+    right = right.join(
+        F.broadcast(allowed.select("body2").distinct()), "body2", "leftsemi"
+    )
+    # support-first: the z-join streams into the head join and one
     # countDistinct — the pair space is never materialized; duplicate
-    # (x, y) witnesses (several z on the same pair) collapse in the agg
+    # (x, y) witnesses (several z on the same pair) collapse in the
+    # agg. The broadcast semi-join on (body1, body2) kills pruned
+    # pairs at emission, before any shuffle.
     chain_sup = materialize(
         left.join(right, "z")
+        .join(F.broadcast(allowed), ["body1", "body2"], "leftsemi")
         .join(head, ["x", "y"])
         .groupBy("body1", "body2", "head")
         .agg(F.count_distinct(F.col("x"), F.col("y")).alias("support"))
@@ -1365,6 +1399,49 @@ def rule_mining(
     scored_inv = score_simple(inv, "inverse")
     scored_chain = finish(chain_sup, chain_bsize, ["body1", "body2"], "chain")
     return scored_same.unionByName(scored_inv).unionByName(scored_chain)
+
+
+def chain_pair_space(
+    triples: DataFrame,
+    max_join_degree: int = 1000,
+    chain_exclude: list[str] | None = None,
+) -> DataFrame:
+    """(body1, body2, pspace) — the exact chain pair space
+    sum_z in_{p1}(z) * out_{p2}(z) per predicate pair, under the same
+    degree cap and chain_exclude guards as :func:`rule_mining`. This
+    is the quantity rule_mining's pruning bounds against min_support;
+    exposed so stress harnesses can report the traversed space before
+    and after pruning (BENCH/STRESS.md)."""
+    from .util import materialize
+
+    t = materialize(triples.select("pred", "subj", "obj").distinct())
+    deg = (
+        t.select(F.col("subj").alias("z"))
+        .unionAll(t.select(F.col("obj").alias("z")))
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") > max_join_degree)
+    )
+    tc = t
+    if chain_exclude:
+        tc = t.where(~F.col("pred").isin(list(chain_exclude)))
+    a_deg = (
+        tc.select(F.col("pred").alias("body1"), F.col("obj").alias("z"))
+        .join(F.broadcast(deg), "z", "left_anti")
+        .groupBy("body1", "z")
+        .agg(F.count(F.lit(1)).alias("a_n"))
+    )
+    b_deg = (
+        tc.select(F.col("pred").alias("body2"), F.col("subj").alias("z"))
+        .join(F.broadcast(deg), "z", "left_anti")
+        .groupBy("body2", "z")
+        .agg(F.count(F.lit(1)).alias("b_n"))
+    )
+    return (
+        a_deg.join(b_deg, "z")
+        .groupBy("body1", "body2")
+        .agg(F.sum(F.col("a_n") * F.col("b_n")).alias("pspace"))
+    )
 
 
 def golden_record(

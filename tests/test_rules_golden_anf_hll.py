@@ -204,3 +204,32 @@ def test_hyperanf_tracks_exact(spark):
     }
     for h in range(1, 5):
         assert abs(est[h] - exact[h]) / exact[h] < 0.10, (h, est[h], exact[h])
+
+
+def test_rule_mining_pairspace_pruning_is_exact(spark):
+    # a (tiny, tiny) predicate pair whose chain pair space is below
+    # min_support must be pruned BEFORE the z-join without changing
+    # the output: its chain support could never reach the filter.
+    from simkit_spark.kg import chain_pair_space
+
+    rows = (
+        # dense chain e&f => g (support 5)
+        [(f"u{i}", "e", f"m{i % 2}") for i in range(5)]
+        + [(f"m{i}", "f", f"w{i}") for i in range(2)]
+        + [(f"u{i}", "g", f"w{i % 2}") for i in range(5)]
+        # sparse pair r&t: pair space exactly 1 < min_support 3
+        + [("ra", "r", "zz"), ("zz", "t", "tb")]
+    )
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    ps = {
+        (r["body1"], r["body2"]): r["pspace"]
+        for r in chain_pair_space(t).collect()
+    }
+    assert ps[("r", "t")] == 1  # provably below min_support -> pruned
+    assert ps[("e", "f")] == 5  # sum_z in_e(z)*out_f(z) = 3*1 + 2*1
+    got = {
+        (r["rule_type"], r["body1"], r["body2"], r["head"])
+        for r in rule_mining(t, min_support=3, min_confidence=0.1).collect()
+    }
+    assert ("chain", "e", "f", "g") in got
+    assert not any(b1 == "r" and b2 == "t" for _, b1, b2, _ in got)
