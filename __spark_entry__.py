@@ -1953,7 +1953,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _tfidf_topk,
         "embedding_stats": _embedding_stats,
         "triangles_knn": _triangles_knn,
+        # --- new in r5 (appended PAST the 50-entry window per the
+        # rotation contract; all 132 prior entries are driver-green
+        # across r3/r4/r5, so these two are the only entries without a
+        # driver row — rotate them in if a round 6 ever runs) ---
+        "bcubed_eval": _bcubed_eval,
+        "hll_by_source": _hll_by_source,
     }
+
+
+def _bcubed_eval(spark, sf_dir):
+    """B-cubed evaluation of the nearest-centroid clustering against
+    the embeddings' gold labels (functions/evaluate.bcubed_counts):
+    per-(cluster, label) exact intersection counts + 6dp ratios — the
+    entity-resolution quality surface of the canonicalization stage.
+    Composes the nearest_centroid assignment (already oracled) with
+    one join + one hash agg; no distributed float summation."""
+    from simkit_spark.functions.evaluate import bcubed_counts
+    from simkit_spark.functions.similarity import assign_nearest_centroid
+
+    emb = _emb(spark, sf_dir)
+    cents = (
+        emb.orderBy("id")
+        .limit(3)
+        .select(F.col("id").alias("centroid_id"), F.col("vec").alias("cvec"))
+    )
+    assign = assign_nearest_centroid(emb, cents).select(
+        "id", F.col("centroid_id").alias("cluster")
+    )
+    gold = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), "label"
+    )
+    return bcubed_counts(assign, gold)
+
+
+def _hll_by_source(spark, sf_dir):
+    """Per-source HLL distinct-text cardinality (sketch.hll_distinct_by):
+    the per-domain dedup profile — bounded 2^p register state per
+    group no matter the group's row count. Exact-integer registers,
+    bit-exact DuckDB twin (the hll_distinct contract, grouped)."""
+    from simkit_spark.functions.sketch import hll_distinct_by
+
+    return hll_distinct_by(_docs(spark, sf_dir), "text", ["source"])
 
 
 # ---------------------------------------------------------------- oracles
@@ -4572,6 +4613,60 @@ SELECT doc_id, MIN(off)::BIGINT AS span_start,
 FROM isl GROUP BY doc_id, grp
 """
 
+_BCUBED_SQL = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+c AS (SELECT id AS centroid_id, vec AS cvec FROM v ORDER BY id LIMIT 3),
+scored AS (
+  SELECT v.id, c.centroid_id,
+         round(sqrt(list_reduce(list_transform(list_zip(v.vec, c.cvec), x -> (x[1]-x[2])*(x[1]-x[2])), (p,q) -> p+q)), 6) AS dist
+  FROM v CROSS JOIN c
+),
+rk AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist ASC, centroid_id ASC) AS rn FROM scored),
+asg AS (SELECT id, centroid_id AS cluster FROM rk WHERE rn = 1),
+g AS (SELECT vec_id AS id, label FROM embeddings),
+b AS (SELECT a.cluster, g.label FROM asg a JOIN g ON a.id = g.id),
+inter AS (SELECT cluster, label, count(*) AS n_cg FROM b GROUP BY 1, 2),
+cs AS (SELECT cluster, count(*) AS n_cluster FROM b GROUP BY 1),
+gs AS (SELECT label, count(*) AS n_label FROM b GROUP BY 1)
+SELECT i.cluster, i.label, i.n_cg, cs.n_cluster, gs.n_label,
+       round(CAST(i.n_cg AS DOUBLE) / cs.n_cluster, 6) AS prec,
+       round(CAST(i.n_cg AS DOUBLE) / gs.n_label, 6) AS rec
+FROM inter i JOIN cs ON i.cluster = cs.cluster JOIN gs ON i.label = gs.label"""
+
+
+def _hll_by_source_sql():
+    # grouped twin of _hll_sql: mirrors sketch.hll_distinct_by(
+    # documents, text, [source], p=8) — identical md5 hash + register
+    # math, the SAME python-double numerator literal, GROUP BY source
+    p = 8
+    m = 1 << p
+    rb = 32 - p
+    ks = rb + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = repr(alpha * m * m * float(1 << ks))
+    hexpr = _MD5_LONG.format(arg="concat_ws(':', CAST(text AS VARCHAR), '42')")
+    return f"""
+WITH h AS (SELECT source, {hexpr} AS hv FROM documents),
+b AS (SELECT source, hv // {1 << rb} AS bucket, hv % {1 << rb} AS rest FROM h),
+r AS (SELECT source, bucket,
+             {rb} - (CASE WHEN rest = 0 THEN 0 ELSE length(bin(rest)) END) + 1 AS rho
+      FROM b),
+regs AS (SELECT source, bucket, max(rho) AS mrho FROM r GROUP BY 1, 2),
+agg AS (SELECT source, count(*) AS n_filled,
+               coalesce(CAST(sum(CAST(pow(2, {ks} - mrho) AS BIGINT)) AS BIGINT), 0) AS zf
+        FROM regs GROUP BY 1),
+fin AS (SELECT source, {m} AS m, n_filled,
+               CAST(({m} - n_filled) * {1 << ks} + zf AS BIGINT) AS z_int
+        FROM agg)
+SELECT source, m, n_filled, z_int,
+       CASE WHEN {numer} / z_int <= {2.5 * m} AND n_filled < {m}
+            THEN 'linear' ELSE 'hll' END AS branch,
+       round(CASE WHEN {numer} / z_int <= {2.5 * m} AND n_filled < {m}
+                  THEN {float(m)} * ln({float(m)} / ({m} - n_filled))
+                  ELSE {numer} / z_int END, 3) AS est_distinct
+FROM fin"""
+
+
 def oracle_sql() -> dict[str, str]:
     # Order mirrors queries() (minus the rows-only entries) — see the
     # coverage-schedule comment there: r3's never-driver-checked
@@ -4707,4 +4802,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _TFIDF_SQL,
         "embedding_stats": _EMB_STATS_SQL,
         "triangles_knn": _TRIANGLES_SQL,
+        # --- new in r5 (past the window; see queries() note) ---
+        "bcubed_eval": _BCUBED_SQL,
+        "hll_by_source": _hll_by_source_sql(),
     }

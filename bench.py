@@ -124,6 +124,8 @@ HEADLINE = [
     "katz_knn",
     "oph_signatures",
     "stress_knn",
+    "bcubed_eval",
+    "hll_by_source",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

@@ -263,3 +263,88 @@ def hll_distinct(
             3,
         ).alias("est_distinct"),
     )
+
+
+def hll_distinct_by(
+    df: DataFrame, col: str, by: list[str], p: int = 8, seed: int = 42
+) -> DataFrame:
+    """Per-group HyperLogLog: :func:`hll_distinct` with the registers
+    keyed by ``by`` columns — one sketch row per group (by..., m,
+    n_filled, z_int, branch, est_distinct). The per-domain / per-source
+    cardinality profile a curation pipeline wants ("how many distinct
+    fingerprints does each crawl domain contribute") without a
+    per-group exact count-distinct shuffle of the raw values.
+
+    Same determinism contract as the global sketch: register state is
+    exact-integer (z_int), the estimate is ONE shared python-double
+    numerator literal divided once, so the DuckDB twin is bit-exact.
+
+    Scale shape: groupBy(by + bucket).max(rho) partial-aggregates to
+    <= m rows per group per task; the final per-group fold is m -> 1.
+    Groups shuffle by their own key — skewed group sizes cost nothing
+    beyond their own register rows (<= m each regardless of group
+    cardinality). That bounded per-group state is the whole point of
+    sketching at 100 TB: a trillion-row group still ships 2^p rows.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    if not by:
+        raise ValueError("hll_distinct_by needs at least one group column")
+    m = 1 << p
+    rest_bits = 32 - p
+    k_scale = rest_bits + 1
+    h = _md5_long(F.concat_ws(":", F.col(col).cast("string"), F.lit(str(seed))))
+    bucket = (h / F.lit(1 << rest_bits)).cast("long")
+    rest = h % F.lit(1 << rest_bits)
+    regs = (
+        df.select(*by, bucket.alias("bucket"), rest.alias("rest"))
+        .select(
+            *by,
+            "bucket",
+            (
+                F.lit(rest_bits)
+                - F.when(F.col("rest") == 0, F.lit(0)).otherwise(
+                    F.length(F.bin(F.col("rest")))
+                )
+                + F.lit(1)
+            ).alias("rho"),
+        )
+        .groupBy(*by, "bucket")
+        .agg(F.max("rho").alias("mrho"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << k_scale)
+    agg = regs.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.coalesce(
+            F.sum(F.expr(f"cast(pow(2, {k_scale} - mrho) as bigint)")), F.lit(0)
+        ).alias("zf"),
+    )
+    return agg.select(
+        *by,
+        F.lit(m).alias("m"),
+        F.col("n_filled"),
+        (
+            (F.lit(m) - F.col("n_filled")) * F.lit(1 << k_scale) + F.col("zf")
+        ).alias("z_int"),
+    ).select(
+        *by,
+        "m",
+        "n_filled",
+        "z_int",
+        F.when(
+            (F.lit(numer) / F.col("z_int") <= F.lit(2.5 * m))
+            & (F.col("n_filled") < F.lit(m)),
+            F.lit("linear"),
+        )
+        .otherwise(F.lit("hll"))
+        .alias("branch"),
+        F.round(
+            F.when(
+                (F.lit(numer) / F.col("z_int") <= F.lit(2.5 * m))
+                & (F.col("n_filled") < F.lit(m)),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_filled"))),
+            ).otherwise(F.lit(numer) / F.col("z_int")),
+            3,
+        ).alias("est_distinct"),
+    )
