@@ -168,17 +168,16 @@ def temporal_reachability(
     any improvement to arrival(v) must route through a node whose own
     arrival improved last sweep, so per sweep only the frontier (the
     last-sweep-improved labels, seeds at sweep 0) joins the contact
-    list: contacts ⋈ frontier → min-t hash-agg → anti-improvement
-    filter vs current labels = the NEXT frontier, and the empty
-    frontier IS the termination test (no separate full-table
-    convergence count; the old shape re-joined the FULL arrival table
-    against the full contact set every sweep and paid a second
-    comparison action on top). Labels merge by full-outer join +
-    least (joins only; no Union — the scc.py Catalyst lesson);
-    arrivals only ever decrease and new nodes only ever appear, so
-    convergence is monotone. The frontier is localCheckpointed (size
-    known → AQE broadcasts it when small); per-sweep work is
-    ∝ frontier out-degree, not corpus size. Runs to fixpoint (the
+    list: contacts ⋈ frontier → min-t hash-agg → full-outer least
+    merge (joins only; no Union — the scc.py Catalyst lesson). The
+    frontier itself stays LAZY — the improvement filter over the two
+    cached label generations — so each sweep is one merge
+    materialization plus one cached-side convergence count, the same
+    per-sweep action budget as a full-rescan loop, while per-sweep
+    JOIN work is ∝ frontier out-degree, not corpus size (the old
+    shape re-joined the FULL arrival table against the full contact
+    set every sweep). Arrivals only ever decrease and new nodes only
+    ever appear, so convergence is monotone. Runs to fixpoint (the
     oracle's recursive CTE does too); raises loudly if ``max_sweeps``
     rounds don't converge.
     """
@@ -190,8 +189,28 @@ def temporal_reachability(
     labels = spark.createDataFrame(
         [(s, 0) for s in sorted(set(seeds))], schema=f"id {id_t}, arr long"
     ).localCheckpoint()
-    frontier = labels
+    # prev = labels BEFORE the last merge; the frontier (labels that
+    # improved last sweep) is the LAZY improvement filter labels⋈prev —
+    # a join of two cached node-sized tables, re-evaluated inside the
+    # delta join instead of materialized. That keeps the per-sweep
+    # action count at the old shape's 2 (one merge materialize + one
+    # cached-side changed count) while the delta join still consumes
+    # only the frontier. A separately-materialized frontier (tried
+    # first) doubled the per-sweep job count and regressed the sf0.1
+    # bench 5.2 -> 19.5 s — fixed per-sweep cost dominates below the
+    # scale where the delta join's asymptotics pay.
+    prev = None
     for _ in range(max_sweeps):
+        if prev is None:
+            frontier = labels
+        else:
+            frontier = (
+                labels.join(
+                    prev.withColumnRenamed("arr", "old"), "id", "left"
+                )
+                .where(F.col("old").isNull() | (F.col("arr") < F.col("old")))
+                .select("id", "arr")
+            )
         delta = (
             c.join(
                 frontier.select(
@@ -203,18 +222,8 @@ def temporal_reachability(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("t").alias("narr"))
         )
-        frontier = (
-            delta.join(labels, "id", "left")
-            .where(F.col("arr").isNull() | (F.col("narr") < F.col("arr")))
-            .select("id", F.col("narr").alias("arr"))
-        )
-        frontier = materialize(frontier)
-        if frontier.isEmpty():
-            return labels.withColumnRenamed("arr", "arrival")
-        labels = (
-            labels.join(
-                frontier.withColumnRenamed("arr", "narr"), "id", "full"
-            )
+        nxt = materialize(
+            labels.join(delta, "id", "full")
             .select(
                 "id",
                 F.least(
@@ -222,7 +231,14 @@ def temporal_reachability(
                 ).alias("arr"),
             )
         )
-        labels = materialize(labels)
+        changed = (
+            nxt.join(labels.withColumnRenamed("arr", "old"), "id", "left")
+            .where(F.col("old").isNull() | (F.col("arr") < F.col("old")))
+            .count()
+        )
+        prev, labels = labels, nxt
+        if changed == 0:
+            return labels.withColumnRenamed("arr", "arrival")
     raise RuntimeError(
         f"temporal reachability did not converge in {max_sweeps} sweeps"
     )

@@ -36,13 +36,20 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
 # planning (measured: temporal reachability merges went 0.2 s -> 120 s
 # per sweep on 100k nodes with constant 5-line plans and millisecond
 # stages; jstack pinned SizeInBytesOnlyStatsPlanVisitor.visitJoin).
-# Guard: when a checkpointed plan's sizeInBytes no longer fits in 64
-# bits, rebuild the DataFrame as a fresh leaf over the SAME
+# Guard: when a checkpointed plan's sizeInBytes outgrows the
+# threshold, rebuild the DataFrame as a fresh leaf over the SAME
 # checkpointed RDD (no recompute, no extra job) with default stats.
-# AQE re-derives real sizes from materialized stages at runtime, so
-# join strategy is unaffected. Static broadcast decisions keep the
-# accurate inherited stats in the sane (<2^64) common case.
-_STATS_BITS_SANE = 64
+# THRESHOLD CHOICE: a one-shot product of a handful of real tables
+# legitimately exceeds 2^64 ((2^25)^3 = 2^75 for three 32 MB inputs) —
+# resetting those to defaultSizeInBytes demoted static broadcast
+# decisions and cost kg_transe_rank a measured 1.1 -> 6.3 s at sf0.1.
+# Any value past the broadcast threshold plans as SMJ regardless of
+# HOW huge it is, and BigInteger math only turns pathological at
+# ~10^4+ bits, so the guard fires at 4096 bits: ordinary multi-join
+# stats (hundreds of bits) pass through untouched, while a geometric
+# loop crossing 4096 is capped within a sweep or two of crossing it
+# (bit-length doubles per sweep) — planning identical, blowup gone.
+_STATS_BITS_SANE = 4096
 
 
 def _reset_bloated_stats(ck: DataFrame) -> DataFrame:

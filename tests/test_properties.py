@@ -103,10 +103,14 @@ def test_materialize_resets_bloated_join_stats(spark):
     # loop the stat's bit-length doubles per sweep until the driver
     # spends minutes in BigInteger multiplication during join planning
     # (measured on temporal reachability: 0.2 s -> 120 s per sweep).
-    # materialize() must cap the inherited stat once it leaves 64 bits.
+    # materialize() must cap the inherited stat once it turns
+    # pathological (> _STATS_BITS_SANE bits) while leaving ordinary
+    # multi-join products (hundreds of bits) untouched — resetting
+    # those demotes static broadcasts (measured: kg_transe_rank
+    # 1.1 -> 6.3 s under a 64-bit threshold).
     from pyspark.sql import functions as F
 
-    from simkit_spark.util import materialize
+    from simkit_spark.util import _STATS_BITS_SANE, materialize
 
     def bits(df):
         return int(
@@ -114,13 +118,22 @@ def test_materialize_resets_bloated_join_stats(spark):
         ).bit_length()
 
     a = spark.range(50).select("id", F.lit(1).alias("x")).localCheckpoint()
-    b = spark.range(50).select("id", F.lit(2).alias("y")).localCheckpoint()
     cur = a
-    for _ in range(8):
+    for _ in range(10):
+        # self-join: stats square each sweep — bit-length doubles, the
+        # geometric fixpoint-loop shape that drove merges to 120 s
         cur = materialize(
-            cur.join(b, "id", "full").select(
+            cur.join(cur.withColumnRenamed("x", "y"), "id", "full").select(
                 "id", F.coalesce("x", "y").alias("x")
             )
         )
-    assert bits(cur) <= 64, "stats bit-length must stay bounded across sweeps"
+    assert bits(cur) <= 2 * _STATS_BITS_SANE, (
+        "stats bit-length must stay bounded across sweeps"
+    )
     assert cur.count() == 50
+    # and a plain three-table product (~hundreds of bits at most)
+    # passes through with its inherited stats intact
+    b = spark.range(50).select("id", F.lit(2).alias("y")).localCheckpoint()
+    c = spark.range(50).select("id", F.lit(3).alias("z")).localCheckpoint()
+    j = materialize(a.join(b, "id").join(c, "id"))
+    assert 0 < bits(j) <= _STATS_BITS_SANE
