@@ -1226,6 +1226,7 @@ def rule_mining(
     max_join_degree: int = 1000,
     chain_exclude: list[str] | None = None,
     dp: int = 6,
+    prune_pairs: bool | None = None,
 ) -> DataFrame:
     """AMIE-style horn-rule mining over the triple table (Galarraga et
     al., WWW'13): score every candidate rule whose body is one or two
@@ -1353,30 +1354,44 @@ def rule_mining(
     # pairs still pay their own sum_z in*out generation — that is the
     # irreducible composition-mining space; AMIE's sampled-support
     # estimate (with exact rescoring) is the lossy lever beyond this.
-    a_deg = left.groupBy("body1", "z").agg(F.count(F.lit(1)).alias("a_n"))
-    b_deg = right.groupBy("body2", "z").agg(F.count(F.lit(1)).alias("b_n"))
-    pair_space = (
-        a_deg.join(b_deg, "z")
-        .groupBy("body1", "body2")
-        .agg(F.sum(F.col("a_n") * F.col("b_n")).alias("pspace"))
-    )
-    allowed = materialize(
-        pair_space.where(F.col("pspace") >= min_support).select("body1", "body2")
-    )
-    left = left.join(
-        F.broadcast(allowed.select("body1").distinct()), "body1", "leftsemi"
-    )
-    right = right.join(
-        F.broadcast(allowed.select("body2").distinct()), "body2", "leftsemi"
-    )
+    # ``prune_pairs`` gates only whether the accounting pass is PAID,
+    # never the output (the bound is exact). Auto: on when the stream
+    # carries >= 16 distinct predicates — below that every pair of a
+    # real KG is dense enough that the bound cannot fire, and the two
+    # extra degree aggregations are a measured ~6 s dead cost at
+    # sf0.1's 12-predicate entailed KG; above it, rare-predicate
+    # tails appear and the bound kills their pairs before the z-join
+    # (39% of pairs on the 23-predicate 10M-triple stress).
+    if prune_pairs is None:
+        prune_pairs = tc.select("pred").distinct().count() >= 16
+    if prune_pairs:
+        a_deg = left.groupBy("body1", "z").agg(F.count(F.lit(1)).alias("a_n"))
+        b_deg = right.groupBy("body2", "z").agg(F.count(F.lit(1)).alias("b_n"))
+        pair_space = (
+            a_deg.join(b_deg, "z")
+            .groupBy("body1", "body2")
+            .agg(F.sum(F.col("a_n") * F.col("b_n")).alias("pspace"))
+        )
+        allowed = materialize(
+            pair_space.where(F.col("pspace") >= min_support).select("body1", "body2")
+        )
+        left = left.join(
+            F.broadcast(allowed.select("body1").distinct()), "body1", "leftsemi"
+        )
+        right = right.join(
+            F.broadcast(allowed.select("body2").distinct()), "body2", "leftsemi"
+        )
     # support-first: the z-join streams into the head join and one
     # countDistinct — the pair space is never materialized; duplicate
     # (x, y) witnesses (several z on the same pair) collapse in the
-    # agg. The broadcast semi-join on (body1, body2) kills pruned
-    # pairs at emission, before any shuffle.
+    # agg. When pruning is active, the broadcast semi-join on
+    # (body1, body2) kills pruned pairs at emission, before any
+    # shuffle.
+    pairs = left.join(right, "z")
+    if prune_pairs:
+        pairs = pairs.join(F.broadcast(allowed), ["body1", "body2"], "leftsemi")
     chain_sup = materialize(
-        left.join(right, "z")
-        .join(F.broadcast(allowed), ["body1", "body2"], "leftsemi")
+        pairs
         .join(head, ["x", "y"])
         .groupBy("body1", "body2", "head")
         .agg(F.count_distinct(F.col("x"), F.col("y")).alias("support"))
