@@ -1959,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row — rotate them in if a round 6 ever runs) ---
         "bcubed_eval": _bcubed_eval,
         "hll_by_source": _hll_by_source,
+        "pca_embedding": _pca_embedding,
     }
 
 
@@ -1995,6 +1996,17 @@ def _hll_by_source(spark, sf_dir):
     from simkit_spark.functions.sketch import hll_distinct_by
 
     return hll_distinct_by(_docs(spark, sf_dir), "text", ["source"])
+
+
+def _pca_embedding(spark, sf_dir):
+    """Distributed PCA over the embeddings (operators/pca): one
+    Arrow-batch pass of per-partition (n, sum, Gram) partials ->
+    driver eigh of the d x d covariance -> broadcast projection.
+    Rows-only: the eigendecomposition is not SQL-expressible; content
+    pinned by ROWSONLY_HASHES + the numpy-reference parity tests."""
+    from simkit_spark.operators.pca import embedding_pca
+
+    return embedding_pca(_emb(spark, sf_dir), k=8)
 
 
 # ---------------------------------------------------------------- oracles

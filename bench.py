@@ -126,6 +126,7 @@ HEADLINE = [
     "stress_knn",
     "bcubed_eval",
     "hll_by_source",
+    "pca_embedding",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

@@ -35,6 +35,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_HASH_SF_DIR", "/root/testdata/sf0.01")
 # DuckDB oracles (recursive-CTE transitive closure) and left this
 # list; mst_knn followed in r5 (sequential-Kruskal recursive CTE).
 ROWS_ONLY = [
+    "pca_embedding",
     "spectral_embedding",
     "kmeans_clusters",
     "kg_triples",
