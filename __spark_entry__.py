@@ -1960,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed_eval": _bcubed_eval,
         "hll_by_source": _hll_by_source,
         "pca_embedding": _pca_embedding,
+        "hll_windows": _hll_windows,
     }
 
 
@@ -2007,6 +2008,24 @@ def _pca_embedding(spark, sf_dir):
     from simkit_spark.operators.pca import embedding_pca
 
     return embedding_pca(_emb(spark, sf_dir), k=8)
+
+
+def _hll_windows(spark, sf_dir):
+    """Hourly-windowed HLL registers over event user_ids
+    (streaming.streaming_hll run in batch mode — the stream==batch
+    contract is pinned in tests/test_streaming_hll.py): per (hour,
+    bucket) max-rho register rows, <= 2^p state per window however
+    many events flow. Registers are exact integers, so the grouped
+    DuckDB twin is bit-identical (the hll_distinct contract,
+    windowed)."""
+    from simkit_spark.streaming import streaming_hll
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").alias("event_ts"), "user_id"
+    )
+    return streaming_hll(ev, "user_id", window="1 hour").select(
+        "window_start", "bucket", "mrho"
+    )
 
 
 # ---------------------------------------------------------------- oracles
@@ -4679,6 +4698,21 @@ SELECT source, m, n_filled, z_int,
 FROM fin"""
 
 
+def _hll_windows_sql():
+    # grouped-by-hour twin of streaming_hll's register table over
+    # events.user_id (p=8, seed 42): identical md5 register math,
+    # date_trunc('hour') == the tumbling 1h window start
+    p = 8
+    rb = 32 - p
+    hexpr = _MD5_LONG.format(arg="concat_ws(':', CAST(user_id AS VARCHAR), '42')")
+    return f"""
+WITH h AS (SELECT date_trunc('hour', ts) AS window_start, {hexpr} AS hv FROM events),
+b AS (SELECT window_start, hv // {1 << rb} AS bucket, hv % {1 << rb} AS rest FROM h)
+SELECT window_start, bucket,
+       max({rb} - (CASE WHEN rest = 0 THEN 0 ELSE length(bin(rest)) END) + 1) AS mrho
+FROM b GROUP BY 1, 2"""
+
+
 def oracle_sql() -> dict[str, str]:
     # Order mirrors queries() (minus the rows-only entries) — see the
     # coverage-schedule comment there: r3's never-driver-checked
@@ -4817,4 +4851,5 @@ def oracle_sql() -> dict[str, str]:
         # --- new in r5 (past the window; see queries() note) ---
         "bcubed_eval": _BCUBED_SQL,
         "hll_by_source": _hll_by_source_sql(),
+        "hll_windows": _hll_windows_sql(),
     }

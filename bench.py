@@ -127,6 +127,7 @@ HEADLINE = [
     "bcubed_eval",
     "hll_by_source",
     "pca_embedding",
+    "hll_windows",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

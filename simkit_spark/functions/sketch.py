@@ -348,3 +348,51 @@ def hll_distinct_by(
             3,
         ).alias("est_distinct"),
     )
+
+
+def hll_register_cols(col, p: int = 8, seed: int = 42):
+    """(bucket, rho) Column pair of the HLL register update for one
+    value — the shared projection of hll_distinct / hll_distinct_by /
+    streaming.streaming_hll (register state = groupBy(bucket).max(rho)
+    wherever it lives: batch agg or streaming state store)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    rest_bits = 32 - p
+    h = _md5_long(F.concat_ws(":", F.col(col).cast("string"), F.lit(str(seed))))
+    bucket = (h / F.lit(1 << rest_bits)).cast("long")
+    rest = h % F.lit(1 << rest_bits)
+    rho = (
+        F.lit(rest_bits)
+        - F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
+        + F.lit(1)
+    )
+    return bucket, rho
+
+
+def hll_estimate_from_registers(registers, p: int = 8) -> dict:
+    """Fold collected (bucket, mrho) register rows — e.g. one window of
+    streaming_hll output — into the estimate, with EXACTLY the
+    hll_distinct math (same z_int integers, same single-division
+    numerator, same linear-counting branch). Returns
+    {"m", "n_filled", "z_int", "branch", "est_distinct"}."""
+    m = 1 << p
+    rest_bits = 32 - p
+    k_scale = rest_bits + 1
+    regs = {int(r["bucket"]): int(r["mrho"]) for r in registers}
+    n_filled = len(regs)
+    zf = sum(1 << (k_scale - mrho) for mrho in regs.values())
+    z_int = (m - n_filled) * (1 << k_scale) + zf
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * m * m * float(1 << k_scale)
+    import math
+
+    if numer / z_int <= 2.5 * m and n_filled < m:
+        branch = "linear"
+        est = round(float(m) * math.log(float(m) / (m - n_filled)), 3)
+    else:
+        branch = "hll"
+        est = round(numer / z_int, 3)
+    return {
+        "m": m, "n_filled": n_filled, "z_int": z_int,
+        "branch": branch, "est_distinct": est,
+    }

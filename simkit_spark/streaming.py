@@ -293,3 +293,48 @@ def streaming_cms(
             "cnt",
         )
     )
+
+
+def streaming_hll(
+    value_stream: DataFrame,
+    col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "event_ts",
+    p: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Windowed HyperLogLog registers over a stream — per-window
+    distinct-cardinality monitoring (unique users/documents/keys per
+    hour) with FIXED state: registers merge by MAX, so the state store
+    holds <= 2^p (window, bucket, mrho) rows per open window no matter
+    how many events flow through, evicted once the watermark passes
+    the window end. Max-mergeability is the same property that lets
+    batch HLL partial-aggregate map-side — the streaming state store
+    IS the partial aggregate here (the streaming_cms argument, with
+    max instead of addition).
+
+    Emits (window_start, window_end, bucket, mrho); fold a collected
+    window's registers into the estimate with
+    functions.sketch.hll_estimate_from_registers — bit-identical to
+    batch hll_distinct over the same slice (stream == batch tested).
+    """
+    from .functions.sketch import hll_register_cols
+
+    wm = (
+        value_stream.withWatermark(ts_col, watermark)
+        if value_stream.isStreaming
+        else value_stream
+    )
+    bucket, rho = hll_register_cols(col, p=p, seed=seed)
+    return (
+        wm.select(F.col(ts_col), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(F.window(F.col(ts_col), window), "bucket")
+        .agg(F.max("rho").alias("mrho"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "bucket",
+            "mrho",
+        )
+    )
