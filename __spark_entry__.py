@@ -1961,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_source": _hll_by_source,
         "pca_embedding": _pca_embedding,
         "hll_windows": _hll_windows,
+        "vocab_overlap": _vocab_overlap,
     }
 
 
@@ -2026,6 +2027,16 @@ def _hll_windows(spark, sf_dir):
     return streaming_hll(ev, "user_id", window="1 hour").select(
         "window_start", "bucket", "mrho"
     )
+
+
+def _vocab_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary overlap (text.vocab_overlap): the
+    domain-similarity matrix over distinct (source, token) rows —
+    join output bounded by the GROUP count per token, never corpus
+    size. Exact integers + one 6dp division; bit-exact twin."""
+    from simkit_spark.functions.text import vocab_overlap
+
+    return vocab_overlap(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------- oracles
@@ -4713,6 +4724,23 @@ SELECT window_start, bucket,
 FROM b GROUP BY 1, 2"""
 
 
+_VOCAB_OVERLAP_SQL = f"""
+WITH v AS (
+  SELECT DISTINCT source AS grp, tok
+  FROM (SELECT source, unnest({_LTOKENS}) AS tok FROM documents)
+  WHERE tok <> ''),
+sz AS (SELECT grp, count(*) AS n_vocab FROM v GROUP BY 1),
+inter AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_inter
+  FROM v a JOIN v b ON a.tok = b.tok AND a.grp < b.grp
+  GROUP BY 1, 2)
+SELECT i.grp_a, i.grp_b, sa.n_vocab AS n_a, sb.n_vocab AS n_b, i.n_inter,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.n_vocab + sb.n_vocab - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON i.grp_a = sa.grp
+JOIN sz sb ON i.grp_b = sb.grp"""
+
+
 def oracle_sql() -> dict[str, str]:
     # Order mirrors queries() (minus the rows-only entries) — see the
     # coverage-schedule comment there: r3's never-driver-checked
@@ -4852,4 +4880,5 @@ def oracle_sql() -> dict[str, str]:
         "bcubed_eval": _BCUBED_SQL,
         "hll_by_source": _hll_by_source_sql(),
         "hll_windows": _hll_windows_sql(),
+        "vocab_overlap": _VOCAB_OVERLAP_SQL,
     }

@@ -128,6 +128,7 @@ HEADLINE = [
     "hll_by_source",
     "pca_embedding",
     "hll_windows",
+    "vocab_overlap",
 ]
 
 KG_DOCS = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "20000"))

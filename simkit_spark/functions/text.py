@@ -646,3 +646,52 @@ def bpe_train(
         pd.DataFrame(merges, columns=["step", "lhs", "rhs", "n"]),
         schema="step int, lhs string, rhs string, n bigint",
     )
+
+
+def vocab_overlap(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between groups (crawl domains,
+    source corpora): (grp_a, grp_b, n_a, n_b, n_inter, jaccard) for
+    every unordered group pair sharing at least one token — the
+    domain-similarity matrix a curation pipeline uses to spot
+    near-duplicate sources and to weight mixture sampling.
+
+    Scale shape: the corpus collapses to DISTINCT (group, token) rows
+    first (one shuffle keyed by the pair, map-side partial), so the
+    overlap self-join is over vocabulary rows, not occurrences; a
+    token appearing in every group emits <= G^2/2 pairs — bounded by
+    the GROUP count, never by corpus size or term frequency. Counts
+    are exact integers; jaccard is one correctly-rounded division
+    (6dp), so the DuckDB twin is bit-exact.
+    """
+    vocab = (
+        docs.select(F.col(by).alias("grp"), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("grp").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a = vocab.select(F.col("grp").alias("grp_a"), "tok")
+    b = vocab.select(F.col("grp").alias("grp_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("grp", "grp_a").withColumnRenamed("n_vocab", "n_a")), "grp_a")
+        .join(F.broadcast(sizes.withColumnRenamed("grp", "grp_b").withColumnRenamed("n_vocab", "n_b")), "grp_b")
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )

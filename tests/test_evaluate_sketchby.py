@@ -108,3 +108,25 @@ def test_hll_by_requires_groups(spark):
         hll_distinct_by(df, "val", [])
     with pytest.raises(ValueError):
         hll_distinct_by(df, "val", ["grp"], p=2)
+
+
+# --------------------------------------------------------- vocab_overlap
+def test_vocab_overlap_hand_checked(spark):
+    from simkit_spark.functions.text import vocab_overlap
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "the cat sat"),
+            ("a", "the dog"),
+            ("b", "the cat ran"),
+            ("c", "zebra"),
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r["grp_a"], r["grp_b"]): (r["n_a"], r["n_b"], r["n_inter"], r["jaccard"])
+        for r in vocab_overlap(docs).collect()
+    }
+    # vocab a = {the, cat, sat, dog} (4), b = {the, cat, ran} (3);
+    # inter = {the, cat} (2), union = 5 -> jaccard 0.4
+    assert got == {("a", "b"): (4, 3, 2, 0.4)}  # c shares nothing -> no row
