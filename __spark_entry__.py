@@ -1954,9 +1954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": _embedding_stats,
         "triangles_knn": _triangles_knn,
         # --- new in r5 (appended PAST the 50-entry window per the
-        # rotation contract; all 132 prior entries are driver-green
-        # across r3/r4/r5, so these two are the only entries without a
-        # driver row — rotate them in if a round 6 ever runs) ---
+        # rotation contract; all 132 pre-r5 entries are driver-green
+        # across r3/r4/r5, so the r5 additions below are the only
+        # entries without a driver row — rotate them in if a round 6
+        # ever runs) ---
         "bcubed_eval": _bcubed_eval,
         "hll_by_source": _hll_by_source,
         "pca_embedding": _pca_embedding,
