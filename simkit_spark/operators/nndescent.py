@@ -123,6 +123,7 @@ def nn_descent(
     )
     cur = materialize(topk(with_dist).select("src", "dst", "dist"))
 
+    prev_capped = None
     for _ in range(n_iter):
         g = (
             cur.select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "dist")
@@ -134,7 +135,7 @@ def nn_descent(
             .groupBy("node", "nbr")
             .agg(F.min("dist").alias("dist"))
         )
-        capped = (
+        capped = materialize(
             g.select(
                 "node",
                 "nbr",
@@ -150,13 +151,32 @@ def nn_descent(
             .where(F.col("rn") <= cap)
             .select("node", "nbr")
         )
+        # NN-descent's new-flag rule, list-membership form: a pair
+        # whose BOTH edges (node, u), (node, v) sat in the previous
+        # sweep's capped list was generated (and scored) that sweep
+        # already — and once a candidate is rejected against a node's
+        # top-k it stays rejected (the k-th distance is monotone
+        # non-increasing because cand always unions cur), so skipping
+        # old-old pairs cannot change any output list. Only pairs with
+        # at least one NEW co-neighbor edge are generated; at
+        # convergence the pair stream dries up entirely. (Dong et al.
+        # WWW'11 §2.3 — their incremental search, expressed as an
+        # anti-join instead of per-node flags.)
+        if prev_capped is None:
+            fresh = capped
+        else:
+            fresh = capped.join(prev_capped, ["node", "nbr"], "left_anti")
         pairs = (
-            capped.alias("x")
+            fresh.alias("x")
             .join(capped.alias("y"), "node")
-            .where(F.col("x.nbr") < F.col("y.nbr"))
-            .select(F.col("x.nbr").alias("u"), F.col("y.nbr").alias("v"))
+            .where(F.col("x.nbr") != F.col("y.nbr"))
+            .select(
+                F.least(F.col("x.nbr"), F.col("y.nbr")).alias("u"),
+                F.greatest(F.col("x.nbr"), F.col("y.nbr")).alias("v"),
+            )
             .distinct()
         )
+        prev_capped = capped
         scored = (
             pairs.join(
                 pts.select(F.col("id").alias("u"), F.col("vec").alias("va")), "u"
